@@ -1,0 +1,241 @@
+"""Problem compiler: multiverse → dense event tables.
+
+Orchestrates `enumerate.py` (execution-path enumeration) and
+`accumulate.py` (window-sweep expansion) into the static arrays consumed by
+the runtime kernel (`rhs.py`). The compiled representation has three
+stages, mirroring the algebraic structure of the reference computation:
+
+1. **worlds** ``w[i] = const_i · Π ratio`` — one row per execution path
+   (`tape_multiverse.scm` world probability at path termination),
+2. **signatures** ``s[k] = Σ_{worlds with signature k} w`` — worlds sharing
+   a revealed-window pair share their entire accumulation sweep, so their
+   weights are summed *before* the sweep (a pure optimization; the
+   reference re-runs `lr-rec-extend-1` per world, `:1416-1443`),
+3. **events** ``v[e] = s[sig_e] · Π ratio`` scattered as ``-v`` at the
+   original-window rank and ``+v`` at the adjusted-window rank
+   (`:1271-1301`).
+
+Compiled problems are cached on disk (keyed by tag, geometry, and the
+rule's bytecode) because enumeration of the larger problems takes seconds
+to minutes on the host while the resulting tables are reused for every
+RHS call of every solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+
+import numpy as np
+
+from ..markov import pyramid_offsets
+from ..utils import config
+from . import accumulate, dsl, enumerate as enum_mod
+
+_FORMAT_VERSION = 3
+
+_ARRAY_FIELDS = (
+    "w_num", "w_den", "w_const",
+    "pair_world", "pair_sig",
+    "e_num", "e_den", "e_sig",
+    "ev_idx", "ev_sign", "ev_tgt",
+)
+
+
+@dataclasses.dataclass
+class CompiledProblem:
+    tag: str
+    size_a: int
+    cl_k: int
+    pyramid_size: int
+    num_signatures: int
+    # Stage 1: per-world factor chains, padded with the constant-1 slot.
+    w_num: np.ndarray  # [W, Lw] int32
+    w_den: np.ndarray  # [W, Lw] int32
+    w_const: np.ndarray  # [W] float64
+    # Stage 2: world→signature segment mapping.
+    pair_world: np.ndarray  # [M] int32
+    pair_sig: np.ndarray  # [M] int32
+    # Stage 3: per-event factor chains and the pre-sorted signed scatter.
+    e_num: np.ndarray  # [E, Le] int32
+    e_den: np.ndarray  # [E, Le] int32
+    e_sig: np.ndarray  # [E] int32
+    ev_idx: np.ndarray  # [2E] int32  (event index per signed contribution)
+    ev_sign: np.ndarray  # [2E] float64
+    ev_tgt: np.ndarray  # [2E] int32  (sorted window ranks)
+
+    @property
+    def state_size(self) -> int:
+        return self.size_a**self.cl_k
+
+    @property
+    def num_worlds(self) -> int:
+        return len(self.w_const)
+
+    @property
+    def num_events(self) -> int:
+        return len(self.e_sig)
+
+    def summary(self) -> str:
+        return (
+            f"{self.tag}[A={self.size_a},k={self.cl_k}]: "
+            f"{self.num_worlds} worlds, {self.num_signatures} signatures, "
+            f"{self.num_events} events "
+            f"(chains: worlds≤{self.w_num.shape[1]}, "
+            f"events≤{self.e_num.shape[1]})"
+        )
+
+
+def _pad_chains(chains, one_slot, dtype=np.int32):
+    """Packs ragged (num, den) chains into dense padded arrays."""
+    n = len(chains)
+    width = max((len(c) for c in chains), default=0)
+    width = max(width, 1)
+    num = np.full((n, width), one_slot, dtype=dtype)
+    den = np.full((n, width), one_slot, dtype=dtype)
+    for i, chain in enumerate(chains):
+        for j, (a, b) in enumerate(chain):
+            num[i, j] = a
+            den[i, j] = b
+    return num, den
+
+
+def compile_problem(tag: str, cl_k: int, *, max_worlds: int | None = None,
+                    use_cache: bool = True) -> CompiledProblem:
+    problem = dsl.get_problem(tag)
+    cache_path = _cache_path(problem, cl_k)
+    if use_cache and cache_path and os.path.exists(cache_path):
+        cached = _load_cache(cache_path, problem, cl_k)
+        if cached is not None:
+            return cached
+    compiled = _compile(problem, cl_k, max_worlds=max_worlds)
+    if use_cache and cache_path:
+        _store_cache(cache_path, compiled)
+    return compiled
+
+
+def _compile(problem: dsl.Problem, cl_k: int,
+             max_worlds: int | None) -> CompiledProblem:
+    size_a = problem.size_a
+    _, pyr_total = pyramid_offsets(size_a, cl_k)
+    one_slot = pyr_total - 1
+
+    worlds = enum_mod.enumerate_worlds(problem, cl_k, max_worlds=max_worlds)
+
+    # Keep only worlds that can ever contribute: nonzero choose-weight
+    # product and at least one changed tape. (Zero-weight and unchanged
+    # worlds contribute exactly 0 in the reference as well.)
+    live: list[enum_mod.World] = []
+    sig_ids: dict[tuple[int, int, int], int] = {}
+    pair_world: list[int] = []
+    pair_sig: list[int] = []
+    for world in worlds:
+        changed = [s for s in world.tape_sigs if s[0] != s[1]]
+        if world.const == 0.0 or not changed:
+            continue
+        wi = len(live)
+        live.append(world)
+        for sig in changed:
+            pair_world.append(wi)
+            pair_sig.append(sig_ids.setdefault(sig, len(sig_ids)))
+
+    w_num, w_den = _pad_chains([w.factors for w in live], one_slot)
+    w_const = np.array([w.const for w in live], dtype=np.float64)
+
+    expander = accumulate.Expander(size_a, cl_k)
+    e_chains: list[tuple[tuple[int, int], ...]] = []
+    e_sig: list[int] = []
+    tgt_orig: list[int] = []
+    tgt_adj: list[int] = []
+    for sig, sid in sig_ids.items():
+        for event in expander.expand(*sig):
+            e_chains.append(event.factors)
+            e_sig.append(sid)
+            tgt_orig.append(event.target_orig)
+            tgt_adj.append(event.target_adj)
+
+    e_num, e_den = _pad_chains(e_chains, one_slot)
+    num_events = len(e_sig)
+
+    # Pre-sorted signed scatter: contribution +v[e] at the adjusted rank,
+    # -v[e] at the original rank. Sorting at compile time lets the runtime
+    # use a sorted segment-sum instead of random scatter-adds.
+    all_tgt = np.concatenate(
+        [np.asarray(tgt_adj, dtype=np.int64),
+         np.asarray(tgt_orig, dtype=np.int64)]
+    ) if num_events else np.zeros((0,), dtype=np.int64)
+    all_sign = np.concatenate(
+        [np.ones(num_events), -np.ones(num_events)]
+    )
+    order = np.argsort(all_tgt, kind="stable")
+
+    if config.IS_DEBUG:
+        print(f"[ckpe] compiled {problem.tag} cl_k={cl_k}: "
+              f"{len(worlds)} paths → {len(live)} live worlds, "
+              f"{len(sig_ids)} signatures, {num_events} events")
+
+    return CompiledProblem(
+        tag=problem.tag,
+        size_a=size_a,
+        cl_k=cl_k,
+        pyramid_size=pyr_total,
+        num_signatures=len(sig_ids),
+        w_num=w_num,
+        w_den=w_den,
+        w_const=w_const,
+        pair_world=np.asarray(pair_world, dtype=np.int32),
+        pair_sig=np.asarray(pair_sig, dtype=np.int32),
+        e_num=e_num,
+        e_den=e_den,
+        e_sig=np.asarray(e_sig, dtype=np.int32),
+        ev_idx=(order % max(num_events, 1)).astype(np.int32),
+        ev_sign=all_sign[order],
+        ev_tgt=all_tgt[order].astype(np.int32),
+    )
+
+
+# --- Disk cache -------------------------------------------------------------
+
+def _cache_path(problem: dsl.Problem, cl_k: int) -> str | None:
+    try:
+        code = problem.rule.__code__.co_code
+    except AttributeError:
+        return None
+    key = hashlib.sha1(
+        f"{_FORMAT_VERSION}:{problem.tag}:{problem.size_a}:{cl_k}:".encode()
+        + code
+    ).hexdigest()[:16]
+    safe_tag = problem.tag.replace("/", "_")
+    return os.path.join(config.CACHE_DIR, f"{safe_tag}-k{cl_k}-{key}.npz")
+
+
+def _load_cache(path: str, problem: dsl.Problem,
+                cl_k: int) -> CompiledProblem | None:
+    try:
+        with np.load(path) as data:
+            return CompiledProblem(
+                tag=problem.tag,
+                size_a=problem.size_a,
+                cl_k=cl_k,
+                pyramid_size=int(data["pyramid_size"]),
+                num_signatures=int(data["num_signatures"]),
+                **{name: data[name] for name in _ARRAY_FIELDS},
+            )
+    except Exception:
+        return None
+
+
+def _store_cache(path: str, compiled: CompiledProblem) -> None:
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        np.savez_compressed(
+            tmp,
+            pyramid_size=compiled.pyramid_size,
+            num_signatures=compiled.num_signatures,
+            **{name: getattr(compiled, name) for name in _ARRAY_FIELDS},
+        )
+        os.replace(tmp + ".npz", path)
+    except OSError:
+        pass

@@ -1,0 +1,433 @@
+"""The built-in reaction-rule library.
+
+Python ports of every problem the reference registers
+(`framework/problems.scm:18-639` plus the import-time canary,
+`framework/tapes_py_interface.scm:105-109`). Rules are replayable functions
+over the Tape DSL (`engine/dsl.py`); tape-access and `choose` ordering is
+kept identical to the Scheme originals (including short-circuit `and`
+evaluation order) so the enumerated multiverse matches branch for branch.
+
+The known ex6 defects noted in SURVEY §2.3 (unquoted symbol references and
+a 3-argument `tape-get`, `problems.scm:587-601`) are repaired here rather
+than reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..engine.dsl import DATA, PROGRAM, register_problem
+
+
+# --- Example 1: radioactive decay (`problems.scm:22-26`) --------------------
+
+@register_problem("__canary_problem_radioactive_decay", ("A", "B"))
+def _canary(t):
+    """Import-time smoke-test problem (`tapes_py_interface.scm:105-109`)."""
+    if t.get_sym(DATA, 0) == "B":
+        t.set_sym(DATA, 0, "A")
+
+
+@register_problem("ex1-radioactive-decay", ("A", "B"))
+def ex1_radioactive_decay(t):
+    if t.get_sym(DATA, 0) == "B":
+        t.set_sym(DATA, 0, "A")
+
+
+# --- Example 2: ferromagnetic chain (`problems.scm:30-55`) ------------------
+
+_EX2_J = 1.0
+_EX2_H = -0.25
+_EX2_BETA = 1.0
+
+
+@register_problem("ex2-ferromagnetic-chain", ("D", "U"))
+def ex2_ferromagnetic_chain(t):
+    mid = t.get_sym(DATA, 0)
+    left = t.get_sym(DATA, -1)
+    right = t.get_sym(DATA, +1)
+    energy_j = (1 if left == mid else -1) + (1 if mid == right else -1)
+    factor_a = math.exp(-(_EX2_BETA * _EX2_J * (4 + 2 * energy_j)))
+    # Field factor suppresses flips out of the field-favored orientation
+    # (`problems.scm:43-50`).
+    if (_EX2_H > 0) == (mid == "U"):
+        factor_b = math.exp(-(2 * _EX2_BETA * abs(_EX2_H)))
+    else:
+        factor_b = 1.0
+    p_flip = factor_a * factor_b
+    if t.choose([(p_flip, True), (1 - p_flip, False)]):
+        t.set_sym(DATA, 0, "D" if mid == "U" else "U")
+
+
+# --- Example 3: copolymerization (`problems.scm:59-181`) --------------------
+
+@register_problem("ex3-copolymerization", ("O", "A", "M", "N"))
+def ex3_copolymerization(t):
+    p0 = t.get_sym(PROGRAM, 0)
+    if (p0 != "O" and t.get_sym(PROGRAM, -1) == "O"
+            and t.get_sym(PROGRAM, +1) == "O"):
+        # Isolated monomer on the P-tape.
+        d0 = t.get_sym(DATA, 0)
+        if ((p0 == "A" and d0 in ("M", "N"))
+                or (d0 == "A" and p0 in ("M", "N"))):
+            # Compatible monomers; try a chain end on a random side.
+            i = t.choose([(1.0, -1), (1.0, +1)])
+            if (t.get_sym(DATA, i) == "O"
+                    and t.get_sym(DATA, 2 * i) == "O"):
+                t.set_sym(PROGRAM, 0, "O")
+                t.set_sym(DATA, i, p0)
+
+
+@register_problem("ex3var1-copolymerization", ("O", "A", "M", "N"))
+def ex3var1_copolymerization(t):
+    """Variant 1: same-comonomer addition rejected 75% of the time
+    (`problems.scm:89-126`)."""
+    p0 = t.get_sym(PROGRAM, 0)
+    if (p0 != "O" and t.get_sym(PROGRAM, -1) == "O"
+            and t.get_sym(PROGRAM, +1) == "O"):
+        d0 = t.get_sym(DATA, 0)
+        if ((p0 == "A" and d0 in ("M", "N"))
+                or (d0 == "A" and p0 in ("M", "N"))):
+            i = t.choose([(1.0, -1), (1.0, +1)])
+            if (t.get_sym(DATA, i) == "O"
+                    and t.get_sym(DATA, 2 * i) == "O"):
+                if (p0 != "A" and t.get_sym(DATA, -i) == p0
+                        and t.choose([(75.0, True), (25.0, False)])):
+                    pass  # alternation preference: reject
+                else:
+                    t.set_sym(PROGRAM, 0, "O")
+                    t.set_sym(DATA, i, p0)
+
+
+@register_problem("ex3var2-copolymerization", ("O", "A", "M", "N"))
+def ex3var2_copolymerization(t):
+    """Variant 2: reversible depolymerization at chain ends at a 1:50
+    relative rate (`problems.scm:130-181`)."""
+    p0 = t.get_sym(PROGRAM, 0)
+    if p0 == "O":
+        # Empty P-tape cell: try dissociation.
+        if (t.get_sym(PROGRAM, -1) == "O"
+                and t.get_sym(PROGRAM, +1) == "O"):
+            d0 = t.get_sym(DATA, 0)
+            if d0 != "O":
+                d1_right = t.get_sym(DATA, 1)
+                d1_left = t.get_sym(DATA, -1)
+                if ((0 if d1_left == "O" else 1)
+                        + (0 if d1_right == "O" else 1)) == 1:
+                    # At a chain end; depolymerize at reduced rate.
+                    if t.choose([(1.0, True), (50.0, False)]):
+                        t.set_sym(PROGRAM, 0, d0)
+                        t.set_sym(DATA, 0, "O")
+    else:
+        if (t.get_sym(PROGRAM, -1) == "O"
+                and t.get_sym(PROGRAM, +1) == "O"):
+            d0 = t.get_sym(DATA, 0)
+            if ((p0 == "A" and d0 in ("M", "N"))
+                    or (d0 == "A" and p0 in ("M", "N"))):
+                i = t.choose([(1.0, -1), (1.0, +1)])
+                if (t.get_sym(DATA, i) == "O"
+                        and t.get_sym(DATA, 2 * i) == "O"):
+                    t.set_sym(PROGRAM, 0, "O")
+                    t.set_sym(DATA, i, p0)
+
+
+# --- Example 4: chemical Turing machine (`problems.scm:186-434`) ------------
+
+_EX4_SYMBOLS = ("A", "B", "C", "D", "I", "O", "P", "X", "S")
+
+
+def _is_io(sym: str) -> bool:
+    return sym in ("I", "O")
+
+
+def _ex4_rule(reverse_suppression_choices):
+    """Shared ex4 / ex4var1 body; the variants differ only in the
+    reverse-reaction suppression choice list (`problems.scm:188-190` vs
+    `:248-251`)."""
+
+    def rule(t):
+        p0 = t.get_sym(PROGRAM, 0)
+        if p0 == "P" and t.choose([(1.0, True), (1.0, False)]):
+            # powered -> de-powered: cursor advances, writes a bit.
+            d0 = t.get_sym(DATA, 0)
+            if (d0 == "A" and _is_io(t.get_sym(DATA, 1))
+                    and _is_io(t.get_sym(DATA, 2))):
+                t.set_sym(PROGRAM, 0, "X")
+                t.set_sym(DATA, 0, "I")
+                t.set_sym(DATA, 1, "B")
+            elif (d0 == "B" and _is_io(t.get_sym(DATA, 1))
+                    and _is_io(t.get_sym(DATA, 2))):
+                t.set_sym(PROGRAM, 0, "X")
+                t.set_sym(DATA, 0, "O")
+                t.set_sym(DATA, 1, "C")
+            elif (d0 == "C" and _is_io(t.get_sym(DATA, 1))
+                    and _is_io(t.get_sym(DATA, 2))):
+                t.set_sym(PROGRAM, 0, "X")
+                t.set_sym(DATA, 0, "I")
+                t.set_sym(DATA, 1, "D")
+        elif p0 == "X":
+            # de-powered -> powered: cursor retreats, erases a bit.
+            d0 = t.get_sym(DATA, 0)
+            if (d0 in ("B", "C", "D")
+                    and _is_io(t.get_sym(DATA, -1))
+                    and _is_io(t.get_sym(DATA, -2))
+                    and ((d0 == "C" and t.get_sym(DATA, -1) == "O")
+                         or (d0 != "C" and t.get_sym(DATA, -1) == "I"))
+                    and t.choose(reverse_suppression_choices)):
+                t.set_sym(PROGRAM, 0, "P")
+                t.set_sym(DATA, 0, t.choose([(1.0, "I"), (1.0, "O")]))
+                t.set_sym(DATA, -1, {"B": "A", "C": "B", "D": "C"}[d0])
+
+    return rule
+
+
+_EX4_SUPPRESSION = 0.05
+register_problem("ex4-chemical-turing", _EX4_SYMBOLS)(
+    _ex4_rule([(1.0 - _EX4_SUPPRESSION, False), (_EX4_SUPPRESSION, True)])
+)
+# Variant 1: thermodynamically neutral reverse reaction
+# (`problems.scm:248-251`; note the flipped option order there).
+register_problem("ex4var1-chemical-turing", _EX4_SYMBOLS)(
+    _ex4_rule([(1.0, True), (0.0, False)])
+)
+
+
+# Variant 2: detachable evaluator with free-enthalpy rate bookkeeping
+# (`problems.scm:306-434`). Rate tables are built at registration time with
+# the same setup-error checks as the reference (`:324-327, :343-346`).
+
+def _ex4var2_tables():
+    beta = 1.0
+    G_P, G_X, G_E = 6.0, 0.0, 1.0
+    G_A, G_B, G_C, G_D = -1.0, -1.0, -1.0, 1.5
+    delta_g_fastest = (G_B + G_X) - (G_A + G_P)
+
+    def rate_factor(g_left, g_right):
+        r = math.exp(-(beta * (g_right - g_left - delta_g_fastest)))
+        if r > 1.001:
+            raise ValueError(
+                "Setup error: Delta-G-fastest not actually fastest."
+            )
+        return min(1.0, r)
+
+    def rate_choices(g_left, g_right):
+        r = rate_factor(g_left, g_right)
+        return [(r, True), (1 - r, False)]
+
+    r_a = rate_factor(G_E, G_A)
+    r_d = rate_factor(G_E, G_D)
+    if r_a + r_d > 1.0:
+        raise ValueError(
+            "E->A+D rates too high to merge, given Delta-G-fastest."
+        )
+    return {
+        "A+P->B+X": rate_choices(G_A + G_P, G_B + G_X),
+        "B+X->A+P": rate_choices(G_B + G_X, G_A + G_P),
+        "B+P->C+X": rate_choices(G_B + G_P, G_C + G_X),
+        "C+X->B+P": rate_choices(G_C + G_X, G_B + G_P),
+        "C+P->D+X": rate_choices(G_C + G_P, G_D + G_X),
+        "D+X->C+P": rate_choices(G_D + G_X, G_C + G_P),
+        "A->E": rate_choices(G_A, G_E),
+        "D->E": rate_choices(G_D, G_E),
+        "E->A+D": [(r_a, "A"), (r_d, "D"), (1.0 - r_a - r_d, False)],
+    }
+
+
+_EX4V2_RATES = _ex4var2_tables()
+_CHOICE_IO = [(1.0, "I"), (1.0, "O")]
+_CHOICE_11 = [(1.0, True), (1.0, False)]
+
+
+@register_problem(
+    "ex4var2-chemical-turing",
+    ("A", "B", "C", "D", "I", "O", "P", "X", "S", "E"),
+)
+def ex4var2_chemical_turing(t):
+    r = _EX4V2_RATES
+    p0 = t.get_sym(PROGRAM, 0)
+    if (p0 == "P" and _is_io(t.get_sym(DATA, 1))
+            and _is_io(t.get_sym(DATA, 2)) and t.choose(_CHOICE_11)):
+        d0 = t.get_sym(DATA, 0)
+        if d0 == "A" and t.choose(r["A+P->B+X"]):
+            t.set_sym(PROGRAM, 0, "X")
+            t.set_sym(DATA, 0, "I")
+            t.set_sym(DATA, 1, "B")
+        elif d0 == "B" and t.choose(r["B+P->C+X"]):
+            t.set_sym(PROGRAM, 0, "X")
+            t.set_sym(DATA, 0, "O")
+            t.set_sym(DATA, 1, "C")
+        elif d0 == "C" and t.choose(r["C+P->D+X"]):
+            t.set_sym(PROGRAM, 0, "X")
+            t.set_sym(DATA, 0, "I")
+            t.set_sym(DATA, 1, "D")
+    elif (p0 == "X" and _is_io(t.get_sym(DATA, -1))
+            and _is_io(t.get_sym(DATA, -2))):
+        d0 = t.get_sym(DATA, 0)
+        if d0 == "B" and t.choose(r["B+X->A+P"]):
+            t.set_sym(PROGRAM, 0, "P")
+            t.set_sym(DATA, 0, t.choose(_CHOICE_IO))
+            t.set_sym(DATA, -1, "A")
+        elif d0 == "C" and t.choose(r["C+X->B+P"]):
+            t.set_sym(PROGRAM, 0, "P")
+            t.set_sym(DATA, 0, t.choose(_CHOICE_IO))
+            t.set_sym(DATA, -1, "B")
+        elif d0 == "D" and t.choose(r["D+X->C+P"]):
+            t.set_sym(PROGRAM, 0, "P")
+            t.set_sym(DATA, 0, t.choose(_CHOICE_IO))
+            t.set_sym(DATA, -1, "C")
+    elif (p0 == "E" and _is_io(t.get_sym(DATA, 0))
+            and _is_io(t.get_sym(DATA, +1))
+            and _is_io(t.get_sym(DATA, -1)) and t.choose(_CHOICE_11)):
+        a_d_f = t.choose(r["E->A+D"])
+        if a_d_f == "A":
+            t.set_sym(PROGRAM, 0, "S")
+            t.set_sym(DATA, 0, "A")
+        elif a_d_f == "D":
+            t.set_sym(PROGRAM, 0, "S")
+            t.set_sym(DATA, 0, "D")
+    elif (p0 == "S" and _is_io(t.get_sym(DATA, +1))
+            and _is_io(t.get_sym(DATA, -1))):
+        d0 = t.get_sym(DATA, 0)
+        if d0 == "A" and t.choose(r["A->E"]):
+            t.set_sym(PROGRAM, 0, "E")
+            t.set_sym(DATA, 0, t.choose(_CHOICE_IO))
+        elif d0 == "D" and t.choose(r["D->E"]):
+            t.set_sym(PROGRAM, 0, "E")
+            t.set_sym(DATA, 0, t.choose(_CHOICE_IO))
+
+
+# --- Example 5: MSRTF machine (`problems.scm:439-527`) ----------------------
+
+def _ex5_rule(single_r_can_execute: bool):
+    """Guaranteed-terminating mini machine language. Budget counter Q runs
+    4 → -3; S arms execution; T copies P-tape → D-tape when armed; R
+    increments the data cell mod 5; M re-runs the previous R/T op until the
+    budget expires."""
+
+    def rule(t):
+        def loop(Q, Is, Ip, Id, Op, NT, NR, NF):
+            op = t.get_sym(PROGRAM, Ip) if Q > 0 else Op
+            if Q == 4:
+                if op == "S":
+                    loop(Q - 1, Is, Ip + 1, Id, op, 0, 0, 0)
+                elif op == "R" and single_r_can_execute:
+                    t.set(DATA, Id, (1 + t.get(DATA, Id)) % 5)
+            elif op == "T":
+                activated = NT > 0 and NF > 0
+                if activated:
+                    t.set(DATA, Id, t.get(PROGRAM, Is))
+                if not (Q == 1 or Q == -3):
+                    loop(Q - 1,
+                         Is + 1 if activated else Is,
+                         Ip + 1 if Q > 0 else Ip,
+                         Id + 1 if activated else Id,
+                         op, 1, NR, NF)
+            elif op == "R":
+                if NR > 0:
+                    t.set(DATA, Id, (1 + t.get(DATA, Id)) % 5)
+                if not (Q == 1 or Q == -3):
+                    loop(Q - 1, Is, Ip + 1 if Q > 0 else Ip, Id, op,
+                         NT, 1, NF)
+            elif op == "F":
+                if not (Q == 1 or Q == -3):
+                    loop(Q - 1, Is, Ip + 1 if Q > 0 else Ip, Id, op,
+                         NT, NR, 1)
+            elif op == "M":
+                if Op in ("R", "T"):
+                    loop(-1, Is, Ip, Id, Op, NT, NR, NF)
+
+        loop(4, 0, 0, 0, None, 0, 0, 0)
+
+    return rule
+
+
+register_problem("ex5-msrtf-machine", ("M", "S", "R", "T", "F"))(
+    _ex5_rule(single_r_can_execute=False)
+)
+register_problem("ex5var1-msrtf-machine", ("M", "S", "R", "T", "F"))(
+    _ex5_rule(single_r_can_execute=True)
+)
+
+
+# --- Example 6: mini-BFF (`problems.scm:531-629`, repaired) -----------------
+#
+# Reference defects fixed (SURVEY §7.4): the executable-command branch
+# compared ops against unbound variables (`sym<` etc.) instead of symbols,
+# `sym-cl/sym-cr` head movement tested `sym<` instead of `sym-cl`, and one
+# `tape-get` took a spurious third argument (`problems.scm:587-601`).
+
+_EX6_SYMBOLS = ("lt", "gt", "cl", "cr", "minus", "plus", "dot", "comma",
+                "bl", "br", "zero", "nop")
+
+
+def _ex6_rule(fuel: int):
+    def rule(t):
+        def loop(budget, p_off, d0_off, d1_off, scan_mode):
+            if budget == 0:
+                return
+            op = t.get_sym(PROGRAM, p_off)
+            if scan_mode < 0:
+                # Looking left for the (-scan_mode)-th '[' bracket.
+                if op == "bl":
+                    if scan_mode == -1:
+                        loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+                    else:
+                        loop(budget - 1, p_off - 1, d0_off, d1_off,
+                             scan_mode + 1)
+                elif op == "br":
+                    loop(budget - 1, p_off - 1, d0_off, d1_off,
+                         scan_mode - 1)
+                else:
+                    loop(budget - 1, p_off - 1, d0_off, d1_off, scan_mode)
+            elif scan_mode > 0:
+                # Looking right for the scan_mode-th ']' bracket.
+                if op == "br":
+                    if scan_mode == 1:
+                        loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+                    else:
+                        loop(budget - 1, p_off + 1, d0_off, d1_off,
+                             scan_mode - 1)
+                elif op == "bl":
+                    loop(budget - 1, p_off + 1, d0_off, d1_off,
+                         scan_mode + 1)
+                else:
+                    loop(budget - 1, p_off + 1, d0_off, d1_off, scan_mode)
+            else:
+                if op in ("lt", "gt"):
+                    loop(budget - 1, p_off + 1,
+                         d0_off + (-1 if op == "lt" else +1), d1_off, 0)
+                elif op in ("cl", "cr"):
+                    loop(budget - 1, p_off + 1, d0_off,
+                         d1_off + (-1 if op == "cl" else +1), 0)
+                elif op in ("plus", "minus"):
+                    t.set(DATA, d0_off,
+                          (t.get(DATA, d0_off)
+                           + (1 if op == "plus" else -1))
+                          % len(_EX6_SYMBOLS))
+                    loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+                elif op == "dot":
+                    t.set(DATA, d1_off, t.get(DATA, d0_off))
+                    loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+                elif op == "comma":
+                    t.set(DATA, d0_off, t.get(DATA, d1_off))
+                    loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+                elif op == "bl":
+                    loop(budget - 1, p_off + 1, d0_off, d1_off,
+                         +1 if t.get_sym(DATA, d0_off) == "zero" else 0)
+                elif op == "br":
+                    if t.get_sym(DATA, d0_off) == "zero":
+                        loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+                    else:
+                        loop(budget - 1, p_off - 1, d0_off, d1_off, -1)
+                else:
+                    loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
+
+        loop(fuel, 0, 0, 12, 0)
+
+    return rule
+
+
+# Faithful fuel budget (10) — tractable only for tiny context lengths;
+# the "lite" variant keeps the full instruction set at an enumerable depth.
+register_problem("ex6-mini-bff", _EX6_SYMBOLS)(_ex6_rule(fuel=10))
+register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(_ex6_rule(fuel=3))
