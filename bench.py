@@ -1,0 +1,114 @@
+"""Headline benchmark: tape transitions/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+"Tape transition" = one reaction event applied to a concrete tape (one
+firing of the reaction rule at one site: window gather -> transition-table
+lookup -> outcome sample -> scatter), measured on the ensemble engine
+(`engine/ensemble.py`) in the BASELINE config-5 setting (ex5 MSRTF,
+batched tape ensemble). North-star target: 1e8 transitions/sec/chip
+(BASELINE.md); vs_baseline = value / 1e8.
+
+Also reports (stderr) the exact-engine RHS throughput in accumulation
+events/sec — the unit of work of the reference's Scheme accumulator
+(`tape_multiverse.scm:1271-1301`).
+"""
+
+import json
+import os
+import sys
+import time
+
+NORTH_STAR = 1e8
+
+
+def bench_ensemble():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    table = ensemble.compile_transition_table("ex5-msrtf-machine")
+    dt = ensemble.device_table(table)
+
+    # ~16.8M tape sites per batch; events at ~3% density per round.
+    B = int(os.environ.get("CKPE_BENCH_B", "4096"))
+    L = int(os.environ.get("CKPE_BENCH_L", "4096"))
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "10"))
+    events = max(1, L // 32)
+
+    key = jax.random.PRNGKey(0)
+    ptape = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
+    dtape = jnp.zeros((B, L), jnp.int32)
+
+    # Warm up / compile.
+    (pt, dtp), (applied, _) = ensemble.run_ensemble(
+        jax.random.PRNGKey(1), (ptape, dtape), dt, (steps, events)
+    )
+    applied.block_until_ready()
+
+    t0 = time.time()
+    n_rep = 3
+    total = 0
+    for i in range(n_rep):
+        (pt, dtp), (applied, _) = ensemble.run_ensemble(
+            jax.random.PRNGKey(2 + i), (pt, dtp), dt, (steps, events)
+        )
+        total += int(np.asarray(applied).sum())
+    elapsed = time.time() - t0
+    return total / elapsed, {
+        "B": B, "L": L, "steps": steps * n_rep, "events_per_step": events,
+        "transitions": total, "elapsed_s": round(elapsed, 3),
+        "table": table.summary(),
+    }
+
+
+def bench_exact_rhs():
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+
+    tag, cl_k = "ex5-msrtf-machine", 5
+    compiled = compile_problem(tag, cl_k)
+    fn = make_dy_dt(compiled)
+    rng = np.random.RandomState(0)
+    p = rng.dirichlet(np.ones(compiled.state_size))
+    out = fn(p)
+    out.block_until_ready()
+    n_iter = 30
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = fn(p)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iter
+    return compiled.num_events / dt, {
+        "tag": tag, "cl_k": cl_k, "events": compiled.num_events,
+        "rhs_ms": round(dt * 1e3, 3),
+    }
+
+
+def main():
+    tps, info = bench_ensemble()
+    result = {
+        "metric": "tape transitions/sec/chip",
+        "value": tps,
+        "unit": "transitions/s",
+        "vs_baseline": tps / NORTH_STAR,
+    }
+    print(json.dumps(result))
+    print(f"# ensemble: {info}", file=sys.stderr)
+    try:
+        eps, einfo = bench_exact_rhs()
+        print(f"# exact RHS: {eps:.3e} accumulation events/s {einfo}",
+              file=sys.stderr)
+    except Exception as e:  # secondary metric must never fail the bench
+        print(f"# exact RHS bench skipped: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,11 @@ class World:
     #  `tape_multiverse.scm:1441-1443`).
     tape_sigs: tuple[tuple[int, int, int], tuple[int, int, int]]
     decisions: tuple[int, ...] = ()
+    # Site-aligned revealed cells per tape: (l_len, orig, adj) where list
+    # offset i maps to tape index i - l_len. Used by the ensemble-mode
+    # transition-table compiler (`engine/ensemble.py`); the SPD
+    # accumulator only needs the alignment-free signatures above.
+    tape_cells: tuple[tuple[int, tuple[int, ...], tuple[int, ...]], ...] = ()
 
 
 class _TapeState:
@@ -163,6 +168,10 @@ class _Replay:
                 self.tapes[1].signature(self.size_a),
             ),
             decisions=tuple(self.values),
+            tape_cells=tuple(
+                (tp.l_len, tuple(tp.orig), tuple(tp.adj))
+                for tp in self.tapes
+            ),
         )
 
 

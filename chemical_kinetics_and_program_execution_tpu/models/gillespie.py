@@ -1,0 +1,153 @@
+"""Gillespie SSA (direct method) for mass-action reaction networks.
+
+The reference treats stochastic kinetics only through the ODE mean-field
+limit (`examples/autocatalysis.py`) and the lattice MC; the BASELINE
+north-star additionally asks for SSA trajectory throughput ("SSA
+trajectories/sec"). This module provides a TPU-native direct-method SSA:
+``vmap`` over trajectories, ``lax.scan`` over reaction events, dense
+propensity evaluation from stoichiometry matrices — no per-trajectory
+Python control flow.
+
+A network is defined by integer matrices ``reactants[R, S]`` and
+``products[R, S]`` plus rate constants ``rates[R]``; propensity of
+reaction r in state n is ``rates[r] · Π_s falling_factorial(n_s, m_rs)``
+(classical mass-action combinatorics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ReactionNetwork:
+    reactants: np.ndarray  # [R, S] int
+    products: np.ndarray  # [R, S] int
+    rates: np.ndarray  # [R] float
+
+    @property
+    def num_species(self) -> int:
+        return self.reactants.shape[1]
+
+    @property
+    def stoichiometry(self) -> np.ndarray:
+        return self.products - self.reactants
+
+
+def autocatalysis_network(c_form_a, c_auto_a, c_stab_a,
+                          c_form_b, c_auto_b, c_stab_b,
+                          c_add, c_remove, volume=1000.0):
+    """Discrete counterpart of the autocatalysis ODE
+    (`autocatalysis.py:126-151`); ``volume`` converts concentration rate
+    constants to stochastic ones. Species order: [A, B, M]."""
+    A, B, M = (1, 0, 0), (0, 1, 0), (0, 0, 1)
+
+    def v(*t):
+        return np.array(t)
+
+    reactants, products, rates = [], [], []
+
+    def add(r, p, k):
+        reactants.append(v(*r))
+        products.append(v(*p))
+        rates.append(k)
+
+    # 2M -> A / B (spontaneous formation), A + 2M -> 2A (autocatalysis),
+    # and the reverse dissociations; flow feed/removal.
+    add((0, 0, 2), (1, 0, 0), c_form_a / volume)
+    add((0, 0, 2), (0, 1, 0), c_form_b / volume)
+    add((1, 0, 2), (2, 0, 0), c_auto_a / volume**2)
+    add((0, 1, 2), (0, 2, 0), c_auto_b / volume**2)
+    add((1, 0, 0), (0, 0, 2), c_form_a / c_stab_a)
+    add((0, 1, 0), (0, 0, 2), c_form_b / c_stab_b)
+    add((2, 0, 0), (1, 0, 2), c_auto_a / c_stab_a / volume)
+    add((0, 2, 0), (0, 1, 2), c_auto_b / c_stab_b / volume)
+    add((0, 0, 0), (0, 0, 1), c_add * volume)
+    add((1, 0, 0), (0, 0, 0), c_remove)
+    add((0, 1, 0), (0, 0, 0), c_remove)
+    add((0, 0, 1), (0, 0, 0), c_remove)
+    del A, B, M
+    return ReactionNetwork(
+        np.stack(reactants), np.stack(products), np.asarray(rates)
+    )
+
+
+def _propensities(n, reactants, rates, max_order):
+    """Mass-action propensities with falling-factorial combinatorics."""
+    prop = jnp.broadcast_to(rates, rates.shape).astype(jnp.float64)
+    for j in range(max_order):
+        factor = jnp.where(
+            reactants > j, (n[None, :] - j).astype(jnp.float64), 1.0
+        )
+        prop = prop * jnp.prod(jnp.maximum(factor, 0.0), axis=1)
+    return prop
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def ssa_trajectories(key, n0, network_static, num_events):
+    """Runs one SSA trajectory per key batch entry.
+
+    Args:
+      key: PRNG key (batched via vmap outside).
+      n0: initial counts [S].
+      network_static: tuple of hashable tuples (reactants, products, rates)
+        — static so each network compiles once.
+      num_events: number of reaction events to simulate (static).
+
+    Returns:
+      (times [num_events], states [num_events, S]) — the jump chain; a
+      time past the last event means the system went quiescent.
+    """
+    reactants_np = np.asarray(network_static[0])
+    max_order = int(reactants_np.max()) if reactants_np.size else 0
+    reactants, products, rates = (
+        jnp.asarray(np.asarray(x)) for x in network_static
+    )
+    stoich = (products - reactants).astype(jnp.int64)
+
+    def step(carry, k):
+        t, n = carry
+        prop = _propensities(n, reactants, rates, max_order)
+        total = prop.sum()
+        k1, k2 = jax.random.split(k)
+        alive = total > 0
+        dt = jnp.where(
+            alive,
+            jax.random.exponential(k1, dtype=jnp.float64)
+            / jnp.maximum(total, 1e-300),
+            jnp.inf,
+        )
+        r = jax.random.choice(
+            k2, prop.shape[0],
+            p=jnp.where(alive, prop / jnp.maximum(total, 1e-300),
+                        jnp.ones_like(prop) / prop.shape[0]),
+        )
+        n_new = jnp.where(alive, n + stoich[r], n)
+        t_new = t + dt
+        return (t_new, n_new), (t_new, n_new)
+
+    keys = jax.random.split(key, num_events)
+    (_, _), (ts, ns) = jax.lax.scan(
+        step, (jnp.asarray(0.0, jnp.float64), jnp.asarray(n0, jnp.int64)),
+        keys,
+    )
+    return ts, ns
+
+
+def run_ssa_ensemble(network: ReactionNetwork, n0, num_trajectories,
+                     num_events, seed=0):
+    """Vmapped SSA ensemble: returns (times [B, E], states [B, E, S])."""
+    static = (
+        tuple(map(tuple, network.reactants.tolist())),
+        tuple(map(tuple, network.products.tolist())),
+        tuple(network.rates.tolist()),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_trajectories)
+    fn = jax.vmap(lambda k: ssa_trajectories(k, n0, static, num_events))
+    ts, ns = fn(keys)
+    return np.asarray(ts), np.asarray(ns)

@@ -360,7 +360,7 @@ _EX6_SYMBOLS = ("lt", "gt", "cl", "cr", "minus", "plus", "dot", "comma",
                 "bl", "br", "zero", "nop")
 
 
-def _ex6_rule(fuel: int):
+def _ex6_rule(fuel: int, d1_start: int = 12):
     def rule(t):
         def loop(budget, p_off, d0_off, d1_off, scan_mode):
             if budget == 0:
@@ -422,12 +422,20 @@ def _ex6_rule(fuel: int):
                 else:
                     loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
 
-        loop(fuel, 0, 0, 12, 0)
+        loop(fuel, 0, 0, d1_start, 0)
 
     return rule
 
 
-# Faithful fuel budget (10) — tractable only for tiny context lengths;
-# the "lite" variant keeps the full instruction set at an enumerable depth.
+# Faithful parameters (fuel 10, heads 12 apart): every tape reveal is a
+# 12-way world split and copy ops reveal all intermediate cells, so full
+# enumeration is astronomically large — the reference registers this
+# problem but never exercises it (and its registered form does not even
+# run, SURVEY §2.3). Registered for parity; compile with max_worlds set.
 register_problem("ex6-mini-bff", _EX6_SYMBOLS)(_ex6_rule(fuel=10))
-register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(_ex6_rule(fuel=3))
+# The "lite" variant keeps the full instruction set at an enumerable
+# depth: fuel 2 and the second data head adjacent to the first
+# (~13k execution paths).
+register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(
+    _ex6_rule(fuel=2, d1_start=1)
+)

@@ -1,0 +1,149 @@
+"""Jit-native adaptive Dormand–Prince 8(5,3) integrator (DOP853 class).
+
+The reference's high-accuracy solves all use scipy's DOP853 at
+rtol/atol 1e-11..1e-13 on the host (`markov_tapes.py:321-354` +
+`examples/ex4_chemical_turing.py:109-116`, `ex4var2:149`,
+`ex5_msrtf_machine.py:64-71`). This runs the same 12-stage Hairer
+tableau entirely on device inside one `lax.while_loop`, with the
+combined 5th/3rd-order error estimate and step controller matching
+scipy's RK implementation, so the reference's committed p_final oracles
+can be reproduced without host round-trips.
+
+The Butcher tableau is taken from scipy's published coefficient table
+(`scipy.integrate._ivp.dop853_coefficients`) at import time rather than
+being re-transcribed — 100+ 17-digit constants invite typos.
+
+Output sampling clamps steps to land exactly on the requested sample
+times, like `dopri5.py` (at 1e-13 tolerances the natural step count
+dominates, so the extra step boundaries are cheap).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate._ivp import dop853_coefficients as _dc
+
+_N_STAGES = _dc.N_STAGES  # 12
+_A = np.array(_dc.A[:_N_STAGES, :_N_STAGES])
+_B = np.array(_dc.B)  # [12]
+_C = np.array(_dc.C[:_N_STAGES])
+_E3 = np.array(_dc.E3)  # [13], includes the f(t+h, y_new) stage
+_E5 = np.array(_dc.E5)
+_ERROR_EXPONENT = -1.0 / 8.0  # scipy: -1 / (error_estimator_order + 1)
+_SAFETY, _MIN_FACTOR, _MAX_FACTOR = 0.9, 0.2, 10.0
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def odeint_dop853(fn, y0, ts, tols, max_steps=1_000_000):
+    """Integrates ``dy/dt = fn(y, t)`` sampling at times ``ts``.
+
+    Same contract as `dopri5.odeint_dopri5`; preferred for tolerances
+    tighter than ~1e-9.
+    """
+    rtol, atol = tols
+    y0 = jnp.asarray(y0)
+    dtype = y0.dtype
+    ts = jnp.asarray(ts, dtype=dtype)
+    n_out = ts.shape[0]
+    out = jnp.zeros((n_out,) + y0.shape, dtype).at[0].set(y0)
+
+    A = jnp.asarray(_A, dtype)
+    B = jnp.asarray(_B, dtype)
+    C = jnp.asarray(_C, dtype)
+    E3 = jnp.asarray(_E3, dtype)
+    E5 = jnp.asarray(_E5, dtype)
+
+    t0 = ts[0]
+    f0 = fn(y0, t0)
+
+    # Initial step heuristic (Hairer/Wanner, as in scipy's
+    # _select_initial_step with error order 7).
+    scale0 = atol + jnp.abs(y0) * rtol
+    d0 = _rms(y0 / scale0)
+    d1 = _rms(f0 / scale0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + h0 * f0
+    f1 = fn(y1, t0 + h0)
+    d2 = _rms((f1 - f0) / scale0) / h0
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / 8.0),
+    )
+    span = ts[-1] - t0
+    dt0 = jnp.clip(jnp.minimum(100 * h0, h1), 1e-14 * span, span)
+
+    def cond(state):
+        t, y, f, dt, i_out, out, n_acc, n_rej = state
+        return (i_out < n_out) & (n_acc + n_rej < max_steps)
+
+    def body(state):
+        t, y, f, dt, i_out, out, n_acc, n_rej = state
+        t_target = ts[jnp.minimum(i_out, n_out - 1)]
+        h = jnp.minimum(dt, t_target - t)
+        hits_target = h >= (t_target - t) * (1 - 1e-14)
+
+        def stage(i, K):
+            yi = y + h * jnp.tensordot(A[i], K[:_N_STAGES], 1)
+            return K.at[i].set(fn(yi, t + C[i] * h))
+
+        K0 = jnp.zeros((_N_STAGES + 1,) + y.shape, dtype).at[0].set(f)
+        K = jax.lax.fori_loop(1, _N_STAGES, stage, K0)
+        y_new = y + h * jnp.tensordot(B, K[:_N_STAGES], 1)
+        f_new = fn(y_new, t + h)
+        K = K.at[_N_STAGES].set(f_new)
+
+        # Combined 5th/3rd-order error norm (scipy DOP853
+        # `_estimate_error_norm`).
+        scale = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+        err5 = jnp.tensordot(E5, K, 1) / scale
+        err3 = jnp.tensordot(E3, K, 1) / scale
+        n5 = jnp.sum(err5 * err5)
+        n3 = jnp.sum(err3 * err3)
+        denom = jnp.sqrt((n5 + 0.01 * n3) * err5.size)
+        err = jnp.abs(h) * n5 / jnp.maximum(denom, 1e-300)
+        err = jnp.maximum(err, 1e-30)
+
+        accept = err <= 1.0
+        factor = jnp.clip(
+            _SAFETY * err**_ERROR_EXPONENT, _MIN_FACTOR, _MAX_FACTOR
+        )
+        dt_next = jnp.where(
+            accept, h * factor, h * jnp.minimum(factor, 1.0)
+        )
+
+        t_acc = jnp.where(hits_target, t_target, t + h)
+        wrote = accept & hits_target
+        out = jax.lax.cond(
+            wrote,
+            lambda o: o.at[jnp.minimum(i_out, n_out - 1)].set(y_new),
+            lambda o: o,
+            out,
+        )
+        return (
+            jnp.where(accept, t_acc, t),
+            jnp.where(accept, y_new, y),
+            jnp.where(accept, f_new, f),
+            dt_next,
+            i_out + jnp.where(wrote, 1, 0),
+            out,
+            n_acc + jnp.where(accept, 1, 0),
+            n_rej + jnp.where(accept, 0, 1),
+        )
+
+    state = (t0, y0, f0, dt0, 1, out,
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    t, y, f, dt, i_out, out, n_acc, n_rej = jax.lax.while_loop(
+        cond, body, state
+    )
+    info = {"num_accepted": n_acc, "num_rejected": n_rej,
+            "completed": i_out >= n_out}
+    return out, info
+
+
+def _rms(x):
+    return jnp.sqrt(jnp.mean(x * x))

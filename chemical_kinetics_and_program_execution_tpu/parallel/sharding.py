@@ -1,0 +1,176 @@
+"""Sharded dy/dt: event tables split across devices, psum over ICI.
+
+The compiled event axis (`compile.py`) is embarrassingly shardable: each
+device holds a contiguous slice of the event tables, computes a partial
+dy/dt over its slice, and the full derivative is a `psum` over the "ev"
+mesh axis. Worlds/signatures (stages 1–2) are tiny and replicated. The
+ensemble axis ("batch") shards independent SPD vectors.
+
+This is the TPU-native replacement for a distributed communication backend
+the reference never had (SURVEY §5.8): a single-controller JAX program over
+a `jax.sharding.Mesh` with XLA collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..markov import pyramid
+from ..engine.compile import CompiledProblem
+
+try:  # JAX >= 0.6 exposes shard_map at top level.
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+@dataclasses.dataclass
+class ShardedTables:
+    """Per-device event-table slices, stacked along a leading shard axis."""
+
+    size_a: int
+    cl_k: int
+    num_signatures: int
+    state_size: int
+    # Replicated (small).
+    w_num: np.ndarray
+    w_den: np.ndarray
+    w_const: np.ndarray
+    pair_world: np.ndarray
+    pair_sig: np.ndarray
+    # Sharded: leading axis = shard index.
+    e_num: np.ndarray  # [n, Eloc, Le]
+    e_den: np.ndarray
+    e_sig: np.ndarray  # [n, Eloc]
+    ev_idx: np.ndarray  # [n, 2*Eloc]
+    ev_sign: np.ndarray
+    ev_tgt: np.ndarray
+
+
+def shard_event_tables(compiled: CompiledProblem,
+                       num_shards: int) -> ShardedTables:
+    """Splits the event axis into ``num_shards`` contiguous padded slices,
+    rebuilding each slice's pre-sorted signed scatter locally."""
+    E = compiled.num_events
+    e_loc = -(-max(E, 1) // num_shards)
+    one_slot = compiled.pyramid_size - 1
+    le = compiled.e_num.shape[1]
+
+    e_num = np.full((num_shards, e_loc, le), one_slot, np.int32)
+    e_den = np.full((num_shards, e_loc, le), one_slot, np.int32)
+    e_sig = np.zeros((num_shards, e_loc), np.int32)
+    ev_idx = np.zeros((num_shards, 2 * e_loc), np.int32)
+    ev_sign = np.zeros((num_shards, 2 * e_loc), np.float64)
+    ev_tgt = np.zeros((num_shards, 2 * e_loc), np.int32)
+
+    # Recover per-event (minus, plus) targets from the global sorted scatter.
+    tgt_adj = np.zeros(E, np.int64)
+    tgt_orig = np.zeros(E, np.int64)
+    plus_mask = compiled.ev_sign > 0
+    tgt_adj[compiled.ev_idx[plus_mask]] = compiled.ev_tgt[plus_mask]
+    tgt_orig[compiled.ev_idx[~plus_mask]] = compiled.ev_tgt[~plus_mask]
+
+    for s in range(num_shards):
+        lo, hi = s * e_loc, min((s + 1) * e_loc, E)
+        n = hi - lo
+        if n <= 0:
+            continue
+        e_num[s, :n] = compiled.e_num[lo:hi]
+        e_den[s, :n] = compiled.e_den[lo:hi]
+        e_sig[s, :n] = compiled.e_sig[lo:hi]
+        loc_tgt = np.concatenate([tgt_adj[lo:hi], tgt_orig[lo:hi]])
+        loc_sign = np.concatenate([np.ones(n), -np.ones(n)])
+        loc_idx = np.concatenate([np.arange(n), np.arange(n)])
+        order = np.argsort(loc_tgt, kind="stable")
+        ev_idx[s, : 2 * n] = loc_idx[order]
+        ev_sign[s, : 2 * n] = loc_sign[order]
+        ev_tgt[s, : 2 * n] = loc_tgt[order]
+        # Padding rows keep sign 0 → contribute nothing.
+
+    return ShardedTables(
+        size_a=compiled.size_a,
+        cl_k=compiled.cl_k,
+        num_signatures=compiled.num_signatures,
+        state_size=compiled.state_size,
+        w_num=compiled.w_num,
+        w_den=compiled.w_den,
+        w_const=compiled.w_const,
+        pair_world=compiled.pair_world,
+        pair_sig=compiled.pair_sig,
+        e_num=e_num,
+        e_den=e_den,
+        e_sig=e_sig,
+        ev_idx=ev_idx,
+        ev_sign=ev_sign,
+        ev_tgt=ev_tgt,
+    )
+
+
+def _ratio_prod(pyr, num_idx, den_idx):
+    num = pyr[num_idx]
+    den = pyr[den_idx]
+    return jnp.prod(jnp.where(num > 0, num / jnp.maximum(num, den), 0.0),
+                    axis=-1)
+
+
+def make_sharded_dy_dt(compiled: CompiledProblem, mesh: jax.sharding.Mesh,
+                       dtype=jnp.float64):
+    """Builds ``p_batch -> dp/dt_batch`` over a ("batch", "ev") mesh.
+
+    ``p_batch`` has shape ``[B, A**k]`` with ``B`` divisible by the batch
+    axis size; event tables are sharded over the "ev" axis and partial
+    derivatives `psum`-reduced.
+    """
+    n_ev = mesh.shape["ev"]
+    st = shard_event_tables(compiled, n_ev)
+
+    repl = {
+        "w_num": jnp.asarray(st.w_num),
+        "w_den": jnp.asarray(st.w_den),
+        "w_const": jnp.asarray(st.w_const, dtype),
+        "pair_world": jnp.asarray(st.pair_world),
+        "pair_sig": jnp.asarray(st.pair_sig),
+    }
+    shrd = {
+        "e_num": jnp.asarray(st.e_num),
+        "e_den": jnp.asarray(st.e_den),
+        "e_sig": jnp.asarray(st.e_sig),
+        "ev_idx": jnp.asarray(st.ev_idx),
+        "ev_sign": jnp.asarray(st.ev_sign, dtype),
+        "ev_tgt": jnp.asarray(st.ev_tgt),
+    }
+
+    def one_p(p, repl, shrd):
+        pyr = pyramid(p.astype(dtype), st.size_a, st.cl_k)
+        w = repl["w_const"] * _ratio_prod(pyr, repl["w_num"], repl["w_den"])
+        s = jax.ops.segment_sum(
+            w[repl["pair_world"]], repl["pair_sig"],
+            num_segments=st.num_signatures,
+        )
+        v = s[shrd["e_sig"]] * _ratio_prod(pyr, shrd["e_num"], shrd["e_den"])
+        signed = v[shrd["ev_idx"]] * shrd["ev_sign"]
+        dy_part = jax.ops.segment_sum(
+            signed, shrd["ev_tgt"], num_segments=st.state_size,
+            indices_are_sorted=True,
+        )
+        return jax.lax.psum(dy_part, "ev")
+
+    def local_fn(p_local, repl, shrd):
+        # shard_map gives the local "ev" slice with a leading length-1 axis.
+        shrd = {k: v[0] for k, v in shrd.items()}
+        return jax.vmap(lambda p: one_p(p, repl, shrd))(p_local)
+
+    shrd_specs = {k: P("ev") for k in shrd}
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("batch"), P(), shrd_specs),
+        out_specs=P("batch"),
+    )
+    return jax.jit(lambda p_batch: fn(p_batch, repl, shrd))

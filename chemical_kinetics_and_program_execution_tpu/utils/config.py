@@ -44,4 +44,13 @@ def initialize() -> None:
     if _initialized:
         return
     enable_x64()
+    # Respect an explicit platform override. This works even where a
+    # site hook has already imported jax and pinned `JAX_PLATFORMS`
+    # (env-var changes are ignored after jax import; the config update
+    # is honored until backend initialisation).
+    platform = os.environ.get("CKPE_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     _initialized = True

@@ -1,0 +1,96 @@
+"""Shared plumbing for the example scripts.
+
+Gives every example the reference scripts' conveniences — idempotent .npz
+caching (`ex5_msrtf_machine.py:63-76` pattern), sequence-probability plot
+helpers (`ex4_chemical_turing.py:121-128`), figure styling — without
+repeating them per script. Examples run headless (Agg backend) and write
+PDFs next to themselves unless ``CKPE_EXAMPLES_OUT`` says otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import matplotlib
+
+matplotlib.use("Agg")
+matplotlib.rcParams.update({"font.size": 18})
+
+from matplotlib import pyplot  # noqa: E402
+
+from chemical_kinetics_and_program_execution_tpu import markov_tapes  # noqa: E402,F401
+
+OUT_DIR = os.environ.get(
+    "CKPE_EXAMPLES_OUT", os.path.dirname(os.path.abspath(__file__))
+)
+
+
+def out_path(name: str) -> str:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    return os.path.join(OUT_DIR, name)
+
+
+def cached(filename: str, compute, key: str = "ode_ys") -> np.ndarray:
+    """Idempotent .npz cache: recompute only if the file is absent."""
+    path = out_path(filename)
+    if os.access(path, os.R_OK):
+        return np.load(path)[key]
+    value = compute()
+    np.savez_compressed(path, **{key: value})
+    return value
+
+
+def new_fig(figsize=(16, 8), grid=True):
+    fig = pyplot.figure(figsize=figsize)
+    ax = fig.gca()
+    if grid:
+        ax.grid()
+    return fig, ax
+
+
+def log10(ys):
+    return np.log(1e-100 + np.asarray(ys)) / np.log(10)
+
+
+class SeqProbPlotter:
+    """Plots per-window sequence probabilities over an SPD trajectory and
+    prints the final value (the reference's de-facto regression output,
+    `ex4_chemical_turing.py:121-128`)."""
+
+    def __init__(self, ax, ode_ys, ts, size_a, cl_k, logy=True, logx=False):
+        self.ax = ax
+        self.ys = np.asarray(ode_ys)
+        self.ts = np.asarray(ts)
+        self.shape = [size_a] * cl_k
+        self.logy = logy
+        self.logx = logx
+
+    def seq_prob(self, seq):
+        return np.array([
+            markov_tapes.seq_prob(spd.reshape(self.shape), seq)[0]
+            for spd in self.ys
+        ])
+
+    def plot(self, seq, style, label, scale=1.0, **extra):
+        ys = self.seq_prob(seq) * scale
+        xs = self.ts[1:]
+        if self.logx:
+            xs = np.log(xs) / np.log(10)
+        self.ax.plot(xs, log10(ys[1:]) if self.logy else ys[1:],
+                     style, label=label, **extra)
+        print(f"{label}: p_final={ys[-1]}")
+        return ys
+
+
+def finish(fig, ax, filename, xlabel="time", ylabel=r"$\log_{10}(p)$"):
+    ax.set_ylabel(ylabel)
+    ax.set_xlabel(xlabel)
+    ax.legend(loc="best")
+    path = out_path(filename)
+    fig.savefig(path)
+    print(f"wrote {path}")

@@ -1,0 +1,73 @@
+"""MSRTF mini machine language (reference `examples/ex5_msrtf_machine.py`).
+
+Uniform p0 over M,S,R at cl_k=5 (3125-dim SPD), eigen-gate, solve to
+t=500 at 1e-13, linear-scale sequence-probability plot.
+"""
+
+import argparse
+
+import numpy as np
+
+import _common
+from _common import SeqProbPlotter, cached, finish, new_fig
+from chemical_kinetics_and_program_execution_tpu import markov_tapes
+from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+    msrtf_p0,
+)
+
+SIZE_A = 5
+
+
+def run(tag, filename_stem, t_max, backend="jax", cl_k=5,
+        print_window_extrema=False):
+    p0 = msrtf_p0(cl_k)
+    delta, _ = markov_tapes.get_ctm_eigenvalue1_eigenspace(p0)
+    if delta > 1e-10:
+        raise ValueError("Impossible p0.")
+
+    ode_ts = np.linspace(0, t_max, 4001)
+    ode_ys = cached(
+        f"{filename_stem}_k{cl_k}.npz",
+        lambda: markov_tapes.ode_integrate_ivp(
+            tag=tag, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
+            backend=backend,
+            ivp_kwargs=dict(rtol=1e-13, atol=1e-13, method="DOP853"),
+        ),
+    )
+    fig, ax = new_fig()
+    pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k, logy=False)
+    pl.plot([1, 4, 3, 0], "-k", "p(SFTM)")
+    pl.plot([1, 3, 0, 1], "-b", "p(STMS)")
+    pl.plot([0, 0, 0, 0], "-r", "p(MMMM)")
+    pl.plot([2, 2, 2, 2], "--r", "p(RRRR)")
+    pl.plot([0, 2, 0, 0], "-m", "p(MRMM)")
+    pl.plot([0, 1, 2, 3], "--m", "p(MSRT)")
+    for sym, style, name in ((0, ":k", "M"), (1, ":b", "S"), (2, ":c", "R"),
+                             (3, ":r", "T"), (4, ":m", "F")):
+        pl.plot([sym], style, f"p({name})/50", scale=1 / 50)
+    finish(fig, ax, f"{filename_stem}.pdf", ylabel="probability")
+
+    if print_window_extrema:
+        # Report the least/most likely length-4 windows at t_final
+        # (`ex5var1_msrtf_machine.py:101-106`, with the loop-shadowing
+        # quirk noted in SURVEY §7.4 fixed: report actual argmin/argmax).
+        marg4 = np.asarray(ode_ys[-1]).reshape([SIZE_A] * 5).sum(axis=-1)
+        flat = marg4.ravel()
+        for label, idx in (("argmin", int(flat.argmin())),
+                           ("argmax", int(flat.argmax()))):
+            window = np.unravel_index(idx, marg4.shape)
+            syms = "".join("MSRTF"[s] for s in window)
+            print(f"{label} length-4 window: {syms} p={flat[idx]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="jax", choices=["jax", "scipy"])
+    ap.add_argument("--cl-k", type=int, default=5)
+    args = ap.parse_args()
+    run("ex5-msrtf-machine", "ex5_msrtf", 500.0,
+        backend=args.backend, cl_k=args.cl_k)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Engine correctness: canary golden vector, compiled-vs-reference
+cross-validation, and probability conservation (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from chemical_kinetics_and_program_execution_tpu import (
+    compile_problem,
+    make_dy_dt,
+)
+from chemical_kinetics_and_program_execution_tpu import markov_tapes
+from chemical_kinetics_and_program_execution_tpu.engine.reference import (
+    dy_dt_reference,
+)
+
+# Small context lengths keep compile times in milliseconds; the engine
+# semantics are identical at every cl_k.
+CROSS_VALIDATION_CASES = [
+    ("ex1-radioactive-decay", 3),
+    ("ex1-radioactive-decay", 5),
+    ("ex2-ferromagnetic-chain", 3),
+    ("ex2-ferromagnetic-chain", 5),
+    ("ex3-copolymerization", 4),
+    ("ex3var1-copolymerization", 4),
+    ("ex3var2-copolymerization", 4),
+    ("ex4-chemical-turing", 3),
+    ("ex4var1-chemical-turing", 3),
+    ("ex4var2-chemical-turing", 3),
+    ("ex5-msrtf-machine", 3),
+    ("ex5var1-msrtf-machine", 3),
+    ("ex6-mini-bff-lite", 2),
+]
+
+
+def _random_spd(rng, size, concentrated=False):
+    p = rng.dirichlet(np.ones(size) * (0.2 if concentrated else 1.0))
+    return p
+
+
+def test_canary_golden_vector_exact():
+    """The single most valuable regression oracle in the reference
+    (`markov_tapes.py:357-365`): must match EXACTLY, not approximately."""
+    markov_tapes._run_validation()
+
+
+@pytest.mark.parametrize("tag,cl_k", CROSS_VALIDATION_CASES)
+def test_compiled_matches_reference(tag, cl_k):
+    compiled = compile_problem(tag, cl_k, use_cache=False)
+    fn = make_dy_dt(compiled)
+    rng = np.random.RandomState(hash(tag) % 2**31)
+    for concentrated in (False, True):
+        p = _random_spd(rng, compiled.state_size, concentrated)
+        got = np.asarray(fn(p))
+        want = dy_dt_reference(tag, cl_k, p)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("tag,cl_k", CROSS_VALIDATION_CASES[:8])
+def test_probability_conservation(tag, cl_k):
+    """Each dy/dt must sum to zero — guaranteed by the ± pairing in the
+    accumulator (`tape_multiverse.scm:1285-1291`)."""
+    compiled = compile_problem(tag, cl_k, use_cache=False)
+    fn = make_dy_dt(compiled)
+    rng = np.random.RandomState(42)
+    p = _random_spd(rng, compiled.state_size)
+    assert abs(float(np.asarray(fn(p)).sum())) < 1e-13
+
+
+def test_engine_handles_invalid_probabilities():
+    """ODE interpolation can transiently feed negative/unnormalised p
+    (`tape_multiverse.scm:524-554`); the noise guards must keep the result
+    finite and matching the reference semantics."""
+    compiled = compile_problem("ex2-ferromagnetic-chain", 4, use_cache=False)
+    fn = make_dy_dt(compiled)
+    rng = np.random.RandomState(3)
+    p = rng.dirichlet(np.ones(compiled.state_size))
+    p[0] = -1e-13  # slightly invalid, as interpolants produce
+    got = np.asarray(fn(p))
+    want = dy_dt_reference("ex2-ferromagnetic-chain", 4, p)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_batched_rhs_matches_single():
+    from chemical_kinetics_and_program_execution_tpu import make_batched_dy_dt
+
+    compiled = compile_problem("ex2-ferromagnetic-chain", 4, use_cache=False)
+    single = make_dy_dt(compiled)
+    batched = make_batched_dy_dt(compiled)
+    rng = np.random.RandomState(4)
+    batch = np.stack([rng.dirichlet(np.ones(16)) for _ in range(5)])
+    got = np.asarray(batched(batch))
+    want = np.stack([np.asarray(single(p)) for p in batch])
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=0)
+
+
+def test_compile_cache_roundtrip(tmp_path, monkeypatch):
+    from chemical_kinetics_and_program_execution_tpu.engine import compile as cmod
+    from chemical_kinetics_and_program_execution_tpu.utils import config
+
+    monkeypatch.setattr(config, "CACHE_DIR", str(tmp_path))
+    a = cmod.compile_problem("ex1-radioactive-decay", 4, use_cache=True)
+    b = cmod.compile_problem("ex1-radioactive-decay", 4, use_cache=True)
+    for name in cmod._ARRAY_FIELDS:
+        np.testing.assert_array_equal(getattr(a, name), getattr(b, name))
+
+
+def test_get_dy_dt_validates_sizes():
+    with pytest.raises(ValueError, match="alphabet size"):
+        markov_tapes.get_dy_dt(tag="ex1-radioactive-decay", size_a=3, cl_k=3)
+    fn = markov_tapes.get_dy_dt(tag="ex1-radioactive-decay", size_a=2, cl_k=3)
+    with pytest.raises(ValueError, match="should have size"):
+        fn(np.zeros(7), 0.0)

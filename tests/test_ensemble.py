@@ -1,0 +1,127 @@
+"""Ensemble-mode tests: transition tables and lockstep tape stepping."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+
+@pytest.mark.parametrize("tag", [
+    "ex1-radioactive-decay",
+    "ex2-ferromagnetic-chain",
+    "ex3-copolymerization",
+    "ex5-msrtf-machine",
+])
+def test_transition_table_rows_are_distributions(tag):
+    t = ensemble.compile_transition_table(tag)
+    # Built-in validation raises if outcome probabilities don't sum to 1;
+    # additionally the cumulative rows must be monotone and end exactly
+    # at 1.
+    assert (np.diff(t.out_cum, axis=1) >= -1e-15).all()
+    np.testing.assert_array_equal(t.out_cum[:, -1], 1.0)
+    assert t.out_world.max() < len(t.wr_mask)
+
+
+def test_decay_table_semantics():
+    t = ensemble.compile_transition_table("ex1-radioactive-decay")
+    # Single data cell read; deterministic outcome per content.
+    assert (t.d_lo, t.d_hi) == (0, 0)
+    assert t.out_cum.shape[1] == 1
+    # Rows where the data cell is B (=1) write A (=0); A-rows are inert.
+    n_p = t.n_p
+    for row in range(t.num_rows):
+        digits = np.base_repr(row, 2).zfill(t.n_cells)
+        d_val = int(digits[n_p])
+        spec = t.out_world[row, 0]
+        if d_val == 1:
+            assert t.wr_mask[spec, n_p] and t.wr_val[spec, n_p] == 0
+        else:
+            assert not t.wr_mask[spec].any()
+
+
+def test_serial_ensemble_matches_exponential_decay():
+    t = ensemble.compile_transition_table("ex1-radioactive-decay")
+    dt = ensemble.device_table(t)
+    B, L = 64, 256
+    tapes = (jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32))
+    (_, dtape), (applied, times) = ensemble.run_ensemble(
+        jax.random.PRNGKey(0), tapes, dt, (512, 1)
+    )
+    t_eff = float(np.asarray(times)[-1])
+    p_b = float(np.asarray(dtape).mean())
+    assert abs(p_b - np.exp(-t_eff)) < 4 * np.sqrt(
+        np.exp(-t_eff) / (B * L)
+    )
+
+
+def test_parallel_rounds_match_low_density_decay():
+    t = ensemble.compile_transition_table("ex1-radioactive-decay")
+    dt = ensemble.device_table(t)
+    B, L = 32, 2048
+    tapes = (jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32))
+    (_, dtape), (applied, times) = ensemble.run_ensemble(
+        jax.random.PRNGKey(1), tapes, dt, (40, 64)  # ~3% density
+    )
+    t_eff = float(np.asarray(times)[-1])
+    p_b = float(np.asarray(dtape).mean())
+    expect = np.exp(-t_eff)
+    assert abs(p_b - expect) < 0.05 * expect + 4 * np.sqrt(
+        expect / (B * L)
+    )
+
+
+def test_ensemble_ferromagnet_approaches_spd_dynamics():
+    """Cross-engine check: the tape ensemble's window statistics follow
+    the exact SPD ODE (loosely, at MC resolution)."""
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
+
+    cl_k = 3
+    p0 = ferromagnet_p0(cl_k, p_pair=0.05, corrected=True).ravel()
+
+    table = ensemble.compile_transition_table("ex2-ferromagnetic-chain")
+    dtab = ensemble.device_table(table)
+    B, L = 64, 2048
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(2), p0, 2, cl_k, B, L
+    )
+    ptape = jnp.zeros((B, L), jnp.int32)
+    p_emp0 = np.asarray(ensemble.window_counts(dtape, 2, cl_k))
+    np.testing.assert_allclose(p_emp0, p0, atol=0.02)
+
+    (_, dtape), (_, times) = ensemble.run_ensemble(
+        jax.random.PRNGKey(3), (ptape, dtape), dtab, (30, 64)
+    )
+    t_eff = float(np.asarray(times)[-1])
+    p_emp = np.asarray(ensemble.window_counts(dtape, 2, cl_k))
+
+    compiled = compile_problem("ex2-ferromagnetic-chain", cl_k)
+    fn = make_dy_dt(compiled)
+    ys = solve(lambda y, t: fn(y), p0, np.linspace(0, t_eff, 5),
+               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(p_emp, ys[-1], atol=0.02)
+
+
+def test_window_counts_simple():
+    tape = jnp.asarray([[0, 1, 0, 1]])
+    counts = np.asarray(ensemble.window_counts(tape, 2, 2))
+    np.testing.assert_allclose(counts, [0, 0.5, 0.5, 0])
+
+
+def test_sample_tapes_from_spd_statistics():
+    q = np.array([0.8, 0.2])
+    spd = np.einsum("i,j->ij", q, q).ravel()
+    tapes = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(4), spd, 2, 2, 16, 4096
+    )
+    counts = np.asarray(ensemble.window_counts(tapes, 2, 2))
+    np.testing.assert_allclose(counts, spd, atol=0.01)

@@ -1,0 +1,98 @@
+"""ODE solver tests: closed forms, scipy parity, end-to-end decay."""
+
+import numpy as np
+import pytest
+
+from chemical_kinetics_and_program_execution_tpu import markov_tapes
+from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
+
+
+def test_dopri5_exponential_decay():
+    import jax.numpy as jnp
+
+    ts = np.linspace(0.0, 5.0, 51)
+    ys = solve(lambda y, t: -y, jnp.array([1.0, 2.0]), ts,
+               rtol=1e-10, atol=1e-12)
+    want = np.exp(-ts)[:, None] * np.array([1.0, 2.0])
+    np.testing.assert_allclose(ys, want, rtol=1e-8, atol=1e-10)
+
+
+def test_dopri5_harmonic_oscillator():
+    import jax.numpy as jnp
+
+    def rhs(y, t):
+        return jnp.stack([y[1], -y[0]])
+
+    ts = np.linspace(0.0, 10.0, 101)
+    ys = solve(rhs, jnp.array([1.0, 0.0]), ts, rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(ys[:, 0], np.cos(ts), atol=1e-8)
+    np.testing.assert_allclose(ys[:, 1], -np.sin(ts), atol=1e-8)
+
+
+def test_dopri5_nonautonomous():
+    ts = np.linspace(0.0, 2.0, 21)
+    ys = solve(lambda y, t: 2 * t * y, np.array([1.0]), ts,
+               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ys[:, 0], np.exp(ts**2), rtol=1e-7)
+
+
+def test_dop853_tight_tolerance_oscillator():
+    """DOP853 at 1e-13 (the reference's ex4/ex5 setting) over many
+    periods: phase error must stay at the 1e-10 level."""
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.ode.dop853 import (
+        odeint_dop853,
+    )
+
+    def rhs(y, t):
+        return jnp.stack([y[1], -y[0]])
+
+    ts = np.linspace(0.0, 20.0, 41)
+    ys, info = odeint_dop853(rhs, jnp.array([1.0, 0.0]), ts,
+                             (1e-13, 1e-13))
+    assert bool(info["completed"])
+    np.testing.assert_allclose(ys[:, 0], np.cos(ts), atol=5e-11)
+    # 8th order: far fewer steps than dopri5 at the same tolerance.
+    from chemical_kinetics_and_program_execution_tpu.ode.dopri5 import (
+        odeint_dopri5,
+    )
+
+    _, info5 = odeint_dopri5(rhs, jnp.array([1.0, 0.0]), ts,
+                             (1e-13, 1e-13))
+    assert int(info["num_accepted"]) < int(info5["num_accepted"]) / 3
+
+
+def test_solve_method_routing():
+    ts = np.linspace(0.0, 1.0, 5)
+    for method in (None, "dopri5", "dop853", "DOP853"):
+        ys = solve(lambda y, t: -y, np.array([1.0]), ts, rtol=1e-12,
+                   atol=1e-12, method=method)
+        np.testing.assert_allclose(ys[:, 0], np.exp(-ts), rtol=1e-9)
+
+
+def test_radioactive_decay_end_to_end_backends_agree():
+    """ex1 at uniform p0: p(B) decays exponentially; the jax and scipy
+    solver backends must agree on the full SPD trajectory."""
+    p0 = np.full(8, 0.125)
+    ts = np.linspace(0.0, 3.0, 31)
+    kwargs = dict(tag="ex1-radioactive-decay", size_a=2, cl_k=3,
+                  p0=p0, ts=ts)
+    ys_scipy = markov_tapes.ode_integrate(
+        odeint_kwargs=dict(rtol=1e-10, atol=1e-12), **kwargs)
+    ys_jax = markov_tapes.ode_integrate(
+        odeint_kwargs=dict(rtol=1e-10, atol=1e-12), backend="jax", **kwargs)
+    np.testing.assert_allclose(ys_jax, ys_scipy, rtol=1e-6, atol=1e-9)
+    # p(B at a site) = marginal of windows with middle symbol B; for the
+    # decay rule it follows exp(-t) exactly.
+    from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
+
+    p_b = np.array([seq_prob(y.reshape(2, 2, 2), (1,))[0] for y in ys_jax])
+    np.testing.assert_allclose(p_b, 0.5 * np.exp(-ts), rtol=1e-6)
+
+
+def test_ode_integrate_validates_p0():
+    with pytest.raises(ValueError, match="not a subsequence probability"):
+        markov_tapes.ode_integrate(
+            tag="ex1-radioactive-decay", size_a=2, cl_k=3,
+            p0=np.full(8, 0.25), ts=np.linspace(0, 1, 3))
