@@ -31,7 +31,7 @@ import numpy as np
 
 from ..markov import pyramid_offsets
 from ..utils import config
-from . import accumulate, dsl, enumerate as enum_mod
+from . import accumulate, dsl, enumerate as enum_mod, native
 
 _FORMAT_VERSION = 3
 
@@ -85,6 +85,16 @@ class CompiledProblem:
             f"(chains: worlds≤{self.w_num.shape[1]}, "
             f"events≤{self.e_num.shape[1]})"
         )
+
+
+def _stable_argsort_i32(values: np.ndarray) -> np.ndarray:
+    """Stable argsort of window ranks.
+
+    Ranks fit in int32 (state sizes ≤ ~1e7); numpy's stable kind uses a
+    radix sort on integer keys, and halving the key width roughly halves
+    the passes over the 10^7-element scatter arrays.
+    """
+    return np.argsort(values.astype(np.int32), kind="stable")
 
 
 def _pad_chains(chains, one_slot, dtype=np.int32):
@@ -143,19 +153,26 @@ def _compile(problem: dsl.Problem, cl_k: int,
     w_num, w_den = _pad_chains([w.factors for w in live], one_slot)
     w_const = np.array([w.const for w in live], dtype=np.float64)
 
-    expander = accumulate.Expander(size_a, cl_k)
-    e_chains: list[tuple[tuple[int, int], ...]] = []
-    e_sig: list[int] = []
-    tgt_orig: list[int] = []
-    tgt_adj: list[int] = []
-    for sig, sid in sig_ids.items():
-        for event in expander.expand(*sig):
-            e_chains.append(event.factors)
-            e_sig.append(sid)
-            tgt_orig.append(event.target_orig)
-            tgt_adj.append(event.target_adj)
-
-    e_num, e_den = _pad_chains(e_chains, one_slot)
+    # Window-sweep expansion: native C++ when available (the hot phase —
+    # big problems expand to 10^7+ events), bit-identical Python fallback.
+    expanded = native.expand_signatures(
+        size_a, cl_k, np.array(list(sig_ids), dtype=np.int64), one_slot
+    )
+    if expanded is not None:
+        e_num, e_den, e_sig, tgt_orig, tgt_adj = expanded
+    else:
+        expander = accumulate.Expander(size_a, cl_k)
+        e_chains: list[tuple[tuple[int, int], ...]] = []
+        e_sig = []
+        tgt_orig = []
+        tgt_adj = []
+        for sig, sid in sig_ids.items():
+            for event in expander.expand(*sig):
+                e_chains.append(event.factors)
+                e_sig.append(sid)
+                tgt_orig.append(event.target_orig)
+                tgt_adj.append(event.target_adj)
+        e_num, e_den = _pad_chains(e_chains, one_slot)
     num_events = len(e_sig)
 
     # Pre-sorted signed scatter: contribution +v[e] at the adjusted rank,
@@ -168,7 +185,7 @@ def _compile(problem: dsl.Problem, cl_k: int,
     all_sign = np.concatenate(
         [np.ones(num_events), -np.ones(num_events)]
     )
-    order = np.argsort(all_tgt, kind="stable")
+    order = _stable_argsort_i32(all_tgt)
 
     if config.IS_DEBUG:
         print(f"[ckpe] compiled {problem.tag} cl_k={cl_k}: "
@@ -230,11 +247,16 @@ def _store_cache(path: str, compiled: CompiledProblem) -> None:
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        np.savez_compressed(
+        arrays = {name: getattr(compiled, name) for name in _ARRAY_FIELDS}
+        total_bytes = sum(a.nbytes for a in arrays.values())
+        # zlib on the 10^8-byte tables costs a minute for disk savings we
+        # don't need; compress only small tables.
+        save = np.savez_compressed if total_bytes < 1 << 26 else np.savez
+        save(
             tmp,
             pyramid_size=compiled.pyramid_size,
             num_signatures=compiled.num_signatures,
-            **{name: getattr(compiled, name) for name in _ARRAY_FIELDS},
+            **arrays,
         )
         os.replace(tmp + ".npz", path)
     except OSError:

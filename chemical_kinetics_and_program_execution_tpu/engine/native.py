@@ -1,0 +1,116 @@
+"""ctypes bindings for the native compile-phase helpers.
+
+The reference's native surface is its compiled Scheme+C engine
+(`framework/MAKE.sh` building `tapes_py_interface.so`, loaded via ctypes
+at `markov_tapes.py:40-56`). Here the hot compile phase — the
+window-sweep expansion that produces 10^7+ accumulation events for the
+big problems — is a small C++ library (`native/expander.cc`) with the
+same loading pattern: built on demand with `make`, loaded with ctypes,
+and entirely optional (the pure-Python expander in `accumulate.py` is
+the fallback and the correctness oracle; both produce bit-identical
+event tables).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..utils import config
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libckpe_expander.so")
+
+_lib = None
+_load_failed = False
+
+
+def _load():
+    """Loads (building if necessary) the native library, or returns None."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if os.environ.get("CKPE_NO_NATIVE"):
+        _load_failed = True
+        return None
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ckpe_expand.restype = ctypes.c_void_p
+        lib.ckpe_expand.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ckpe_num_events.restype = ctypes.c_int64
+        lib.ckpe_num_events.argtypes = [ctypes.c_void_p]
+        lib.ckpe_max_chain.restype = ctypes.c_int64
+        lib.ckpe_max_chain.argtypes = [ctypes.c_void_p]
+        lib.ckpe_fill.restype = None
+        lib.ckpe_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ckpe_free.restype = None
+        lib.ckpe_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as e:  # missing toolchain, sandbox, etc.
+        if config.IS_DEBUG:
+            print(f"[ckpe] native expander unavailable ({e}); "
+                  f"using the Python expander")
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def expand_signatures(size_a: int, cl_k: int, sigs: np.ndarray,
+                      one_slot: int):
+    """Expands signatures [K, 3] into padded event tables, or None.
+
+    Returns (e_num [E, Le] int32, e_den [E, Le] int32, e_sig [E] int32,
+    tgt_orig [E] int64, tgt_adj [E] int64), with factor chains padded by
+    ``one_slot`` — identical layout and ordering to the Python expander
+    path in `compile.py`.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    sigs = np.ascontiguousarray(np.asarray(sigs, dtype=np.int64))
+    handle = lib.ckpe_expand(
+        size_a, cl_k, len(sigs),
+        sigs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    try:
+        n = lib.ckpe_num_events(handle)
+        le = max(int(lib.ckpe_max_chain(handle)), 1)
+        e_num = np.full((n, le), one_slot, dtype=np.int32)
+        e_den = np.full((n, le), one_slot, dtype=np.int32)
+        e_sig = np.empty(n, dtype=np.int32)
+        tgt_orig = np.empty(n, dtype=np.int64)
+        tgt_adj = np.empty(n, dtype=np.int64)
+        lib.ckpe_fill(
+            handle, le,
+            e_num.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            e_den.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            e_sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tgt_orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tgt_adj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    finally:
+        lib.ckpe_free(handle)
+    return e_num, e_den, e_sig, tgt_orig, tgt_adj
