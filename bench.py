@@ -31,13 +31,15 @@ def bench_ensemble():
     from chemical_kinetics_and_program_execution_tpu.engine import ensemble
 
     table = ensemble.compile_transition_table("ex5-msrtf-machine")
-    dt = ensemble.device_table(table)
+    # float32 outcome-sampling: avoids f64 emulation on TPU; resolution
+    # loss only matters for outcome probabilities below ~1e-7.
+    dt = ensemble.device_table(table, dtype=jnp.float32)
 
     # ~16.8M tape sites per batch; events at ~3% density per round.
     B = int(os.environ.get("CKPE_BENCH_B", "4096"))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
     steps = int(os.environ.get("CKPE_BENCH_STEPS", "10"))
-    events = max(1, L // 32)
+    events = max(1, L // 16)
 
     key = jax.random.PRNGKey(0)
     ptape = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)

@@ -216,11 +216,13 @@ def compile_transition_table(tag: str, *, max_rows: int = 5_000_000,
     jax.tree_util.register_dataclass,
     data_fields=("p_offs", "d_offs", "pv", "out_cum", "out_world",
                  "wr_mask", "wr_val"),
-    meta_fields=("size_a", "span"),
+    meta_fields=("size_a", "span", "p_lo", "d_lo"),
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceTable:
     size_a: int
+    p_lo: int
+    d_lo: int
     p_offs: jax.Array  # [n_p] window offsets
     d_offs: jax.Array  # [n_d]
     pv: jax.Array  # [n_cells] radix place values (int32)
@@ -231,15 +233,24 @@ class DeviceTable:
     span: int
 
 
-def device_table(table: TransitionTable) -> DeviceTable:
+def device_table(table: TransitionTable, dtype=None) -> DeviceTable:
+    """Moves a transition table to device.
+
+    ``dtype`` sets the cumulative-probability precision (default
+    float64). float32 halves the lookup bandwidth and avoids f64
+    emulation on TPU; outcome probabilities below ~1e-7 then lose
+    resolution, which is fine for throughput runs and MC statistics.
+    """
     n_cells = table.n_cells
     pv = table.size_a ** np.arange(n_cells - 1, -1, -1)
     return DeviceTable(
         size_a=table.size_a,
+        p_lo=table.p_lo,
+        d_lo=table.d_lo,
         p_offs=jnp.arange(table.p_lo, table.p_hi + 1, dtype=jnp.int32),
         d_offs=jnp.arange(table.d_lo, table.d_hi + 1, dtype=jnp.int32),
         pv=jnp.asarray(pv, dtype=jnp.int32),
-        out_cum=jnp.asarray(table.out_cum),
+        out_cum=jnp.asarray(table.out_cum, dtype=dtype),
         out_world=jnp.asarray(table.out_world),
         wr_mask=jnp.asarray(table.wr_mask),
         wr_val=jnp.asarray(table.wr_val, dtype=jnp.int32),
@@ -254,6 +265,11 @@ def _apply_events(dt: DeviceTable, ptape, dtape, sites, uniforms):
     are dropped (the sequential-order hazard, same policy as the
     Metropolis kernel in `models/ferromagnet.py`); with sites ≪ tape
     length the drop rate is negligible and unbiased.
+
+    This is the scatter/gather formulation — exact for arbitrary site
+    sets, but XLA lowers the tape scatters serially on TPU; the hot path
+    is `_apply_lattice_round` below. Kept for the serial-semantics mode
+    (1 event per round) and as the cross-check for the lattice kernel.
     """
     n = ptape.shape[0]
     cells_p = ptape[(sites[:, None] + dt.p_offs) % n]
@@ -284,52 +300,228 @@ def _apply_events(dt: DeviceTable, ptape, dtape, sites, uniforms):
     return ptape, dtape, transitions
 
 
+def _roll_cols(x, shift):
+    """Circular left-shift of every row by a common (traced) shift.
+
+    Lowered as dense slices — never a gather. One shared shift per
+    round keeps the data movement at memcpy bandwidth; per-replica
+    shifts would turn the roll into a 16M-element gather (measured 50x
+    slower on TPU).
+    """
+    L = x.shape[1]
+    shift = shift % L
+    doubled = jnp.concatenate([x, x], axis=1)
+    return jax.lax.dynamic_slice_in_dim(doubled, shift, L, axis=1)
+
+
+def _apply_lattice_round(dt: DeviceTable, ptape, dtape, shift, uniforms):
+    """One stratified round on the whole batch, with dense tape access.
+
+    Sites form a randomly shifted lattice: ``site_e = r + e * stride``
+    (one site per stride block, common shift r per round, shared by the
+    whole batch). Rolling the tape by ``-(r + lo)`` and reshaping to
+    [E, stride] puts every event's read/write window at STATIC columns
+    of its own row — reads are a contiguous block slice, writes a
+    static block update. No gathers or scatters touch the tape, which
+    is what makes this the TPU hot path (XLA lowers tape scatters
+    serially; dense rolls and reshapes are full-bandwidth vector ops).
+
+    Within a round sites are ≥ stride apart (> 2·span enforced by the
+    caller), so no event can see another's writes — identical semantics
+    to serialized application, with zero conflict drops. Site marginals
+    stay uniform because r is uniform per round; only same-site repeat
+    firings within one round are unrepresented, as with the scatter
+    formulation (see `run_ensemble` time accounting). Sites in one
+    stride-residue class fire together (and, with the shared shift,
+    across replicas too), so fluctuation statistics have an effective
+    sample count of ~stride classes per round rather than B·L sites;
+    contents and outcome draws remain fully independent.
+
+    Args:
+      ptape, dtape: [B, L] int32.
+      shift: scalar int32 round shift r.
+      uniforms: [B, E] outcome-sampling uniforms.
+    Returns updated (ptape, dtape).
+    """
+    B, L = ptape.shape
+    E = uniforms.shape[1]
+    stride = L // E
+    n_p = dt.p_offs.shape[0]
+    n_d = dt.d_offs.shape[0]
+    p_lo = dt.p_lo
+    d_lo = dt.d_lo
+
+    # Roll so that window cell `lo` of every lattice site lands at
+    # column 0 of its block.
+    rp = _roll_cols(ptape, shift + p_lo).reshape(B, E, stride)
+    rd = _roll_cols(dtape, shift + d_lo).reshape(B, E, stride)
+    cells_p = rp[:, :, :n_p]
+    cells_d = rd[:, :, :n_d]
+    cells = jnp.concatenate([cells_p, cells_d], axis=-1)  # [B, E, n]
+    rows = (cells * dt.pv).sum(axis=-1)
+
+    cum = dt.out_cum[rows]  # [B, E, M]
+    k = (uniforms[..., None] > cum).sum(axis=-1)
+    k = jnp.minimum(k, cum.shape[-1] - 1)
+    spec = dt.out_world[rows, k]
+    mask = dt.wr_mask[spec]  # [B, E, n]
+    vals = dt.wr_val[spec]
+
+    new_p = jnp.where(mask[..., :n_p], vals[..., :n_p], cells_p)
+    new_d = jnp.where(mask[..., n_p:], vals[..., n_p:], cells_d)
+    rp = rp.at[:, :, :n_p].set(new_p)
+    rd = rd.at[:, :, :n_d].set(new_d)
+    ptape = _roll_cols(rp.reshape(B, L), -(shift + p_lo))
+    dtape = _roll_cols(rd.reshape(B, L), -(shift + d_lo))
+    return ptape, dtape
+
+
 @partial(jax.jit, static_argnums=(3,))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
-    """Advances a batch of tape pairs.
+    """Advances a batch of tape pairs with stratified lattice rounds.
+
+    Each round fires the rule at E sites per replica arranged as a
+    randomly shifted lattice (`_apply_lattice_round`): dense tape
+    access, no conflicts, every event applies.
 
     Time semantics: the exact engine's rule fires as a rate-1 Poisson
-    process per site. One round applies at most one event per (separated)
-    site, so a round with ``a`` applied events out of ``L`` sites
-    corresponds to a Poisson window of length ``dt = -ln(1 - a/L)``
-    (the window in which the expected number of distinct fired sites is
-    ``a``). Same-site repeat firings *within* one round are not
-    represented — an O(dt²) effect per round; keep events_per_step ≲ 5%
-    of the tape length where that matters.
+    process per site. A round applies one event at each of E distinct
+    sites, which corresponds to a Poisson window of length
+    ``dt = -ln(1 - E/L)`` (the window in which the expected number of
+    distinct fired sites is E). Same-site repeat firings *within* one
+    round are not represented — an O(dt²) effect per round; keep
+    events_per_step ≲ 5% of the tape length where that matters.
 
     Args:
       key: PRNG key.
       tapes: (ptape [B, L] int32, dtape [B, L] int32).
       dtable: compiled device table (pytree).
       steps_events: (num_steps, events_per_step), static.
+        events_per_step must divide L with L/E > 2·window span.
 
     Returns:
       ((ptape, dtape), (applied [num_steps] summed over replicas,
-      time [num_steps] cumulative, averaged over replicas)).
+      time [num_steps] cumulative)).
     """
     num_steps, events = steps_events
     ptape, dtape = tapes
     B, L = ptape.shape
+    if L % events:
+        raise ValueError(f"events_per_step={events} must divide L={L}")
+    if L // events <= 2 * dtable.span:
+        raise ValueError(
+            f"stride {L // events} too small for window span "
+            f"{dtable.span}; lower events_per_step"
+        )
 
-    def one_replica(key, pt, dti):
-        def step(carry, k):
-            pt, dti = carry
-            k1, k2 = jax.random.split(k)
-            sites = jax.random.randint(k1, (events,), 0, L)
-            uniforms = jax.random.uniform(k2, (events,),
-                                          dtype=jnp.float64)
-            pt, dti, n_applied = _apply_events(
-                dtable, pt, dti, sites, uniforms)
-            dt = -jnp.log1p(-n_applied / L)
-            return (pt, dti), (n_applied, dt)
+    def step(carry, k):
+        pt, dti = carry
+        k1, k2 = jax.random.split(k)
+        shift = jax.random.randint(k1, (), 0, L, dtype=jnp.int32)
+        uniforms = jax.random.uniform(
+            k2, (B, events), dtype=dtable.out_cum.dtype
+        )
+        pt, dti = _apply_lattice_round(dtable, pt, dti, shift, uniforms)
+        return (pt, dti), None
 
-        keys = jax.random.split(key, num_steps)
-        (pt, dti), (n_applied, dts) = jax.lax.scan(step, (pt, dti), keys)
-        return pt, dti, n_applied, jnp.cumsum(dts)
+    keys = jax.random.split(key, num_steps)
+    (ptape, dtape), _ = jax.lax.scan(step, (ptape, dtape), keys)
+    applied = jnp.full((num_steps,), B * events, jnp.int64)
+    dt_round = -jnp.log1p(-events / L)
+    times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
+    return (ptape, dtape), (applied, times)
 
-    keys = jax.random.split(key, B)
-    pt, dti, n_applied, times = jax.vmap(one_replica)(keys, ptape, dtape)
-    return (pt, dti), (n_applied.sum(axis=0), times.mean(axis=0))
+
+@partial(jax.jit, static_argnums=(4, 5))
+def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
+                          num_steps: int, top_k: int):
+    """Weighted-frontier mode with top-k pruning (BASELINE config 5).
+
+    Tracks K weighted tape configurations as an explicit frontier over
+    the reaction multiverse: each step fires the rule at one random site
+    of every configuration, *branches* into all table outcomes (instead
+    of sampling one), and keeps the top-k children by weight globally.
+    A beam-search-style approximation of the full distribution evolution
+    — the exact SPD engine (`rhs.py`) is the unpruned reference.
+
+    Candidate weights are ranked *before* materialising child tapes, so
+    the working set stays at K tapes (children = gather parent + masked
+    write), never K×M.
+
+    Args:
+      key: PRNG key.
+      tapes: (ptape [K, L] int32, dtape [K, L] int32) initial frontier.
+      logw: [K] float64 log-weights (normalised or not).
+      dtable: compiled device table.
+      num_steps: static; each step advances time by 1/L.
+      top_k: static; must equal K (the frontier width is fixed).
+
+    Returns:
+      ((ptape, dtape), logw) after num_steps; logw is renormalised by
+      logsumexp each step, so exp(logw) sums to 1.
+    """
+    ptape, dtape = tapes
+    K, L = ptape.shape
+    M = dtable.out_cum.shape[1]
+    n_p = dtable.p_offs.shape[0]
+
+    def step(carry, k):
+        pt, dti, lw = carry
+        sites = jax.random.randint(k, (K,), 0, L)
+        idx_p = (sites[:, None] + dt_offs_p) % L
+        idx_d = (sites[:, None] + dt_offs_d) % L
+        cells_p = jnp.take_along_axis(pt, idx_p, axis=1)
+        cells_d = jnp.take_along_axis(dti, idx_d, axis=1)
+        cells = jnp.concatenate([cells_p, cells_d], axis=1)
+        rows = (cells * dtable.pv).sum(axis=1)
+
+        cum = dtable.out_cum[rows]  # [K, M]
+        probs = jnp.diff(cum, axis=1, prepend=0.0)
+        child_lw = lw[:, None] + jnp.log(jnp.maximum(probs, 1e-300))
+        child_lw = jnp.where(probs > 0, child_lw, -jnp.inf)
+
+        top_lw, top_idx = jax.lax.top_k(child_lw.reshape(-1), top_k)
+        parent = top_idx // M
+        slot = top_idx % M
+
+        spec = dtable.out_world[rows[parent], slot]
+        mask = dtable.wr_mask[spec]
+        vals = dtable.wr_val[spec]
+        par_p = pt[parent]
+        par_d = dti[parent]
+        new_cells_p = jnp.where(mask[:, :n_p], vals[:, :n_p],
+                                cells_p[parent])
+        new_cells_d = jnp.where(mask[:, n_p:], vals[:, n_p:],
+                                cells_d[parent])
+        pt = jax.vmap(lambda row, idx, vals_: row.at[idx].set(vals_))(
+            par_p, idx_p[parent], new_cells_p)
+        dti = jax.vmap(lambda row, idx, vals_: row.at[idx].set(vals_))(
+            par_d, idx_d[parent], new_cells_d)
+
+        lw = top_lw - jax.scipy.special.logsumexp(top_lw)
+        return (pt, dti, lw), None
+
+    dt_offs_p = dtable.p_offs
+    dt_offs_d = dtable.d_offs
+    keys = jax.random.split(key, num_steps)
+    (ptape, dtape, logw), _ = jax.lax.scan(
+        step, (ptape, dtape, logw), keys)
+    return (ptape, dtape), logw
+
+
+def weighted_window_counts(tape, weights, size_a: int, cl_k: int):
+    """Weighted empirical SPD from a frontier: Σ_b w_b · counts_b / L."""
+    tape = jnp.asarray(tape)
+    B, L = tape.shape
+    rank = jnp.zeros((B, L), jnp.int32)
+    for j in range(cl_k):
+        rank = rank * size_a + jnp.roll(tape, -j, axis=1)
+    per = jax.vmap(
+        lambda r: jnp.zeros(size_a**cl_k, jnp.float64).at[r].add(1.0)
+    )(rank)
+    w = jnp.asarray(weights)
+    w = w / w.sum()
+    return (per * w[:, None]).sum(axis=0) / L
 
 
 def window_counts(tape, size_a: int, cl_k: int):

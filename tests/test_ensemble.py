@@ -60,17 +60,19 @@ def test_serial_ensemble_matches_exponential_decay():
 def test_parallel_rounds_match_low_density_decay():
     t = ensemble.compile_transition_table("ex1-radioactive-decay")
     dt = ensemble.device_table(t)
-    B, L = 32, 2048
+    B, L, E = 32, 2048, 64
     tapes = (jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32))
     (_, dtape), (applied, times) = ensemble.run_ensemble(
-        jax.random.PRNGKey(1), tapes, dt, (40, 64)  # ~3% density
+        jax.random.PRNGKey(1), tapes, dt, (40, E)  # ~3% density
     )
     t_eff = float(np.asarray(times)[-1])
     p_b = float(np.asarray(dtape).mean())
     expect = np.exp(-t_eff)
-    assert abs(p_b - expect) < 0.05 * expect + 4 * np.sqrt(
-        expect / (B * L)
-    )
+    # Lattice rounds fire whole residue classes together, so the
+    # effective sample count is B * stride (independent classes), not
+    # B * L sites.
+    sigma = np.sqrt(expect * (1 - expect) / (B * (L // E)))
+    assert abs(p_b - expect) < 0.05 * expect + 5 * sigma
 
 
 def test_ensemble_ferromagnet_approaches_spd_dynamics():
@@ -109,6 +111,48 @@ def test_ensemble_ferromagnet_approaches_spd_dynamics():
     ys = solve(lambda y, t: fn(y), p0, np.linspace(0, t_eff, 5),
                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(p_emp, ys[-1], atol=0.02)
+
+
+def test_weighted_frontier_tracks_exact_spd():
+    """Top-k frontier mode (BASELINE config 5): the weighted window
+    statistics must track the exact SPD ODE (beam-pruning bias allowed
+    at a few % absolute)."""
+    import math
+
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
+
+    cl_k = 3
+    p0 = ferromagnet_p0(cl_k, p_pair=0.05, corrected=True).ravel()
+    table = ensemble.compile_transition_table("ex2-ferromagnetic-chain")
+    dtab = ensemble.device_table(table)
+    K, L = 256, 128
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(2), p0, 2, cl_k, K, L
+    )
+    ptape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(K))
+    (_, dtape), logw = ensemble.run_weighted_frontier(
+        jax.random.PRNGKey(3), (ptape, dtape), logw, dtab, 2 * L, K
+    )
+    w = np.exp(np.asarray(logw))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+    ess = 1.0 / np.sum((w / w.sum()) ** 2)
+    assert ess > K / 10  # pruning keeps the frontier diverse
+
+    p_emp = np.asarray(
+        ensemble.weighted_window_counts(dtape, w, 2, cl_k)
+    )
+    fn = make_dy_dt(compile_problem("ex2-ferromagnetic-chain", cl_k))
+    ys = solve(lambda y, t: fn(y), p0, np.linspace(0, 2.0, 3),
+               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(p_emp, ys[-1], atol=0.04)
 
 
 def test_window_counts_simple():
