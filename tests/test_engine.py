@@ -81,6 +81,24 @@ def test_engine_handles_invalid_probabilities():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.parametrize("tag,cl_k", CROSS_VALIDATION_CASES[:8])
+def test_tree_kernel_matches_chain_kernel(tag, cl_k):
+    """The levelized prefix-tree kernel (default) must agree with the
+    structure-independent padded-chain kernel on the same tables."""
+    from chemical_kinetics_and_program_execution_tpu.engine import rhs
+
+    compiled = compile_problem(tag, cl_k, use_cache=False)
+    f_tree = rhs.make_dy_dt(compiled)
+    f_chain = rhs.make_chain_dy_dt(compiled)
+    rng = np.random.RandomState(7)
+    p = _random_spd(rng, compiled.state_size)
+    p[0] = -1e-13  # include the noise-guard regime
+    np.testing.assert_allclose(
+        np.asarray(f_tree(p)), np.asarray(f_chain(p)),
+        rtol=1e-12, atol=1e-15,
+    )
+
+
 def test_batched_rhs_matches_single():
     from chemical_kinetics_and_program_execution_tpu import make_batched_dy_dt
 
