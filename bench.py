@@ -45,24 +45,38 @@ def bench_ensemble():
     ptape = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
     dtape = jnp.zeros((B, L), jnp.int32)
 
+    def checksum(pt, dtp):
+        # Forces materialisation of the final tapes with an 8-byte
+        # transfer: `block_until_ready` alone is not a reliable sync on
+        # the experimental TPU tunnel, and transferring the full [B, L]
+        # tapes would time the link, not the kernel.
+        return int(jnp.sum(pt.astype(jnp.int64)) +
+                   jnp.sum(dtp.astype(jnp.int64)))
+
     # Warm up / compile.
     (pt, dtp), (applied, _) = ensemble.run_ensemble(
         jax.random.PRNGKey(1), (ptape, dtape), dt, (steps, events)
     )
-    applied.block_until_ready()
+    checksum(pt, dtp)
 
-    t0 = time.time()
-    n_rep = 3
+    n_rep = 5
+    rates = []
     total = 0
     for i in range(n_rep):
+        t0 = time.time()
         (pt, dtp), (applied, _) = ensemble.run_ensemble(
             jax.random.PRNGKey(2 + i), (pt, dtp), dt, (steps, events)
         )
-        total += int(np.asarray(applied).sum())
-    elapsed = time.time() - t0
-    return total / elapsed, {
+        checksum(pt, dtp)
+        elapsed = time.time() - t0
+        transitions = int(np.asarray(applied).sum())
+        total += transitions
+        rates.append(transitions / elapsed)
+    rates.sort()
+    return rates[n_rep // 2], {
         "B": B, "L": L, "steps": steps * n_rep, "events_per_step": events,
-        "transitions": total, "elapsed_s": round(elapsed, 3),
+        "transitions": total,
+        "rates": [f"{r:.3e}" for r in rates],
         "table": table.summary(),
     }
 

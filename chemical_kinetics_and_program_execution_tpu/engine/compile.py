@@ -214,9 +214,38 @@ def _compile(problem: dsl.Problem, cl_k: int,
 
 # --- Disk cache -------------------------------------------------------------
 
+def _rule_fingerprint(fn) -> bytes:
+    """Stable fingerprint of a rule: bytecode + constants + closure state.
+
+    Bytecode alone is not enough — e.g. the ex4var2 ΔG rate tables live in
+    a closed-over dict (`models/problems.py`), so editing them must
+    invalidate the cache. Nested code objects (inner functions, lambdas)
+    are walked recursively; closure cells and non-code constants are
+    folded in via repr (floats repr at full precision).
+    """
+    h = hashlib.sha1()
+
+    def fold_code(code):
+        h.update(code.co_code)
+        for const in code.co_consts:
+            if hasattr(const, "co_code"):
+                fold_code(const)
+            else:
+                h.update(repr(const).encode())
+
+    fold_code(fn.__code__)
+    for cell in fn.__closure__ or ():
+        contents = cell.cell_contents
+        if callable(contents) and hasattr(contents, "__code__"):
+            fold_code(contents.__code__)
+        else:
+            h.update(repr(contents).encode())
+    return h.digest()
+
+
 def _cache_path(problem: dsl.Problem, cl_k: int) -> str | None:
     try:
-        code = problem.rule.__code__.co_code
+        code = _rule_fingerprint(problem.rule)
     except AttributeError:
         return None
     key = hashlib.sha1(

@@ -53,4 +53,16 @@ def initialize() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    # Persistent XLA compilation cache: the big solver jits (DOP853
+    # while_loop over a multi-million-event RHS) can take minutes to
+    # compile on a TPU tunnel; caching makes reruns start instantly.
+    if _env_flag("CKPE_JIT_CACHE", default=True):
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("CKPE_JIT_CACHE_DIR",
+                           os.path.join(CACHE_DIR, "xla")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     _initialized = True

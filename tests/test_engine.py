@@ -123,6 +123,31 @@ def test_compile_cache_roundtrip(tmp_path, monkeypatch):
         np.testing.assert_array_equal(getattr(a, name), getattr(b, name))
 
 
+def test_cache_key_tracks_closure_state():
+    """Editing a closed-over rate table (e.g. `_ex4var2_tables`) must
+    invalidate the compiled-problem cache (round-1 weakness: the key
+    hashed bytecode only)."""
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        compile as cmod,
+        dsl,
+    )
+
+    def make(rate):
+        table = {"rate": rate}
+
+        def rule(t):
+            if t.get(True, 0) == 1 and table["rate"] > 0.5:
+                t.set(True, 0, 0)
+
+        return dsl.Problem(tag="_cachetest", symbols=("A", "B"), rule=rule)
+
+    path_a = cmod._cache_path(make(0.25), 3)
+    path_b = cmod._cache_path(make(0.75), 3)
+    path_a2 = cmod._cache_path(make(0.25), 3)
+    assert path_a == path_a2
+    assert path_a != path_b
+
+
 def test_get_dy_dt_validates_sizes():
     with pytest.raises(ValueError, match="alphabet size"):
         markov_tapes.get_dy_dt(tag="ex1-radioactive-decay", size_a=3, cl_k=3)
