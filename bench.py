@@ -82,28 +82,45 @@ def bench_ensemble():
 
 
 def bench_exact_rhs():
+    """Times the dense exact engine in chained on-device iterations.
+
+    Unit: reference-equivalent accumulation events/s — the dense engine
+    does no per-event work, so the rate is (events the reference's
+    accumulator would execute for the same RHS call) / time.
+    """
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from chemical_kinetics_and_program_execution_tpu import (
+        build_dy_dt,
         compile_problem,
-        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.engine.dense import (
+        dy_dt_dense,
     )
 
     tag, cl_k = "ex5-msrtf-machine", 5
-    compiled = compile_problem(tag, cl_k)
-    fn = make_dy_dt(compiled)
+    fn, prog = build_dy_dt(tag, cl_k, jit=False)
+    num_events = compile_problem(tag, cl_k).num_events
+
+    n_iter = 50
+
+    @jax.jit
+    def chained(p):
+        def body(y, _):
+            return y + 1e-12 * fn(y), None
+        y, _ = jax.lax.scan(body, p, None, length=n_iter)
+        return jnp.sum(y)
+
     rng = np.random.RandomState(0)
-    p = rng.dirichlet(np.ones(compiled.state_size))
-    out = fn(p)
-    out.block_until_ready()
-    n_iter = 30
+    p = jnp.asarray(rng.dirichlet(np.ones(prog.state_size)))
+    float(chained(p))  # compile + run
     t0 = time.time()
-    for _ in range(n_iter):
-        out = fn(p)
-    out.block_until_ready()
+    float(chained(p))
     dt = (time.time() - t0) / n_iter
-    return compiled.num_events / dt, {
-        "tag": tag, "cl_k": cl_k, "events": compiled.num_events,
+    return num_events / dt, {
+        "tag": tag, "cl_k": cl_k, "equiv_events": num_events,
         "rhs_ms": round(dt * 1e3, 3),
     }
 

@@ -16,7 +16,9 @@ from .utils import config as _config
 _config.initialize()
 
 from . import markov  # noqa: E402,F401
+from .engine import build_dy_dt  # noqa: E402,F401
 from .engine.compile import compile_problem  # noqa: E402,F401
+from .engine.dense import compile_dense, make_dense_dy_dt  # noqa: E402,F401
 from .engine.dsl import (  # noqa: E402,F401
     DATA,
     PROGRAM,

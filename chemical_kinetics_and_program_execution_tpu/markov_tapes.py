@@ -21,8 +21,7 @@ import types
 
 import numpy as np
 
-from .engine.compile import compile_problem
-from .engine.rhs import make_dy_dt
+from .engine import build_dy_dt
 from .markov import (  # noqa: F401  (re-exported API surface)
     ctm_from_mpp,
     get_ctm_eigenvalue1_eigenspace,
@@ -48,13 +47,12 @@ def get_dy_dt(*, tag, size_a, cl_k, debug=False):
     the state-size validation; computation runs as one jitted device
     kernel.
     """
-    compiled = compile_problem(tag, cl_k)
+    fn, compiled = build_dy_dt(tag, cl_k)
     if compiled.size_a != size_a:
         raise ValueError(
             f"Problem {tag!r} has alphabet size {compiled.size_a}, "
             f"but size_a={size_a} was requested."
         )
-    fn = make_dy_dt(compiled)
     expected_size = size_a**cl_k
 
     def dy_dt(a_probs_in, t=0.0):

@@ -43,16 +43,61 @@ def test_canary_golden_vector_exact():
     markov_tapes._run_validation()
 
 
+@pytest.mark.parametrize("engine", ["dense", "tree"])
 @pytest.mark.parametrize("tag,cl_k", CROSS_VALIDATION_CASES)
-def test_compiled_matches_reference(tag, cl_k):
-    compiled = compile_problem(tag, cl_k, use_cache=False)
-    fn = make_dy_dt(compiled)
+def test_compiled_matches_reference(tag, cl_k, engine):
+    from chemical_kinetics_and_program_execution_tpu import build_dy_dt
+
+    if engine == "dense" and tag == "ex6-mini-bff-lite":
+        pytest.skip("thousands of signatures: dense graph too large "
+                    "(auto-dispatch picks the tree kernel)")
+    fn, prog = build_dy_dt(tag, cl_k, engine=engine)
     rng = np.random.RandomState(hash(tag) % 2**31)
     for concentrated in (False, True):
-        p = _random_spd(rng, compiled.state_size, concentrated)
+        p = _random_spd(rng, prog.state_size, concentrated)
         got = np.asarray(fn(p))
         want = dy_dt_reference(tag, cl_k, p)
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_dense_long_signature_pops():
+    """Signatures longer than cl_k exercise the dense engine's interior
+    (fully revealed) emissions — `tape_multiverse.scm` ln>cl_k branch."""
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        dense,
+        dsl,
+        rhs,
+    )
+
+    tag = "_test-long-sig"
+    if tag not in dsl.registered_problems():
+        @dsl.register_problem(tag, symbols=("A", "B"))
+        def long_sig_rule(t):
+            # Reads cells 0..3 (revealed length 4 > cl_k=3), writes two
+            # separated cells so orig/adj differ at non-adjacent digits.
+            a = t.get(True, 0)
+            b = t.get(True, 3)
+            if a == 1:
+                t.set(True, 0, 0)
+            if b == 0:
+                t.set(True, 3, 1)
+
+    cl_k = 3
+    prog = dense.compile_dense(tag, cl_k)
+    assert max(p.length for p in prog.plans) > cl_k
+    f_dense = dense.make_dense_dy_dt(prog)
+    f_chain = rhs.make_chain_dy_dt(compile_problem(tag, cl_k,
+                                                   use_cache=False))
+    rng = np.random.RandomState(11)
+    p = _random_spd(rng, prog.state_size)
+    np.testing.assert_allclose(
+        np.asarray(f_dense(p)), np.asarray(f_chain(p)),
+        rtol=1e-12, atol=1e-15,
+    )
+    want = dy_dt_reference(tag, cl_k, p)
+    np.testing.assert_allclose(
+        np.asarray(f_dense(p)), want, rtol=1e-12, atol=1e-14,
+    )
 
 
 @pytest.mark.parametrize("tag,cl_k", CROSS_VALIDATION_CASES[:8])
