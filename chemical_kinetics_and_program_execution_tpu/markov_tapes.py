@@ -101,6 +101,8 @@ def ode_integrate(*, tag, size_a, cl_k, p0, ts,
             _device_rhs(dy_dt), p0, ts, backend="jax",
             rtol=kwargs.pop("rtol", 1.49012e-8),
             atol=kwargs.pop("atol", 1.49012e-8),
+            chunk_size=kwargs.pop("chunk_size", None),
+            progress=kwargs.pop("progress", False),
         )
     import scipy.integrate
 
@@ -121,6 +123,8 @@ def ode_integrate_ivp(*, tag, size_a, cl_k, p0, ts,
             rtol=kwargs.pop("rtol", 1e-3),
             atol=kwargs.pop("atol", 1e-6),
             method=kwargs.pop("method", None),
+            chunk_size=kwargs.pop("chunk_size", None),
+            progress=kwargs.pop("progress", False),
         )
     import scipy.integrate
 

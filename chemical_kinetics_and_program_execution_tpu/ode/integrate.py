@@ -11,6 +11,8 @@ Two backends:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .dop853 import odeint_dop853
@@ -18,7 +20,8 @@ from .dopri5 import odeint_dopri5
 
 
 def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
-          method=None, max_steps=1_000_000, return_info=False):
+          method=None, max_steps=1_000_000, return_info=False,
+          chunk_size=None, progress=False):
     """Integrates ``dy/dt = fn(y, t)`` sampling at ``ts``.
 
     Returns an array of shape ``[len(ts), n]`` like
@@ -26,6 +29,12 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
     on-device stepper ("dopri5" or "dop853"/"DOP853"); by default tight
     tolerances (< 1e-9) route to DOP853, matching the reference's solver
     choices (`examples/ex4_chemical_turing.py:115`).
+
+    ``chunk_size`` splits the sample grid into device calls of at most
+    that many output points (carrying (y, t) across chunks). Long solves
+    on remote/tunnelled accelerators need this: a single device program
+    running for many minutes can trip transport watchdogs, and chunking
+    also bounds per-call output memory and enables ``progress`` logging.
     """
     y0 = np.asarray(y0, dtype=np.float64).ravel()
     ts = np.asarray(ts, dtype=np.float64)
@@ -36,15 +45,52 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         if name not in ("dopri5", "dop853"):
             name = "dop853"  # scipy method names (DOP853, RK45, LSODA...)
         stepper = odeint_dop853 if name == "dop853" else odeint_dopri5
-        ys, info = stepper(fn_dy_dt, y0, ts, (rtol, atol),
-                           max_steps=max_steps)
-        ys = np.asarray(ys)
-        if not bool(info["completed"]):
-            raise RuntimeError(
-                f"ODE solve did not complete within max_steps={max_steps} "
-                f"(accepted={int(info['num_accepted'])}, "
-                f"rejected={int(info['num_rejected'])})."
-            )
+
+        n_out = len(ts)
+        if n_out < 2:
+            return (np.asarray([y0]), {"num_accepted": 0,
+                                       "num_rejected": 0,
+                                       "completed": True}) \
+                if return_info else np.asarray([y0])
+        if chunk_size is None:
+            env = os.environ.get("CKPE_ODE_CHUNK")
+            chunk_size = int(env) if env else None
+        chunk = n_out if not chunk_size else max(2, int(chunk_size))
+        ys_parts = []
+        y = y0
+        acc = rej = 0
+        start = 0
+        import time as _time
+
+        t_begin = _time.time()
+        while start < n_out - 1:
+            stop = min(start + chunk, n_out)
+            ts_chunk = ts[start:stop] if start == 0 else ts[start - 1:stop]
+            ys_c, info = stepper(fn_dy_dt, y, ts_chunk, (rtol, atol),
+                                 max_steps=max_steps)
+            ys_c = np.asarray(ys_c)
+            if not bool(info["completed"]):
+                raise RuntimeError(
+                    f"ODE solve did not complete within "
+                    f"max_steps={max_steps} "
+                    f"(accepted={int(info['num_accepted'])}, "
+                    f"rejected={int(info['num_rejected'])})."
+                )
+            acc += int(info["num_accepted"])
+            rej += int(info["num_rejected"])
+            ys_parts.append(ys_c if start == 0 else ys_c[1:])
+            y = ys_c[-1]
+            if progress:
+                print(
+                    f"[ckpe.ode] t={ts[stop - 1]:g}/{ts[-1]:g} "
+                    f"steps={acc}(+{rej} rej) "
+                    f"{_time.time() - t_begin:.0f}s",
+                    flush=True,
+                )
+            start = stop
+        ys = (np.concatenate(ys_parts, axis=0) if len(ys_parts) > 1
+              else ys_parts[0])
+        info = {"num_accepted": acc, "num_rejected": rej, "completed": True}
         return (ys, info) if return_info else ys
     if backend == "scipy":
         import scipy.integrate

@@ -174,3 +174,32 @@ def make_sharded_dy_dt(compiled: CompiledProblem, mesh: jax.sharding.Mesh,
         out_specs=P("batch"),
     )
     return jax.jit(lambda p_batch: fn(p_batch, repl, shrd))
+
+
+def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
+                             dtype=jnp.float64):
+    """Dense-engine dy/dt with the **window-rank (state) axis sharded**.
+
+    ``p_batch`` has shape ``[B, A**k]``; the batch axis is data-parallel
+    over the mesh's "batch" axis and the state axis is sharded over "ev"
+    (SURVEY §5.7: partitioning the window-rank dimension and its marginal
+    pyramid). The dense transfer-matrix kernel is pure reshapes,
+    reductions, rolls, and elementwise ops, so GSPMD partitions it
+    automatically: rolls lower to collective-permutes over ICI, marginal
+    reductions to all-reduces — no hand-written collectives needed. This
+    is the path to state sizes beyond one device's HBM (ex4var2:
+    A=10, k=5 -> 100,000-dim state).
+    """
+    from ..engine import dense as dense_mod
+
+    fn = dense_mod.make_dense_dy_dt(prog, dtype=dtype, jit=False)
+    n_state = mesh.shape["ev"]
+    if prog.state_size % n_state:
+        # pjit shardings require divisibility; replicate the state axis
+        # (batch stays data-parallel) rather than fail.
+        sharding = jax.sharding.NamedSharding(mesh, P("batch"))
+    else:
+        sharding = jax.sharding.NamedSharding(mesh, P("batch", "ev"))
+    return jax.jit(
+        jax.vmap(fn), in_shardings=sharding, out_shardings=sharding
+    )

@@ -46,7 +46,10 @@ def main():
                 tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
                 backend=args.backend,
                 ivp_kwargs=dict(rtol=args.tol, atol=args.tol,
-                                method="DOP853"),
+                                method="DOP853",
+                                # bounded device-program chunks: long
+                                # single programs trip tunnel watchdogs
+                                chunk_size=100, progress=True),
             ),
         )
         fig, ax = new_fig()

@@ -91,6 +91,43 @@ def test_radioactive_decay_end_to_end_backends_agree():
     np.testing.assert_allclose(p_b, 0.5 * np.exp(-ts), rtol=1e-6)
 
 
+def test_dop853_scipy_parity_on_spd_at_1e13():
+    """On-device DOP853 vs scipy's DOP853 at rtol/atol 1e-13 on a real
+    SPD trajectory (SURVEY §7.3 hard part #5; the reference's ex4/ex5
+    solves all run at this tolerance, `ex4_chemical_turing.py:109-116`)."""
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (  # noqa: E501
+        copolymerization_p0,
+    )
+
+    cl_k = 4
+    p0 = copolymerization_p0(cl_k).ravel()
+    ts = np.linspace(0.0, 50.0, 26)
+    kwargs = dict(tag="ex3-copolymerization", size_a=4, cl_k=cl_k,
+                  p0=p0, ts=ts,
+                  ivp_kwargs=dict(rtol=1e-13, atol=1e-13, method="DOP853"))
+    ys_jax = markov_tapes.ode_integrate_ivp(backend="jax", **kwargs)
+    ys_scipy = markov_tapes.ode_integrate_ivp(backend="scipy", **kwargs)
+    dev = np.abs(ys_jax - ys_scipy).max()
+    assert dev <= 1e-9, f"max trajectory deviation {dev:.3e} > 1e-9"
+
+
+def test_chunked_solve_matches_unchunked():
+    """Chunked device calls (bounded program duration on tunnelled TPUs)
+    must reproduce the single-call solve to solver accuracy."""
+    p0 = np.full(8, 0.125)
+    ts = np.linspace(0.0, 3.0, 31)
+    kwargs = dict(tag="ex1-radioactive-decay", size_a=2, cl_k=3,
+                  p0=p0, ts=ts)
+    full = markov_tapes.ode_integrate_ivp(
+        backend="jax",
+        ivp_kwargs=dict(rtol=1e-12, atol=1e-12, method="DOP853"), **kwargs)
+    chunked = markov_tapes.ode_integrate_ivp(
+        backend="jax",
+        ivp_kwargs=dict(rtol=1e-12, atol=1e-12, method="DOP853",
+                        chunk_size=7), **kwargs)
+    np.testing.assert_allclose(chunked, full, rtol=1e-9, atol=1e-11)
+
+
 def test_ode_integrate_validates_p0():
     with pytest.raises(ValueError, match="not a subsequence probability"):
         markov_tapes.ode_integrate(
