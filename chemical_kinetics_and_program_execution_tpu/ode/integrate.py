@@ -63,7 +63,7 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         import time as _time
 
         t_begin = _time.time()
-        while start < n_out - 1:
+        while start < n_out:
             stop = min(start + chunk, n_out)
             ts_chunk = ts[start:stop] if start == 0 else ts[start - 1:stop]
             ys_c, info = stepper(fn_dy_dt, y, ts_chunk, (rtol, atol),

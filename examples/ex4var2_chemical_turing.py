@@ -42,7 +42,8 @@ def main():
         lambda: markov_tapes.ode_integrate_ivp(
             tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
             backend=args.backend,
-            ivp_kwargs=dict(rtol=1e-11, atol=1e-11, method="DOP853"),
+            ivp_kwargs=dict(rtol=1e-11, atol=1e-11, method="DOP853",
+                            chunk_size=100, progress=True),
         ),
     )
 

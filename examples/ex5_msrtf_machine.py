@@ -31,7 +31,8 @@ def run(tag, filename_stem, t_max, backend="jax", cl_k=5,
         lambda: markov_tapes.ode_integrate_ivp(
             tag=tag, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
             backend=backend,
-            ivp_kwargs=dict(rtol=1e-13, atol=1e-13, method="DOP853"),
+            ivp_kwargs=dict(rtol=1e-13, atol=1e-13, method="DOP853",
+                            chunk_size=200, progress=True),
         ),
     )
     fig, ax = new_fig()

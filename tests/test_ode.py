@@ -121,11 +121,13 @@ def test_chunked_solve_matches_unchunked():
     full = markov_tapes.ode_integrate_ivp(
         backend="jax",
         ivp_kwargs=dict(rtol=1e-12, atol=1e-12, method="DOP853"), **kwargs)
-    chunked = markov_tapes.ode_integrate_ivp(
-        backend="jax",
-        ivp_kwargs=dict(rtol=1e-12, atol=1e-12, method="DOP853",
-                        chunk_size=7), **kwargs)
-    np.testing.assert_allclose(chunked, full, rtol=1e-9, atol=1e-11)
+    for chunk in (7, 10, 5):  # 10 and 5 divide n_out-1: boundary cases
+        chunked = markov_tapes.ode_integrate_ivp(
+            backend="jax",
+            ivp_kwargs=dict(rtol=1e-12, atol=1e-12, method="DOP853",
+                            chunk_size=chunk), **kwargs)
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(chunked, full, rtol=1e-9, atol=1e-11)
 
 
 def test_ode_integrate_validates_p0():

@@ -1,0 +1,74 @@
+"""Regression against the reference's committed p_final oracles.
+
+The reference commits exact final-time probabilities for both ex4
+scenarios (`/root/reference/examples/ex4_chemical_turing.py:150-170`,
+tabulated in BASELINE.md) — the only hard numeric fidelity anchor beyond
+the ex1 canary. The full solves (DOP853 rtol/atol 1e-13 to t=2000 on a
+59,049-dim state) run via `examples/ex4_chemical_turing.py` and cache
+their trajectories as .npz artifacts; this test validates the cached
+artifacts against all 16 oracle values. Skipped when the artifacts have
+not been produced yet (they are committed to the repository once run).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+ART_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+SEQS = {
+    "OAOOO": (5, 0, 5, 5, 5),
+    "OIBOO": (5, 4, 1, 5, 5),
+    "OIBIO": (5, 4, 1, 4, 5),
+    "OIOCO": (5, 4, 5, 2, 5),
+    "OIOCI": (5, 4, 5, 2, 4),
+    "OIOID": (5, 4, 5, 4, 3),
+    "P": (6,),
+    "X": (7,),
+}
+
+# examples/ex4_chemical_turing.py:150-159 (scenario a, powered 0.04).
+ORACLE_A = {
+    "OAOOO": 1.069972289390935e-08,
+    "OIBOO": 6.515573824924313e-07,
+    "OIBIO": 6.515311604360241e-07,
+    "OIOCO": 3.968674272397802e-05,
+    "OIOCI": 3.968643987041947e-05,
+    "OIOID": 0.00241751541540069,
+    "P": 0.02258485544510012,
+    "X": 0.007415144554899872,
+}
+
+# examples/ex4_chemical_turing.py:161-170 (scenario b, starved 0.01).
+ORACLE_B = {
+    "OAOOO": 0.00012550563638350954,
+    "OIBOO": 0.00031502540335240174,
+    "OIBIO": 5.084130198577003e-05,
+    "OIOCO": 0.0005186964734668385,
+    "OIOCI": 9.96749791258151e-05,
+    "OIOID": 0.0013280547249873754,
+    "P": 0.0019018941966848447,
+    "X": 0.005598105803315155,
+}
+
+
+@pytest.mark.parametrize("scenario,oracle", [("a", ORACLE_A),
+                                             ("b", ORACLE_B)])
+def test_ex4_p_final_oracles(scenario, oracle):
+    from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
+
+    path = os.path.join(ART_DIR, f"ex4_chemical_turing_{scenario}_k5.npz")
+    if not os.path.exists(path):
+        pytest.skip(
+            f"{path} not produced yet — run "
+            "examples/ex4_chemical_turing.py first"
+        )
+    ys = np.load(path)["ode_ys"]
+    assert ys.shape == (2001, 9**5)
+    p_final = ys[-1].reshape([9] * 5)
+    for name, want in oracle.items():
+        got = float(seq_prob(p_final, SEQS[name])[0])
+        assert got == pytest.approx(want, rel=2e-6), (
+            f"scenario {scenario} p({name}): got {got!r}, oracle {want!r}"
+        )
