@@ -76,6 +76,12 @@ class DenseProgram:
     pair_world: np.ndarray
     pair_sig: np.ndarray
     plans: tuple[SigPlan, ...]
+    # Mass accounting over ALL enumerated worlds (incl. no-change ones):
+    # Σ weights == 1 for a complete multiverse; < 1 when pruned.
+    m_num: np.ndarray | None = None
+    m_den: np.ndarray | None = None
+    m_const: np.ndarray | None = None
+    pruned: bool = False
 
     @property
     def state_size(self) -> int:
@@ -105,14 +111,31 @@ def _rank(digits, a: int) -> int:
 
 
 def compile_dense(tag: str, cl_k: int, *,
-                  max_worlds: int | None = None) -> DenseProgram:
-    """Compiles a problem to its dense transfer-matrix program."""
+                  max_worlds: int | None = None,
+                  p_ref=None, prune_threshold: float = 0.0) -> DenseProgram:
+    """Compiles a problem to its dense transfer-matrix program.
+
+    For rules whose multiverse is too deep to enumerate exactly
+    (ex6-mini-bff at faithful parameters), pass a reference distribution
+    ``p_ref`` and a ``prune_threshold``: execution paths whose weight
+    under ``p_ref`` drops below the threshold are skipped (bounding
+    enumeration), kept paths stay exact, and the resulting program
+    carries mass-accounting tables so the runtime kernel can report the
+    *measured* un-enumerated mass ``1 - Σ live weights(p)`` per call
+    (north-star "frontier expansion with top-k pruning", exact flavour).
+    """
     problem = dsl.get_problem(tag)
     size_a = problem.size_a
     _, pyr_total = pyramid_offsets(size_a, cl_k)
     one_slot = pyr_total - 1
 
-    worlds = enum_mod.enumerate_worlds(problem, cl_k, max_worlds=max_worlds)
+    guide = None
+    if prune_threshold > 0.0:
+        if p_ref is None:
+            p_ref = np.full(size_a**cl_k, 1.0 / size_a**cl_k)
+        guide = enum_mod.BeamGuide(p_ref, size_a, cl_k, prune_threshold)
+    worlds = enum_mod.enumerate_worlds(problem, cl_k,
+                                       max_worlds=max_worlds, guide=guide)
     live: list[enum_mod.World] = []
     sig_ids: dict[tuple[int, int, int], int] = {}
     pair_world: list[int] = []
@@ -141,6 +164,10 @@ def compile_dense(tag: str, cl_k: int, *,
         )
         for (io, ia, length), sid in sig_ids.items()
     )
+    m_num = m_den = m_const = None
+    if guide is not None:
+        m_num, m_den = _pad_chains([w.factors for w in worlds], one_slot)
+        m_const = np.array([w.const for w in worlds], dtype=np.float64)
     return DenseProgram(
         tag=tag,
         size_a=size_a,
@@ -153,6 +180,10 @@ def compile_dense(tag: str, cl_k: int, *,
         pair_world=np.asarray(pair_world, dtype=np.int32),
         pair_sig=np.asarray(pair_sig, dtype=np.int32),
         plans=plans,
+        m_num=m_num,
+        m_den=m_den,
+        m_const=m_const,
+        pruned=guide is not None,
     )
 
 
@@ -265,8 +296,15 @@ def dy_dt_dense(prog: DenseProgram, tables, p: jax.Array) -> jax.Array:
     return dy
 
 
-def make_dense_dy_dt(prog: DenseProgram, dtype=jnp.float64, jit=True):
-    """Builds a jitted ``p -> dp/dt`` closure from a dense program."""
+def make_dense_dy_dt(prog: DenseProgram, dtype=jnp.float64, jit=True,
+                     with_mass: bool = False):
+    """Builds a jitted ``p -> dp/dt`` closure from a dense program.
+
+    ``with_mass=True`` (pruned programs) returns ``p -> (dp/dt, mass)``
+    where ``mass`` is the total weight of the enumerated worlds under
+    ``p`` — exactly 1 for a complete multiverse, so ``1 - mass`` is the
+    measured weight loss of the pruning at this ``p``.
+    """
     tables = (
         jnp.asarray(prog.w_num, jnp.int32),
         jnp.asarray(prog.w_den, jnp.int32),
@@ -274,5 +312,26 @@ def make_dense_dy_dt(prog: DenseProgram, dtype=jnp.float64, jit=True):
         jnp.asarray(prog.pair_world, jnp.int32),
         jnp.asarray(prog.pair_sig, jnp.int32),
     )
-    fn = partial(dy_dt_dense, prog, tables)
+    if not with_mass:
+        fn = partial(dy_dt_dense, prog, tables)
+        return jax.jit(fn) if jit else fn
+    if prog.m_num is None:
+        raise ValueError(
+            "Program has no mass tables; compile with prune_threshold>0."
+        )
+    m_num = jnp.asarray(prog.m_num, jnp.int32)
+    m_den = jnp.asarray(prog.m_den, jnp.int32)
+    m_const = jnp.asarray(prog.m_const, dtype)
+
+    def fn(p):
+        dy = dy_dt_dense(prog, tables, p)
+        from ..markov import pyramid
+
+        pyr = pyramid(p.astype(dtype).reshape(-1), prog.size_a, prog.cl_k)
+        num = pyr[m_num]
+        den = pyr[m_den]
+        r = jnp.where(num > 0, num / jnp.maximum(num, den), 0.0)
+        mass = jnp.sum(m_const * jnp.prod(r, axis=-1))
+        return dy, mass
+
     return jax.jit(fn) if jit else fn

@@ -80,6 +80,31 @@ class _Prune(Exception):
     """Raised to abandon a path early (used by bounded enumeration modes)."""
 
 
+class BeamGuide:
+    """Weight-threshold pruning guide for non-enumerable rules (ex6).
+
+    Evaluates each partial path's weight under a *reference* distribution
+    ``p_ref`` (const × Π conditional reveal ratios) and prunes as soon as
+    it drops below ``threshold``. Pruning decisions use ``p_ref`` only —
+    kept worlds keep their exact symbolic factor chains, so the compiled
+    dy/dt stays exact on the kept multiverse subset. The un-enumerated
+    mass is measured at runtime as ``1 - Σ live world weights(p)``
+    (worlds partition probability, so the sum over a complete multiverse
+    is exactly 1).
+    """
+
+    def __init__(self, p_ref, size_a: int, cl_k: int, threshold: float):
+        from ..markov import pyramid_np
+
+        self.pyr = pyramid_np(p_ref, size_a, cl_k)
+        self.threshold = float(threshold)
+
+    def ratio(self, num_idx: int, den_idx: int) -> float:
+        num = self.pyr[num_idx]
+        den = self.pyr[den_idx]
+        return num / max(num, den) if num > 0 else 0.0
+
+
 class _Replay:
     """Executes a rule once, consuming a decision prefix and extending it.
 
@@ -90,7 +115,7 @@ class _Replay:
     """
 
     def __init__(self, problem: dsl.Problem, size_a: int, cl_k: int,
-                 prefix: list[int]):
+                 prefix: list[int], guide: BeamGuide | None = None):
         self.problem = problem
         self.size_a = size_a
         self.cl_k = cl_k
@@ -101,6 +126,12 @@ class _Replay:
         self.const = 1.0
         self.factors: list[tuple[int, int]] = []
         self.tapes = (_TapeState(), _TapeState())
+        self.guide = guide
+        self.weight = 1.0  # path weight under the guide's p_ref
+
+    def _check_weight(self) -> None:
+        if self.guide is not None and self.weight < self.guide.threshold:
+            raise _Prune
 
     def _decide(self, arity: int) -> int:
         i = len(self.values)
@@ -124,9 +155,11 @@ class _Replay:
                 ctx = ctx * a + s
         k = self._decide(a)
         win = ctx * a + k if to_right else k * a**ctx_len + ctx
-        self.factors.append(
-            (self.offsets[cl_eff] + win, self.offsets[ctx_len] + ctx)
-        )
+        factor = (self.offsets[cl_eff] + win, self.offsets[ctx_len] + ctx)
+        self.factors.append(factor)
+        if self.guide is not None:
+            self.weight *= self.guide.ratio(*factor)
+            self._check_weight()
         if to_right:
             tape.orig.append(k)
             tape.adj.append(k)
@@ -155,6 +188,9 @@ class _Replay:
         # enumerated there but contribute exactly zero, so the compiler
         # drops them (`compile.py`).
         self.const *= max(0.0, probs[k])
+        if self.guide is not None:
+            self.weight *= max(0.0, probs[k])
+            self._check_weight()
         return k
 
     def run(self) -> World:
@@ -176,20 +212,27 @@ class _Replay:
 
 
 def enumerate_worlds(problem: dsl.Problem, cl_k: int,
-                     max_worlds: int | None = None) -> list[World]:
+                     max_worlds: int | None = None,
+                     guide: BeamGuide | None = None) -> list[World]:
     """Enumerates every execution path of ``problem`` at context length
     ``cl_k``.
 
     Cost is one rule re-execution per path (leaves of the decision tree,
     not internal nodes). ``max_worlds`` guards against unbounded problems
-    (e.g. deep register machines with large alphabets).
+    (e.g. deep register machines with large alphabets). With a
+    :class:`BeamGuide`, paths whose reference-weight drops below the
+    guide threshold are pruned (their whole subtree skipped), bounding
+    the enumeration for non-enumerable rules; kept worlds stay exact.
     """
     size_a = problem.size_a
     worlds: list[World] = []
     prefix: list[int] = []
     while True:
-        replay = _Replay(problem, size_a, cl_k, prefix)
-        worlds.append(replay.run())
+        replay = _Replay(problem, size_a, cl_k, prefix, guide=guide)
+        try:
+            worlds.append(replay.run())
+        except _Prune:
+            pass  # subtree below this decision point skipped
         if max_worlds is not None and len(worlds) > max_worlds:
             raise RuntimeError(
                 f"Problem {problem.tag!r} exceeds max_worlds={max_worlds} "

@@ -193,6 +193,53 @@ def test_cache_key_tracks_closure_state():
     assert path_a != path_b
 
 
+def test_pruned_enumeration_exact_at_tiny_threshold():
+    """A prune threshold below every world's weight must reproduce the
+    exact engine bit-for-bit and report mass == 1."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+
+    full = dense.compile_dense("ex5-msrtf-machine", 3)
+    beam = dense.compile_dense("ex5-msrtf-machine", 3,
+                               prune_threshold=1e-30)
+    assert beam.num_worlds == full.num_worlds
+    f_full = dense.make_dense_dy_dt(full)
+    f_beam = dense.make_dense_dy_dt(beam, with_mass=True)
+    rng = np.random.RandomState(5)
+    p = rng.dirichlet(np.ones(full.state_size))
+    dy0 = np.asarray(f_full(p))
+    dy1, mass = f_beam(p)
+    np.testing.assert_array_equal(dy0, np.asarray(dy1))
+    assert abs(float(mass) - 1.0) < 1e-12
+
+
+def test_faithful_ex6_pruned_mode_with_measured_mass():
+    """The faithful (non-enumerable) ex6 mini-BFF runs in pruned exact
+    mode: enumeration bounded by a reference-weight threshold, runtime
+    mass measured (VERDICT round-1 item #7)."""
+    import itertools
+
+    from chemical_kinetics_and_program_execution_tpu.engine import dense, dsl
+
+    prob = dsl.get_problem("ex6-mini-bff")
+    a, k = prob.size_a, 3
+    psym = np.full(a, 0.1 / (a - 1))
+    psym[0] = 0.9
+    p_ref = np.array([
+        np.prod([psym[s] for s in w])
+        for w in itertools.product(range(a), repeat=k)
+    ])
+    prog = dense.compile_dense("ex6-mini-bff", k, p_ref=p_ref,
+                               prune_threshold=1e-4,
+                               max_worlds=100_000)
+    assert prog.pruned and prog.num_worlds > 0
+    fn = dense.make_dense_dy_dt(prog, with_mass=True)
+    dy, mass = fn(p_ref)
+    dy = np.asarray(dy)
+    assert np.isfinite(dy).all()
+    assert abs(dy.sum()) < 1e-12  # probability conservation still exact
+    assert 0.0 < float(mass) < 1.0  # bounded, measured weight loss
+
+
 def test_get_dy_dt_validates_sizes():
     with pytest.raises(ValueError, match="alphabet size"):
         markov_tapes.get_dy_dt(tag="ex1-radioactive-decay", size_a=3, cl_k=3)
