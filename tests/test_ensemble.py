@@ -113,6 +113,37 @@ def test_ensemble_ferromagnet_approaches_spd_dynamics():
     np.testing.assert_allclose(p_emp, ys[-1], atol=0.02)
 
 
+def test_lattice_round_matches_scatter_formulation():
+    """One lattice round must equal the exact scatter/gather formulation
+    at the same sites, and every event must apply (the `applied` count
+    reported by `run_ensemble` asserts B*E — this is its witness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    table = ensemble.compile_transition_table("ex2-ferromagnetic-chain")
+    dt = ensemble.device_table(table)
+    L, E = 256, 8
+    stride = L // E
+    assert stride > 2 * dt.span
+    rng = np.random.RandomState(0)
+    ptape = jnp.asarray(rng.randint(0, 2, (1, L)), jnp.int32)
+    dtape = jnp.asarray(rng.randint(0, 2, (1, L)), jnp.int32)
+    shift = jnp.asarray(37, jnp.int32)
+    uniforms = jnp.asarray(rng.rand(1, E))
+
+    lp, ld = ensemble._apply_lattice_round(dt, ptape, dtape, shift, uniforms)
+
+    sites = (int(shift) + np.arange(E) * stride) % L
+    sp, sd, transitions = ensemble._apply_events(
+        dt, ptape[0], dtape[0], jnp.asarray(sites, jnp.int32), uniforms[0]
+    )
+    assert int(transitions) == E  # stride-separated: nothing dropped
+    np.testing.assert_array_equal(np.asarray(lp[0]), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(ld[0]), np.asarray(sd))
+
+
 def test_weighted_frontier_tracks_exact_spd():
     """Top-k frontier mode (BASELINE config 5): the weighted window
     statistics must track the exact SPD ODE (beam-pruning bias allowed
