@@ -202,17 +202,27 @@ def _apply_plan(dy, plan: SigPlan, w, r_le, r_re, a: int, k: int, dtype):
     q_min, q_max = changed[0], changed[-1]
     base = min(l0, k)
 
-    def emit(dy, t, delta):
-        # -t at original ranks, +t at adjusted ranks (constant offset).
-        return dy - t + jnp.roll(t, delta)
-
-    def delta_left(m):  # frame covers revealed cells q <= base-1-m
-        return sum((adj[q] - o[q]) * a ** (base - 1 - m - q)
-                   for q in changed if q <= base - 1 - m)
-
-    def delta_right(m):  # step-m window covers revealed cells q >= l0+m-k
-        return sum((adj[q] - o[q]) * a ** (l0 + m - 1 - q)
-                   for q in changed if q >= l0 + m - k)
+    def emit(dy, t, s0):
+        """±emission of sweep tensor ``t`` whose window starts at tape
+        cell ``s0``. The revealed cells inside the window form one
+        contiguous digit run (the revealed region is contiguous), and
+        ``t``'s support has exactly the original digits there — so the
+        -original/+adjusted scatter is two *static sub-slice* adds of
+        size A^k / A^run instead of full-width ops.
+        """
+        q_lo = max(0, s0)
+        q_hi = min(l0 - 1, s0 + k - 1)
+        c_lo = q_lo - s0  # window coord of the run start
+        run = q_hi - q_lo + 1
+        hi = a**c_lo
+        lo = a ** (k - c_lo - run)
+        o_sub = _rank(o[q_lo:q_hi + 1], a)
+        a_sub = _rank(adj[q_lo:q_hi + 1], a)
+        t3 = t.reshape(hi, a**run, lo)
+        sub = t3[:, o_sub, :]
+        d3 = dy.reshape(hi, a**run, lo)
+        d3 = d3.at[:, o_sub, :].add(-sub).at[:, a_sub, :].add(sub)
+        return d3.reshape(-1)
 
     if l0 <= k:
         if l0 <= k - 1:
@@ -243,13 +253,13 @@ def _apply_plan(dy, plan: SigPlan, w, r_le, r_re, a: int, k: int, dtype):
         if m > 0:
             c = um.reshape(a ** (k - 1), a).sum(-1)
             um = r_le[k] * jnp.tile(c, a)
-        dy = emit(dy, um, delta_left(m))
+        dy = emit(dy, um, base - k - m)
 
     # Phase B: right-extend while a changed cell stays in context.
     m_r = k - l0 + q_max
     for m in range(1, m_r + 1):
         t = jnp.repeat(ctx, a) * r_re
-        dy = emit(dy, t, delta_right(m))
+        dy = emit(dy, t, l0 + m - k)
         if m < m_r:
             ctx = t.reshape(a, a ** (k - 1)).sum(0)
     return dy
