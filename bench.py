@@ -125,6 +125,26 @@ def bench_exact_rhs():
     }
 
 
+def bench_ssa():
+    """SSA trajectory throughput (BASELINE: "SSA trajectories/sec")."""
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.models import gillespie
+
+    net = gillespie.autocatalysis_network(
+        1.0, 100.0, 1.0, 1.0, 100.0, 1.0, 10.0, 2.0
+    )
+    n0 = np.array([0, 0, 2000])
+    B = int(os.environ.get("CKPE_BENCH_SSA_B", "1024"))
+    E = int(os.environ.get("CKPE_BENCH_SSA_E", "1000"))
+    gillespie.run_ssa_ensemble(net, n0, B, E, seed=0)  # compile
+    t0 = time.time()
+    gillespie.run_ssa_ensemble(net, n0, B, E, seed=1)
+    dt = time.time() - t0
+    return B / dt, {"trajectories": B, "events_each": E,
+                    "events_per_s": f"{B * E / dt:.3e}"}
+
+
 def main():
     tps, info = bench_ensemble()
     result = {
@@ -141,6 +161,11 @@ def main():
               file=sys.stderr)
     except Exception as e:  # secondary metric must never fail the bench
         print(f"# exact RHS bench skipped: {e}", file=sys.stderr)
+    try:
+        sps, sinfo = bench_ssa()
+        print(f"# SSA: {sps:.3e} trajectories/s {sinfo}", file=sys.stderr)
+    except Exception as e:
+        print(f"# SSA bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
