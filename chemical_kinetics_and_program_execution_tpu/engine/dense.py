@@ -187,67 +187,129 @@ def compile_dense(tag: str, cl_k: int, *,
     )
 
 
-def _apply_plan(dy, plan: SigPlan, w, r_le, r_re, a: int, k: int, dtype):
-    """Adds one signature's full window sweep into ``dy``.
+def _emit_sub_ranks(plan: SigPlan, s0: int, k: int, a: int
+                    ) -> tuple[int, int]:
+    """(orig, adj) ranks of the revealed digit run inside the window
+    starting at tape cell ``s0``."""
+    q_lo = max(0, s0)
+    q_hi = min(plan.length - 1, s0 + k - 1)
+    return (_rank(plan.orig[q_lo:q_hi + 1], a),
+            _rank(plan.adj[q_lo:q_hi + 1], a))
+
+
+def _sweep_meta(l0: int, changed: tuple[int, ...], k: int
+                ) -> tuple[int, int, list[int]]:
+    """(m_l, m_r, emission window starts) for one (L0, changed) shape."""
+    base = min(l0, k)
+    m_l = base - 1 - changed[0]
+    m_r = k - l0 + changed[-1]
+    s0s = [base - k - m for m in range(0, m_l + 1)]
+    s0s += [l0 + m - k for m in range(1, m_r + 1)]
+    return m_l, m_r, s0s
+
+
+def _group_plans(plans, a: int, k: int):
+    """Groups signatures that can share one sweep.
+
+    Signatures with the same (revealed length, changed positions) walk
+    identical sweep schedules, and their weight tensors can share the
+    dense transfer steps because their supports are disjoint slices.
+    The one hazard: at an emission step, two members whose *in-window*
+    original digits coincide would mix mass in the extraction slice —
+    allowed only if their adjusted digits coincide too (then it is one
+    merged emission); otherwise they are split into separate groups.
+    """
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for p in plans:
+        ch = tuple(q for q in range(p.length) if p.orig[q] != p.adj[q])
+        by_key[(p.length, ch)].append(p)
+
+    groups = []
+    for (l0, ch), members in by_key.items():
+        _, _, s0s = _sweep_meta(l0, ch, k)
+        placed: list[dict] = []
+        for p in members:
+            subs = [_emit_sub_ranks(p, s0, k, a) for s0 in s0s]
+            for g in placed:
+                if all(g["maps"][i].get(o_s, a_s) == a_s
+                       for i, (o_s, a_s) in enumerate(subs)):
+                    g["members"].append(p)
+                    for i, (o_s, a_s) in enumerate(subs):
+                        g["maps"][i][o_s] = a_s
+                    break
+            else:
+                placed.append({
+                    "members": [p],
+                    "maps": [{o_s: a_s} for (o_s, a_s) in subs],
+                })
+        for g in placed:
+            groups.append((l0, ch, tuple(g["members"])))
+    return groups
+
+
+def _apply_group(dy, l0, changed, members, w_vec, r_le, r_re,
+                 a: int, k: int, dtype):
+    """Adds one signature group's shared window sweep into ``dy``.
 
     Mirrors the control structure of `accumulate.Expander` /
     `lr-rec-extend-1`: left-extend the frame to length k (phase A),
     emit + left-shift while a changed cell stays in frame (phase C),
     and right-extend from every (k-1)-context while a changed cell
-    stays in context (phase B). All phases act on dense weight vectors.
+    stays in context (phase B) — one dense sweep for the whole group
+    (supports are disjoint and transfer steps are linear), with
+    per-member ±emissions as static sub-slice gathers/scatter-adds.
     """
-    l0 = plan.length
-    o, adj = plan.orig, plan.adj
-    changed = [q for q in range(l0) if o[q] != adj[q]]
-    q_min, q_max = changed[0], changed[-1]
+    m_l, m_r, _ = _sweep_meta(l0, changed, k)
     base = min(l0, k)
 
     def emit(dy, t, s0):
-        """±emission of sweep tensor ``t`` whose window starts at tape
-        cell ``s0``. The revealed cells inside the window form one
-        contiguous digit run (the revealed region is contiguous), and
-        ``t``'s support has exactly the original digits there — so the
-        -original/+adjusted scatter is two *static sub-slice* adds of
-        size A^k / A^run instead of full-width ops.
-        """
         q_lo = max(0, s0)
         q_hi = min(l0 - 1, s0 + k - 1)
-        c_lo = q_lo - s0  # window coord of the run start
+        c_lo = q_lo - s0  # window coord of the revealed-run start
         run = q_hi - q_lo + 1
         hi = a**c_lo
         lo = a ** (k - c_lo - run)
-        o_sub = _rank(o[q_lo:q_hi + 1], a)
-        a_sub = _rank(adj[q_lo:q_hi + 1], a)
+        # Unique (orig, adj) run ranks: members merged by _group_plans
+        # share their whole emission, so one slice moves their sum.
+        pairs = sorted({_emit_sub_ranks(m, s0, k, a) for m in members})
+        o_subs = np.array([x[0] for x in pairs])
+        a_subs = np.array([x[1] for x in pairs])
         t3 = t.reshape(hi, a**run, lo)
-        sub = t3[:, o_sub, :]
+        sub = t3[:, o_subs, :]
         d3 = dy.reshape(hi, a**run, lo)
-        d3 = d3.at[:, o_sub, :].add(-sub).at[:, a_sub, :].add(sub)
+        d3 = d3.at[:, o_subs, :].add(-sub).at[:, a_subs, :].add(sub)
         return d3.reshape(-1)
+
+    def onehot_sum(size, ranks):
+        return jnp.zeros(size, dtype).at[np.array(ranks)].add(w_vec)
 
     if l0 <= k:
         if l0 <= k - 1:
-            v = jnp.zeros(a**l0, dtype).at[_rank(o, a)].set(w)
+            v = onehot_sum(a**l0, [_rank(m.orig, a) for m in members])
             for j in range(l0 + 1, k):
                 v = r_le[j] * jnp.tile(v, a)
             ctx = v  # [A^(k-1)] right-sweep start (all k-1 frames)
             uk = r_le[k] * jnp.tile(v, a)
         else:  # l0 == k
-            uk = jnp.zeros(a**k, dtype).at[_rank(o, a)].set(w)
-            ctx = jnp.zeros(a ** (k - 1), dtype).at[
-                _rank(o[1:], a)].set(w)
+            uk = onehot_sum(a**k, [_rank(m.orig, a) for m in members])
+            ctx = onehot_sum(a ** (k - 1),
+                             [_rank(m.orig[1:], a) for m in members])
     else:  # l0 > k: revealed region longer than the frame
         # Interior emissions at fully revealed windows (no factors),
-        # `tape_multiverse.scm` ln>cl_k branch.
+        # `tape_multiverse.scm` ln>cl_k branch. Duplicate ranks are fine:
+        # each member scatters its own weight.
         for j in range(1, l0 - k + 1):
             if any(j <= q <= j + k - 1 for q in changed):
-                dy = dy.at[_rank(o[j:j + k], a)].add(-w)
-                dy = dy.at[_rank(adj[j:j + k], a)].add(w)
-        uk = jnp.zeros(a**k, dtype).at[_rank(o[:k], a)].set(w)
-        ctx = jnp.zeros(a ** (k - 1), dtype).at[
-            _rank(o[l0 - k + 1:], a)].set(w)
+                o_r = np.array([_rank(m.orig[j:j + k], a) for m in members])
+                a_r = np.array([_rank(m.adj[j:j + k], a) for m in members])
+                dy = dy.at[o_r].add(-w_vec).at[a_r].add(w_vec)
+        uk = onehot_sum(a**k, [_rank(m.orig[:k], a) for m in members])
+        ctx = onehot_sum(a ** (k - 1),
+                         [_rank(m.orig[l0 - k + 1:], a) for m in members])
 
     # Phase C: emit the length-k frame, then left-shift while changed.
-    m_l = base - 1 - q_min
     um = uk
     for m in range(0, m_l + 1):
         if m > 0:
@@ -256,7 +318,6 @@ def _apply_plan(dy, plan: SigPlan, w, r_le, r_re, a: int, k: int, dtype):
         dy = emit(dy, um, base - k - m)
 
     # Phase B: right-extend while a changed cell stays in context.
-    m_r = k - l0 + q_max
     for m in range(1, m_r + 1):
         t = jnp.repeat(ctx, a) * r_re
         dy = emit(dy, t, l0 + m - k)
@@ -301,8 +362,10 @@ def dy_dt_dense(prog: DenseProgram, tables, p: jax.Array) -> jax.Array:
     r_re = guard(lv[k], jnp.repeat(lv[k - 1], a))
 
     dy = jnp.zeros(a**k, dtype)
-    for plan in prog.plans:
-        dy = _apply_plan(dy, plan, s[plan.sid], r_le, r_re, a, k, dtype)
+    for l0, changed, members in _group_plans(prog.plans, a, k):
+        sids = jnp.asarray([m.sid for m in members], jnp.int32)
+        dy = _apply_group(dy, l0, changed, members, s[sids],
+                          r_le, r_re, a, k, dtype)
     return dy
 
 
