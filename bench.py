@@ -30,10 +30,11 @@ def bench_ensemble():
 
     from chemical_kinetics_and_program_execution_tpu.engine import ensemble
 
-    table = ensemble.compile_transition_table("ex5-msrtf-machine")
-    # float32 outcome-sampling: avoids f64 emulation on TPU; resolution
-    # loss only matters for outcome probabilities below ~1e-7.
-    dt = ensemble.device_table(table, dtype=jnp.float32)
+    # Gather-free decision-machine kernel (the transition-table kernel is
+    # its bit-exact cross-check, `tests/test_ensemble.py`). float32
+    # outcome sampling; resolution loss only matters for outcome
+    # probabilities below ~1e-7.
+    dt = ensemble.compile_decision_machine("ex5-msrtf-machine")
 
     # ~16.8M tape sites per batch; events at ~3% density per round.
     B = int(os.environ.get("CKPE_BENCH_B", "4096"))
@@ -77,7 +78,8 @@ def bench_ensemble():
         "B": B, "L": L, "steps": steps * n_rep, "events_per_step": events,
         "transitions": total,
         "rates": [f"{r:.3e}" for r in rates],
-        "table": table.summary(),
+        "machine": f"{dt.tag}: {len(dt.nodes)} decision nodes, "
+                   f"{dt.num_specs} write specs, span {dt.span}",
     }
 
 

@@ -209,6 +209,240 @@ def compile_transition_table(tag: str, *, max_rows: int = 5_000_000,
     )
 
 
+# --- Decision machine: gather-free outcome resolution ------------------------
+#
+# The transition table resolves outcomes with device gathers
+# (`out_cum[rows]`, `out_world[rows, k]`, `wr_mask[spec]`), which dominate
+# the round cost on TPU (~20 of 25 ms at 1M events: gathers serialise).
+# The rule's *decision tree* is tiny (tens of nodes), so the same function
+# evaluates gather-free as a vectorized FSM: one masked transition per
+# internal node (branch index = a window cell for reveals, an
+# inverse-CDF threshold count for chooses, with the uniform renormalised
+# into the chosen branch — exactly the table's lexicographic cumulative
+# sampling), and write specs decoded from bit-packed per-node constants.
+
+
+@dataclasses.dataclass(frozen=True)
+class _Reveal:
+    node_id: int
+    cell: int  # column in the combined window-cell tensor
+    first_child: int
+    packed_spec: int  # 6-bit spec id per branch (leaves only)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Choose:
+    node_id: int
+    probs: tuple[float, ...]
+    first_child: int
+    packed_spec: int
+
+
+_SPEC_BITS = 6  # up to 63 write specs; arity*6 must fit in int64
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("p_offs", "d_offs"),
+    meta_fields=("tag", "size_a", "span", "p_lo", "d_lo", "n_p", "n_d",
+                 "nodes", "wr_maskbits", "wr_valwords", "num_specs"),
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceMachine:
+    """Compiled decision machine (static metadata + window offsets)."""
+
+    tag: str
+    size_a: int
+    p_lo: int
+    d_lo: int
+    n_p: int
+    n_d: int
+    span: int
+    p_offs: jax.Array
+    d_offs: jax.Array
+    nodes: tuple  # _Reveal/_Choose in BFS order (parents first)
+    # Per-cell packed write info: bit s of wr_maskbits[c] = does spec s
+    # write cell c; wr_valwords[c] = tuple of int64 words, 15 specs per
+    # word, 4 bits per written symbol value.
+    wr_maskbits: tuple[int, ...]
+    wr_valwords: tuple[tuple[int, ...], ...]
+    num_specs: int
+
+    @property
+    def n_cells(self) -> int:
+        return self.n_p + self.n_d
+
+
+def compile_decision_machine(tag: str, *, max_worlds: int | None = None
+                             ) -> DeviceMachine:
+    """Compiles a rule's decision tree to the gather-free FSM form."""
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    worlds = enum_mod.enumerate_worlds(problem, 2, max_worlds=max_worlds)
+
+    p_lo = min(min((-w.tape_cells[0][0] for w in worlds), default=0), 0)
+    p_hi = max(max((len(w.tape_cells[0][1]) - w.tape_cells[0][0] - 1
+                    for w in worlds), default=-1), 0)
+    d_lo = min(min((-w.tape_cells[1][0] for w in worlds), default=0), 0)
+    d_hi = max(max((len(w.tape_cells[1][1]) - w.tape_cells[1][0] - 1
+                    for w in worlds), default=-1), 0)
+    n_p = p_hi - p_lo + 1
+    n_d = d_hi - d_lo + 1
+    n_cells = n_p + n_d
+
+    # Deduplicated write specs (same construction as the table compiler).
+    wr_specs: dict[tuple, int] = {}
+    wr_mask_list: list[np.ndarray] = []
+    wr_val_list: list[np.ndarray] = []
+    leaf_spec: dict[tuple[int, ...], int] = {}
+    for w in worlds:
+        mask = np.zeros(n_cells, bool)
+        val = np.zeros(n_cells, np.int32)
+        for t, (lo, base) in enumerate(((p_lo, 0), (d_lo, n_p))):
+            l_len, orig, adj = w.tape_cells[t]
+            for i, (o, adj_v) in enumerate(zip(orig, adj)):
+                if o != adj_v:
+                    cell = base + (i - l_len) - lo
+                    mask[cell] = True
+                    val[cell] = adj_v
+        key = (tuple(np.flatnonzero(mask)), tuple(val[mask]))
+        if key not in wr_specs:
+            wr_specs[key] = len(wr_mask_list)
+            wr_mask_list.append(mask)
+            wr_val_list.append(val)
+        leaf_spec[w.decisions] = wr_specs[key]
+    num_specs = len(wr_mask_list)
+    if num_specs > (1 << _SPEC_BITS) - 1:
+        raise ValueError(
+            f"{tag!r}: {num_specs} write specs exceed the {_SPEC_BITS}-bit "
+            "packing of the decision machine; use the transition table."
+        )
+
+    # Trie over decision sequences (meta consistent across shared
+    # prefixes because replay is deterministic).
+    trie: dict = {"children": {}, "meta": None}
+    for w in worlds:
+        cur = trie
+        for depth, v in enumerate(w.decisions):
+            cur["meta"] = w.decision_meta[depth]
+            cur = cur["children"].setdefault(
+                v, {"children": {}, "meta": None})
+        cur["spec"] = leaf_spec[w.decisions]
+
+    # BFS numbering with consecutive children blocks.
+    nodes: list = []
+    queue = [(trie, 0)]
+    next_id = 1
+    while queue:
+        node, nid = queue.pop(0)
+        if node["meta"] is None:  # leaf (possible only at the root for
+            continue              # rules that never read anything)
+        meta = node["meta"]
+        arity = (size_a if meta[0] == "reveal" else len(meta[1]))
+        first_child = next_id
+        packed = 0
+        for b in range(arity):
+            child = node["children"][b]
+            if child["meta"] is None and "spec" in child:
+                packed |= child["spec"] << (_SPEC_BITS * b)
+            queue.append((child, first_child + b))
+        next_id += arity
+        if arity * _SPEC_BITS > 63:
+            raise ValueError(
+                f"{tag!r}: node arity {arity} too wide for spec packing."
+            )
+        if meta[0] == "reveal":
+            _, data_tape, index = meta
+            cell = (n_p + index - d_lo) if data_tape else (index - p_lo)
+            nodes.append(_Reveal(nid, cell, first_child, packed))
+        else:
+            nodes.append(_Choose(nid, meta[1], first_child, packed))
+
+    return DeviceMachine(
+        tag=tag,
+        size_a=size_a,
+        p_lo=p_lo,
+        d_lo=d_lo,
+        n_p=n_p,
+        n_d=n_d,
+        span=max(p_hi - p_lo, d_hi - d_lo) + 1,
+        p_offs=jnp.arange(p_lo, p_hi + 1, dtype=jnp.int32),
+        d_offs=jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32),
+        nodes=tuple(nodes),
+        wr_maskbits=tuple(
+            int(sum(int(wr_mask_list[s][c]) << s
+                    for s in range(num_specs)))
+            for c in range(n_cells)
+        ),
+        wr_valwords=tuple(
+            tuple(
+                int(sum(int(wr_val_list[s][c]) << (4 * (s - 15 * wd))
+                        for s in range(15 * wd,
+                                       min(15 * (wd + 1), num_specs))))
+                for wd in range((num_specs + 14) // 15)
+            )
+            for c in range(n_cells)
+        ),
+        num_specs=num_specs,
+    )
+
+
+def _machine_specs(dm: DeviceMachine, cells, uniforms):
+    """Vectorized FSM walk: window cells + one uniform -> write spec.
+
+    Equivalent to the table's row lookup + cumulative outcome sampling
+    (the uniform is renormalised into each chosen branch, which is the
+    inverse-CDF of the joint outcome distribution in decision order —
+    the exact order the table's cumulative rows use).
+    """
+    state = jnp.zeros(cells.shape[:-1], jnp.int32)
+    spec = jnp.zeros_like(state)
+    u = uniforms
+    for node in dm.nodes:
+        mask = state == node.node_id
+        if isinstance(node, _Reveal):
+            b = cells[..., node.cell]
+        else:
+            cum = np.cumsum(np.asarray(node.probs))
+            b = jnp.zeros_like(state)
+            lo = jnp.zeros_like(u)
+            width = jnp.full_like(u, max(node.probs[0], 1e-30))
+            for j in range(1, len(node.probs)):
+                sel = u >= cum[j - 1]
+                b = jnp.where(sel, j, b)
+                lo = jnp.where(sel, cum[j - 1], lo)
+                width = jnp.where(sel, max(node.probs[j], 1e-30), width)
+            u = jnp.where(mask, (u - lo) / width, u)
+        state = jnp.where(mask, node.first_child + b, state)
+        node_spec = jnp.right_shift(
+            jnp.int64(node.packed_spec), _SPEC_BITS * b.astype(jnp.int64)
+        ) & ((1 << _SPEC_BITS) - 1)
+        spec = jnp.where(mask, node_spec.astype(jnp.int32), spec)
+    return spec
+
+
+def _machine_writes(dm: DeviceMachine, spec, cells):
+    """Applies write specs to window cells via bit-unpacking (no gathers).
+
+    Returns the new combined window-cell tensor.
+    """
+    spec64 = spec.astype(jnp.int64)
+    outs = []
+    for c in range(dm.n_cells):
+        writes = (
+            jnp.right_shift(jnp.int64(dm.wr_maskbits[c]), spec64) & 1
+        ) == 1
+        val = jnp.zeros_like(spec)
+        for wd, word in enumerate(dm.wr_valwords[c]):
+            in_word = (spec >= 15 * wd) & (spec < 15 * (wd + 1))
+            v = jnp.right_shift(
+                jnp.int64(word), 4 * (spec64 - 15 * wd)
+            ) & 15
+            val = jnp.where(in_word, v.astype(jnp.int32), val)
+        outs.append(jnp.where(writes, val, cells[..., c]))
+    return jnp.stack(outs, axis=-1)
+
+
 # --- Runtime kernel ----------------------------------------------------------
 
 
@@ -376,6 +610,27 @@ def _apply_lattice_round(dt: DeviceTable, ptape, dtape, shift, uniforms):
     return ptape, dtape
 
 
+def _apply_lattice_round_fsm(dm: DeviceMachine, ptape, dtape, shift,
+                             uniforms):
+    """Gather-free twin of :func:`_apply_lattice_round` on a
+    :class:`DeviceMachine`: same dense roll/reshape tape access, with
+    outcome resolution and writes as vectorized FSM/bit ops."""
+    B, L = ptape.shape
+    E = uniforms.shape[1]
+    stride = L // E
+    rp = _roll_cols(ptape, shift + dm.p_lo).reshape(B, E, stride)
+    rd = _roll_cols(dtape, shift + dm.d_lo).reshape(B, E, stride)
+    cells = jnp.concatenate(
+        [rp[:, :, :dm.n_p], rd[:, :, :dm.n_d]], axis=-1)
+    spec = _machine_specs(dm, cells, uniforms)
+    new_cells = _machine_writes(dm, spec, cells)
+    rp = rp.at[:, :, :dm.n_p].set(new_cells[..., :dm.n_p])
+    rd = rd.at[:, :, :dm.n_d].set(new_cells[..., dm.n_p:])
+    ptape = _roll_cols(rp.reshape(B, L), -(shift + dm.p_lo))
+    dtape = _roll_cols(rd.reshape(B, L), -(shift + dm.d_lo))
+    return ptape, dtape
+
+
 @partial(jax.jit, static_argnums=(3,))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
     """Advances a batch of tape pairs with stratified lattice rounds.
@@ -414,14 +669,17 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
             f"{dtable.span}; lower events_per_step"
         )
 
+    is_machine = isinstance(dtable, DeviceMachine)
+    u_dtype = jnp.float32 if is_machine else dtable.out_cum.dtype
+    round_fn = _apply_lattice_round_fsm if is_machine \
+        else _apply_lattice_round
+
     def step(carry, k):
         pt, dti = carry
         k1, k2 = jax.random.split(k)
         shift = jax.random.randint(k1, (), 0, L, dtype=jnp.int32)
-        uniforms = jax.random.uniform(
-            k2, (B, events), dtype=dtable.out_cum.dtype
-        )
-        pt, dti = _apply_lattice_round(dtable, pt, dti, shift, uniforms)
+        uniforms = jax.random.uniform(k2, (B, events), dtype=u_dtype)
+        pt, dti = round_fn(dtable, pt, dti, shift, uniforms)
         return (pt, dti), None
 
     keys = jax.random.split(key, num_steps)

@@ -47,6 +47,11 @@ class World:
     # transition-table compiler (`engine/ensemble.py`); the SPD
     # accumulator only needs the alignment-free signatures above.
     tape_cells: tuple[tuple[int, tuple[int, ...], tuple[int, ...]], ...] = ()
+    # Per-decision metadata, aligned with ``decisions``:
+    # ("reveal", data_tape?, site-relative cell index) or
+    # ("choose", normalised weights tuple). Drives the ensemble-mode
+    # decision-machine compiler.
+    decision_meta: tuple = ()
 
 
 class _TapeState:
@@ -128,6 +133,7 @@ class _Replay:
         self.tapes = (_TapeState(), _TapeState())
         self.guide = guide
         self.weight = 1.0  # path weight under the guide's p_ref
+        self.meta: list = []  # per-decision metadata (reveal/choose)
 
     def _check_weight(self) -> None:
         if self.guide is not None and self.weight < self.guide.threshold:
@@ -142,6 +148,11 @@ class _Replay:
 
     def _reveal(self, tape: _TapeState, to_right: bool) -> None:
         a = self.size_a
+        self.meta.append((
+            "reveal",
+            tape is self.tapes[1],
+            tape.r_len if to_right else -(tape.l_len + 1),
+        ))
         visible = tape.l_len + tape.r_len
         cl_eff = min(self.cl_k, visible + 1)
         ctx_len = cl_eff - 1
@@ -182,6 +193,7 @@ class _Replay:
         tape.adj[index + tape.l_len] = int(value)
 
     def choose(self, probs: list[float]) -> int:
+        self.meta.append(("choose", tuple(float(x) for x in probs)))
         k = self._decide(len(probs))
         # Weight clipping as in `mv-state-unfold-for-choose`
         # (`tape_multiverse.scm:617`); zero-weight branches are still
@@ -208,6 +220,7 @@ class _Replay:
                 (tp.l_len, tuple(tp.orig), tuple(tp.adj))
                 for tp in self.tapes
             ),
+            decision_meta=tuple(self.meta),
         )
 
 

@@ -144,6 +144,52 @@ def test_lattice_round_matches_scatter_formulation():
     np.testing.assert_array_equal(np.asarray(ld[0]), np.asarray(sd))
 
 
+@pytest.mark.parametrize("tag", [
+    "ex5-msrtf-machine",          # deterministic rule, 12 write specs
+    "ex2-ferromagnetic-chain",    # choose-based branching
+    "ex3-copolymerization",       # two tapes, multi-cell writes
+    "ex4-chemical-turing",        # 9 symbols, nested chooses
+])
+def test_decision_machine_matches_table_round(tag):
+    """The gather-free FSM kernel must reproduce the transition-table
+    round bit-for-bit, including choose sampling (the renormalised
+    uniform walk is the table's lexicographic inverse-CDF)."""
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    table = ensemble.compile_transition_table(tag)
+    dt = ensemble.device_table(table)
+    dm = ensemble.compile_decision_machine(tag)
+    assert dm.span == table.span
+    rng = np.random.RandomState(1)
+    B, L, E = 4, 256, 8
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dtp = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    shift = jnp.asarray(13, jnp.int32)
+    uniforms = jnp.asarray(rng.rand(B, E))
+    want = ensemble._apply_lattice_round(dt, pt, dtp, shift, uniforms)
+    got = ensemble._apply_lattice_round_fsm(dm, pt, dtp, shift, uniforms)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_run_ensemble_accepts_decision_machine():
+    import jax
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    pt = jnp.zeros((2, 128), jnp.int32)
+    dtp = jnp.zeros((2, 128), jnp.int32)
+    (pt2, _), (applied, times) = ensemble.run_ensemble(
+        jax.random.PRNGKey(0), (pt, dtp), dm, (4, 8))
+    assert int(np.asarray(applied).sum()) == 2 * 8 * 4
+    assert np.asarray(times).shape == (4,)
+    assert np.asarray(pt2).shape == (2, 128)
+
+
 def test_weighted_frontier_tracks_exact_spd():
     """Top-k frontier mode (BASELINE config 5): the weighted window
     statistics must track the exact SPD ODE (beam-pruning bias allowed
