@@ -36,8 +36,8 @@ def bench_ensemble():
     # probabilities below ~1e-7.
     dt = ensemble.compile_decision_machine("ex5-msrtf-machine")
 
-    # ~16.8M tape sites per batch; events at ~3% density per round.
-    B = int(os.environ.get("CKPE_BENCH_B", "4096"))
+    # ~67M tape sites per batch; events at ~6% density per round.
+    B = int(os.environ.get("CKPE_BENCH_B", "16384"))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
     steps = int(os.environ.get("CKPE_BENCH_STEPS", "10"))
     events = max(1, L // 16)
@@ -127,6 +127,31 @@ def bench_exact_rhs():
     }
 
 
+def bench_config5():
+    """BASELINE config 5: a 10^7-tape ex5 ensemble in lockstep."""
+    import jax
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    B = int(os.environ.get("CKPE_BENCH_C5_B", "10000000"))
+    L, E, steps = 32, 2, 10
+    key = jax.random.PRNGKey(0)
+    pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
+    dtp = jnp.zeros((B, L), jnp.int32)
+    (pt, dtp), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(1), (pt, dtp), dm, (steps, E))
+    int(jnp.sum(pt.astype(jnp.int64)))  # sync
+    t0 = time.time()
+    (pt, dtp), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(2), (pt, dtp), dm, (steps, E))
+    int(jnp.sum(pt.astype(jnp.int64)))
+    elapsed = time.time() - t0
+    return B * E * steps / elapsed, {"tapes": B, "L": L,
+                                     "elapsed_s": round(elapsed, 3)}
+
+
 def bench_ssa():
     """SSA trajectory throughput (BASELINE: "SSA trajectories/sec")."""
     import numpy as np
@@ -168,6 +193,12 @@ def main():
         print(f"# SSA: {sps:.3e} trajectories/s {sinfo}", file=sys.stderr)
     except Exception as e:
         print(f"# SSA bench skipped: {e}", file=sys.stderr)
+    try:
+        c5, cinfo = bench_config5()
+        print(f"# config5 (1e7-tape ensemble): {c5:.3e} transitions/s "
+              f"{cinfo}", file=sys.stderr)
+    except Exception as e:
+        print(f"# config5 bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
