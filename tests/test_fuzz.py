@@ -1,0 +1,143 @@
+"""Random-rule fuzzing of the engine stack.
+
+Generates random reaction rules (random reads at random offsets on both
+tapes, value-dependent branching, weighted chooses, writes of constants
+or derived values) and cross-validates the dense transfer-matrix engine
+against both the independent host accumulator (`engine/reference.py`)
+and the padded-chain gather kernel, plus the ensemble decision machine
+against the transition table. This exercises structural edge cases the
+curated problem library cannot: long revealed regions (L0 > cl_k),
+non-adjacent changed cells, signature-group collisions, mixed-tape
+writes.
+"""
+
+import numpy as np
+import pytest
+
+from chemical_kinetics_and_program_execution_tpu.engine import (
+    dense,
+    dsl,
+    ensemble,
+    rhs,
+)
+from chemical_kinetics_and_program_execution_tpu.engine.compile import (
+    compile_problem,
+)
+from chemical_kinetics_and_program_execution_tpu.engine.reference import (
+    dy_dt_reference,
+)
+
+
+def _gen_program(rng, size_a, depth):
+    """Random replayable program: list of statements over a Tape."""
+    n = rng.randint(1, 3)
+    prog = []
+    for _ in range(n):
+        kind = rng.choice(
+            ["get_branch", "set", "choose_branch", "copy"]
+            if depth > 0 else ["set", "copy"]
+        )
+        tape = bool(rng.randint(2))
+        idx = int(rng.randint(-1, 3))
+        if kind == "get_branch":
+            prog.append((
+                "get_branch", tape, idx,
+                [_gen_program(rng, size_a, depth - 1)
+                 for _ in range(size_a)],
+            ))
+        elif kind == "choose_branch":
+            n_opts = int(rng.randint(2, 4))
+            w = rng.rand(n_opts) + 0.1
+            prog.append((
+                "choose_branch", tuple(w / w.sum()),
+                [_gen_program(rng, size_a, depth - 1)
+                 for _ in range(n_opts)],
+            ))
+        elif kind == "set":
+            prog.append(("set", tape, idx, int(rng.randint(size_a))))
+        else:  # copy cell -> other tape, shifted value
+            src = bool(rng.randint(2))
+            prog.append(("copy", src, idx, not src, int(rng.randint(-1, 2))))
+    return prog
+
+
+def _run_program(t, prog, size_a):
+    for stmt in prog:
+        if stmt[0] == "get_branch":
+            _, tape, idx, branches = stmt
+            v = t.get(tape, idx)
+            _run_program(t, branches[v], size_a)
+        elif stmt[0] == "choose_branch":
+            _, weights, branches = stmt
+            k = t.vector_choose(list(weights), list(range(len(branches))))
+            _run_program(t, branches[k], size_a)
+        elif stmt[0] == "set":
+            _, tape, idx, val = stmt
+            t.set(tape, idx, val)
+        else:
+            _, src, idx, dst, didx = stmt
+            v = t.get(src, idx)
+            t.set(dst, idx + didx, (v + 1) % size_a)
+
+
+def _register_random(seed, size_a):
+    tag = f"_fuzz-{size_a}-{seed}"
+    if tag in dsl.registered_problems():
+        return tag
+    rng = np.random.RandomState(seed)
+    prog = _gen_program(rng, size_a, depth=2)
+
+    @dsl.register_problem(tag, symbols=tuple(f"S{i}" for i in range(size_a)))
+    def rule(t, prog=prog, size_a=size_a):
+        _run_program(t, prog, size_a)
+
+    return tag
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_dense_vs_reference_and_chain(seed):
+    size_a = 2 + seed % 2
+    cl_k = 3
+    tag = _register_random(seed, size_a)
+    prog = dense.compile_dense(tag, cl_k)
+    if prog.num_signatures > 120:
+        pytest.skip(f"{prog.num_signatures} signatures: graph too large "
+                    "for a unit-test compile budget")
+    f_dense = dense.make_dense_dy_dt(prog)
+    f_chain = rhs.make_chain_dy_dt(compile_problem(tag, cl_k,
+                                                   use_cache=False))
+    rng = np.random.RandomState(1000 + seed)
+    for trial in range(2):
+        p = rng.dirichlet(np.ones(size_a**cl_k))
+        if trial:
+            p[0] = -1e-13  # noise-guard regime
+        got = np.asarray(f_dense(p))
+        np.testing.assert_allclose(
+            got, dy_dt_reference(tag, cl_k, p), rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(
+            got, np.asarray(f_chain(p)), rtol=1e-12, atol=1e-15)
+        assert abs(got.sum()) < 1e-13  # probability conservation
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_decision_machine_vs_table(seed):
+    import jax.numpy as jnp
+
+    size_a = 2 + seed % 2
+    tag = _register_random(seed, size_a)
+    table = ensemble.compile_transition_table(tag)
+    dt = ensemble.device_table(table)
+    try:
+        dm = ensemble.compile_decision_machine(tag)
+    except ValueError as e:
+        pytest.skip(str(e))  # >63 write specs: table kernel territory
+    rng = np.random.RandomState(2000 + seed)
+    B, L, E = 3, 128, 4
+    pt = jnp.asarray(rng.randint(0, size_a, (B, L)), jnp.int32)
+    dtp = jnp.asarray(rng.randint(0, size_a, (B, L)), jnp.int32)
+    shift = jnp.asarray(int(rng.randint(L)), jnp.int32)
+    uniforms = jnp.asarray(rng.rand(B, E))
+    want = ensemble._apply_lattice_round(dt, pt, dtp, shift, uniforms)
+    got = ensemble._apply_lattice_round_fsm(dm, pt, dtp, shift, uniforms)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
