@@ -158,15 +158,32 @@ def bench_ssa():
 
     from chemical_kinetics_and_program_execution_tpu.models import gillespie
 
+    import jax
+    import jax.numpy as jnp
+
     net = gillespie.autocatalysis_network(
         1.0, 100.0, 1.0, 1.0, 100.0, 1.0, 10.0, 2.0
     )
-    n0 = np.array([0, 0, 2000])
-    B = int(os.environ.get("CKPE_BENCH_SSA_B", "1024"))
+    n0 = (0, 0, 2000)
+    static = (
+        tuple(map(tuple, net.reactants.tolist())),
+        tuple(map(tuple, net.products.tolist())),
+        tuple(net.rates.tolist()),
+    )
+    B = int(os.environ.get("CKPE_BENCH_SSA_B", "65536"))
     E = int(os.environ.get("CKPE_BENCH_SSA_E", "1000"))
-    gillespie.run_ssa_ensemble(net, n0, B, E, seed=0)  # compile
+
+    def run(seed):
+        ts, ns = gillespie.ssa_batch(jax.random.PRNGKey(seed), n0,
+                                     static, E, B)
+        # Device-side checksum: times the simulation, not the transfer
+        # of the full [B, E, S] jump chains over the host link.
+        return float(jnp.sum(ns[:, -1, :].astype(jnp.int64)) +
+                     jnp.sum(ts[:, -1]))
+
+    run(0)  # compile
     t0 = time.time()
-    gillespie.run_ssa_ensemble(net, n0, B, E, seed=1)
+    run(1)
     dt = time.time() - t0
     return B / dt, {"trajectories": B, "events_each": E,
                     "events_per_s": f"{B * E / dt:.3e}"}

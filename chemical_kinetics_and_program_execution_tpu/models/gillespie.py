@@ -139,15 +139,75 @@ def ssa_trajectories(key, n0, network_static, num_events):
     return ts, ns
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def ssa_batch(key, n0, network_static, num_events, batch):
+    """Batch-native SSA: the whole ensemble advances one reaction event
+    per scan step, laid out species/reaction-major (``[S, B]``/``[R, B]``)
+    so the batch rides the TPU lane dimension (a ``vmap`` over the
+    per-trajectory stepper leaves the tiny R/S axes innermost, padding
+    every vector 10 -> 128). The state update is a one-hot
+    stoichiometry matmul — gather-free.
+
+    Returns (times [B, E] float64, states [B, E, S] int32).
+    """
+    reactants_np = np.asarray(network_static[0])
+    max_order = int(reactants_np.max()) if reactants_np.size else 0
+    reactants, products, rates = (
+        jnp.asarray(np.asarray(x)) for x in network_static
+    )
+    n_r, n_s = reactants.shape
+    stoich_t = (products - reactants).astype(jnp.float32).T  # [S, R]
+
+    def step(carry, k):
+        t, n = carry  # t [B] f64, n [S, B] int32
+        nf = n.astype(jnp.float32)
+        prop = jnp.broadcast_to(
+            rates.astype(jnp.float32)[:, None], (n_r, nf.shape[1])
+        )
+        for j in range(max_order):
+            factor = jnp.where(
+                reactants[:, :, None] > j,
+                jnp.maximum(nf[None, :, :] - j, 0.0),
+                1.0,
+            )
+            prop = prop * jnp.prod(factor, axis=1)
+        total = prop.sum(axis=0)  # [B]
+        alive = total > 0
+        k1, k2 = jax.random.split(k)
+        dt = jnp.where(
+            alive,
+            jax.random.exponential(k1, total.shape, jnp.float32)
+            / jnp.maximum(total, 1e-30),
+            jnp.inf,
+        ).astype(jnp.float64)
+        u = jax.random.uniform(k2, total.shape, jnp.float32) * total
+        cum = jnp.cumsum(prop, axis=0)
+        r = jnp.minimum((u[None, :] >= cum).sum(axis=0), n_r - 1)  # [B]
+        onehot = (jnp.arange(n_r)[:, None] == r[None, :]).astype(
+            jnp.float32)  # [R, B]
+        delta = (stoich_t @ onehot).astype(jnp.int32)  # [S, B]
+        n_new = jnp.where(alive[None, :], n + delta, n)
+        t_new = t + dt
+        return (t_new, n_new), (t_new, n_new)
+
+    n0_b = jnp.broadcast_to(
+        jnp.asarray(n0, jnp.int32)[:, None], (n_s, batch)
+    )
+    keys = jax.random.split(key, num_events)
+    _, (ts, ns) = jax.lax.scan(
+        step, (jnp.zeros(batch, jnp.float64), n0_b), keys
+    )
+    return ts.T, jnp.transpose(ns, (2, 0, 1))
+
+
 def run_ssa_ensemble(network: ReactionNetwork, n0, num_trajectories,
                      num_events, seed=0):
-    """Vmapped SSA ensemble: returns (times [B, E], states [B, E, S])."""
+    """SSA ensemble: returns (times [B, E], states [B, E, S])."""
     static = (
         tuple(map(tuple, network.reactants.tolist())),
         tuple(map(tuple, network.products.tolist())),
         tuple(network.rates.tolist()),
     )
-    keys = jax.random.split(jax.random.PRNGKey(seed), num_trajectories)
-    fn = jax.vmap(lambda k: ssa_trajectories(k, n0, static, num_events))
-    ts, ns = fn(keys)
+    ts, ns = ssa_batch(jax.random.PRNGKey(seed), tuple(int(x) for x in n0),
+                       static, num_events, num_trajectories)
     return np.asarray(ts), np.asarray(ns)
