@@ -125,6 +125,7 @@ def ode_integrate_ivp(*, tag, size_a, cl_k, p0, ts,
             method=kwargs.pop("method", None),
             chunk_size=kwargs.pop("chunk_size", None),
             progress=kwargs.pop("progress", False),
+            checkpoint_path=kwargs.pop("checkpoint_path", None),
         )
     import scipy.integrate
 

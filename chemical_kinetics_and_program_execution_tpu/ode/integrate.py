@@ -21,7 +21,7 @@ from .dopri5 import odeint_dopri5
 
 def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
           method=None, max_steps=1_000_000, return_info=False,
-          chunk_size=None, progress=False):
+          chunk_size=None, progress=False, checkpoint_path=None):
     """Integrates ``dy/dt = fn(y, t)`` sampling at ``ts``.
 
     Returns an array of shape ``[len(ts), n]`` like
@@ -35,6 +35,12 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
     on remote/tunnelled accelerators need this: a single device program
     running for many minutes can trip transport watchdogs, and chunking
     also bounds per-call output memory and enables ``progress`` logging.
+
+    ``checkpoint_path`` (jax backend, chunked) makes the solve
+    crash-resumable: completed chunks stream into an ``.npy`` memmap at
+    that path with a JSON progress sidecar; re-invoking the same solve
+    resumes after the last completed chunk instead of restarting. The
+    files are removed on successful completion.
     """
     y0 = np.asarray(y0, dtype=np.float64).ravel()
     ts = np.asarray(ts, dtype=np.float64)
@@ -62,6 +68,36 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         start = 0
         import time as _time
 
+        mm = meta_path = None
+        if checkpoint_path:
+            import hashlib
+            import json
+
+            key = hashlib.sha1(
+                ts.tobytes() + y0.tobytes()
+                + f"{rtol}:{atol}:{name}".encode()
+            ).hexdigest()
+            meta_path = checkpoint_path + ".meta.json"
+            if os.path.exists(checkpoint_path) and os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if meta.get("key") == key:
+                    mm = np.lib.format.open_memmap(checkpoint_path,
+                                                   mode="r+")
+                    start = int(meta["next"])
+                    acc = int(meta.get("num_accepted", 0))
+                    rej = int(meta.get("num_rejected", 0))
+                    y = np.array(mm[start - 1])
+                    if progress:
+                        print(f"[ckpe.ode] resuming at sample {start}"
+                              f"/{n_out} from {checkpoint_path}",
+                              flush=True)
+            if mm is None:
+                mm = np.lib.format.open_memmap(
+                    checkpoint_path, mode="w+", dtype=np.float64,
+                    shape=(n_out, y0.size),
+                )
+
         t_begin = _time.time()
         while start < n_out:
             stop = min(start + chunk, n_out)
@@ -78,7 +114,20 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                 )
             acc += int(info["num_accepted"])
             rej += int(info["num_rejected"])
-            ys_parts.append(ys_c if start == 0 else ys_c[1:])
+            rows = ys_c if start == 0 else ys_c[1:]
+            if mm is not None:
+                import json
+
+                mm[start:stop] = rows
+                mm.flush()
+                tmp = meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"key": key, "next": stop,
+                               "num_accepted": acc,
+                               "num_rejected": rej}, f)
+                os.replace(tmp, meta_path)
+            else:
+                ys_parts.append(rows)
             y = ys_c[-1]
             if progress:
                 print(
@@ -88,8 +137,14 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                     flush=True,
                 )
             start = stop
-        ys = (np.concatenate(ys_parts, axis=0) if len(ys_parts) > 1
-              else ys_parts[0])
+        if mm is not None:
+            ys = np.array(mm)
+            del mm
+            os.remove(checkpoint_path)
+            os.remove(meta_path)
+        else:
+            ys = (np.concatenate(ys_parts, axis=0) if len(ys_parts) > 1
+                  else ys_parts[0])
         info = {"num_accepted": acc, "num_rejected": rej, "completed": True}
         return (ys, info) if return_info else ys
     if backend == "scipy":

@@ -130,6 +130,56 @@ def test_chunked_solve_matches_unchunked():
         np.testing.assert_allclose(chunked, full, rtol=1e-9, atol=1e-11)
 
 
+def test_checkpointed_solve_resumes_after_crash(tmp_path):
+    """A chunked solve killed mid-way must resume from its checkpoint
+    and produce the same trajectory as an uninterrupted run."""
+    from chemical_kinetics_and_program_execution_tpu import build_dy_dt
+
+    fn, _ = build_dy_dt("ex1-radioactive-decay", 3)
+    rhs = lambda y, t: fn(y)  # noqa: E731
+    p0 = np.full(8, 0.125)
+    ts = np.linspace(0.0, 3.0, 31)
+    kwargs = dict(rtol=1e-10, atol=1e-12, chunk_size=7)
+    full = solve(rhs, p0, ts, **kwargs)
+
+    ckpt = str(tmp_path / "solve.npy")
+    from chemical_kinetics_and_program_execution_tpu.ode import (
+        integrate as integ,
+    )
+
+    calls = {"n": 0}
+    orig_stepper = integ.odeint_dop853
+
+    def crashing_stepper(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:  # die after two completed chunks
+            raise KeyboardInterrupt
+        return orig_stepper(*a, **k)
+
+    integ.odeint_dop853 = crashing_stepper
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            solve(rhs, p0, ts, checkpoint_path=ckpt, **kwargs)
+    finally:
+        integ.odeint_dop853 = orig_stepper
+    assert (tmp_path / "solve.npy").exists()  # partial state persisted
+
+    counting = {"n": 0}
+
+    def counting_stepper(*a, **k):
+        counting["n"] += 1
+        return orig_stepper(*a, **k)
+
+    integ.odeint_dop853 = counting_stepper
+    try:
+        resumed = solve(rhs, p0, ts, checkpoint_path=ckpt, **kwargs)
+    finally:
+        integ.odeint_dop853 = orig_stepper
+    np.testing.assert_allclose(resumed, full, rtol=1e-9, atol=1e-12)
+    assert counting["n"] == 3  # 5 chunks total, 2 done pre-crash
+    assert not (tmp_path / "solve.npy").exists()  # cleaned up on success
+
+
 def test_ode_integrate_validates_p0():
     with pytest.raises(ValueError, match="not a subsequence probability"):
         markov_tapes.ode_integrate(
