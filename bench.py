@@ -165,11 +165,7 @@ def bench_ssa():
         1.0, 100.0, 1.0, 1.0, 100.0, 1.0, 10.0, 2.0
     )
     n0 = (0, 0, 2000)
-    static = (
-        tuple(map(tuple, net.reactants.tolist())),
-        tuple(map(tuple, net.products.tolist())),
-        tuple(net.rates.tolist()),
-    )
+    static = net.static
     B = int(os.environ.get("CKPE_BENCH_SSA_B", "65536"))
     E = int(os.environ.get("CKPE_BENCH_SSA_E", "1000"))
 

@@ -111,6 +111,32 @@ def _pad_chains(chains, one_slot, dtype=np.int32):
     return num, den
 
 
+def collect_signatures(worlds):
+    """Stage 1-2 collection shared by the compilers: keeps worlds that can
+    contribute (nonzero choose-weight product, at least one changed tape)
+    and maps each changed tape view to a deduplicated signature id.
+
+    Zero-weight and unchanged worlds contribute exactly 0 in the
+    reference as well.
+
+    Returns (live_worlds, sig_ids, pair_world, pair_sig).
+    """
+    live = []
+    sig_ids: dict[tuple[int, int, int], int] = {}
+    pair_world: list[int] = []
+    pair_sig: list[int] = []
+    for world in worlds:
+        changed = [s for s in world.tape_sigs if s[0] != s[1]]
+        if world.const == 0.0 or not changed:
+            continue
+        wi = len(live)
+        live.append(world)
+        for sig in changed:
+            pair_world.append(wi)
+            pair_sig.append(sig_ids.setdefault(sig, len(sig_ids)))
+    return live, sig_ids, pair_world, pair_sig
+
+
 def compile_problem(tag: str, cl_k: int, *, max_worlds: int | None = None,
                     use_cache: bool = True) -> CompiledProblem:
     problem = dsl.get_problem(tag)
@@ -132,23 +158,7 @@ def _compile(problem: dsl.Problem, cl_k: int,
     one_slot = pyr_total - 1
 
     worlds = enum_mod.enumerate_worlds(problem, cl_k, max_worlds=max_worlds)
-
-    # Keep only worlds that can ever contribute: nonzero choose-weight
-    # product and at least one changed tape. (Zero-weight and unchanged
-    # worlds contribute exactly 0 in the reference as well.)
-    live: list[enum_mod.World] = []
-    sig_ids: dict[tuple[int, int, int], int] = {}
-    pair_world: list[int] = []
-    pair_sig: list[int] = []
-    for world in worlds:
-        changed = [s for s in world.tape_sigs if s[0] != s[1]]
-        if world.const == 0.0 or not changed:
-            continue
-        wi = len(live)
-        live.append(world)
-        for sig in changed:
-            pair_world.append(wi)
-            pair_sig.append(sig_ids.setdefault(sig, len(sig_ids)))
+    live, sig_ids, pair_world, pair_sig = collect_signatures(worlds)
 
     w_num, w_den = _pad_chains([w.factors for w in live], one_slot)
     w_const = np.array([w.const for w in live], dtype=np.float64)

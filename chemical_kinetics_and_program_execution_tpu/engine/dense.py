@@ -48,7 +48,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..markov import pyramid_offsets
+from ..markov import (
+    guarded_ratio,
+    guarded_ratio_prod,
+    pyramid,
+    pyramid_offsets,
+)
 from . import dsl, enumerate as enum_mod
 
 
@@ -136,21 +141,9 @@ def compile_dense(tag: str, cl_k: int, *,
         guide = enum_mod.BeamGuide(p_ref, size_a, cl_k, prune_threshold)
     worlds = enum_mod.enumerate_worlds(problem, cl_k,
                                        max_worlds=max_worlds, guide=guide)
-    live: list[enum_mod.World] = []
-    sig_ids: dict[tuple[int, int, int], int] = {}
-    pair_world: list[int] = []
-    pair_sig: list[int] = []
-    for world in worlds:
-        changed = [s for s in world.tape_sigs if s[0] != s[1]]
-        if world.const == 0.0 or not changed:
-            continue
-        wi = len(live)
-        live.append(world)
-        for sig in changed:
-            pair_world.append(wi)
-            pair_sig.append(sig_ids.setdefault(sig, len(sig_ids)))
+    from .compile import _pad_chains, collect_signatures
 
-    from .compile import _pad_chains  # shared ragged-chain packer
+    live, sig_ids, pair_world, pair_sig = collect_signatures(worlds)
 
     w_num, w_den = _pad_chains([w.factors for w in live], one_slot)
     w_const = np.array([w.const for w in live], dtype=np.float64)
@@ -344,22 +337,16 @@ def dy_dt_dense(prog: DenseProgram, tables, p: jax.Array) -> jax.Array:
     )
 
     # Stages 1-2: world weights -> signature weights (tiny).
-    num = pyr[w_num]
-    den = pyr[w_den]
-    r = jnp.where(num > 0, num / jnp.maximum(num, den), 0.0)
-    wv = w_const * jnp.prod(r, axis=-1)
+    wv = w_const * guarded_ratio_prod(pyr, w_num, w_den)
     s = jax.ops.segment_sum(
         wv[pair_world], pair_sig, num_segments=prog.num_signatures
     )
 
     # Dense ratio tables (guarded), one per level.
-    def guard(n, d):
-        return jnp.where(n > 0, n / jnp.maximum(n, d), 0.0)
-
     r_le = [None] * (k + 1)
     for j in range(1, k + 1):
-        r_le[j] = guard(lv[j], jnp.tile(lv[j - 1], a))
-    r_re = guard(lv[k], jnp.repeat(lv[k - 1], a))
+        r_le[j] = guarded_ratio(lv[j], jnp.tile(lv[j - 1], a))
+    r_re = guarded_ratio(lv[k], jnp.repeat(lv[k - 1], a))
 
     dy = jnp.zeros(a**k, dtype)
     for l0, changed, members in _group_plans(prog.plans, a, k):
@@ -398,13 +385,8 @@ def make_dense_dy_dt(prog: DenseProgram, dtype=jnp.float64, jit=True,
 
     def fn(p):
         dy = dy_dt_dense(prog, tables, p)
-        from ..markov import pyramid
-
         pyr = pyramid(p.astype(dtype).reshape(-1), prog.size_a, prog.cl_k)
-        num = pyr[m_num]
-        den = pyr[m_den]
-        r = jnp.where(num > 0, num / jnp.maximum(num, den), 0.0)
-        mass = jnp.sum(m_const * jnp.prod(r, axis=-1))
+        mass = jnp.sum(m_const * guarded_ratio_prod(pyr, m_num, m_den))
         return dy, mass
 
     return jax.jit(fn) if jit else fn

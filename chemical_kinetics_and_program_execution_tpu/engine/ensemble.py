@@ -87,6 +87,40 @@ class TransitionTable:
         )
 
 
+def _window_bounds(worlds):
+    """Inclusive read-window extents (p_lo, p_hi, d_lo, d_hi) over all
+    execution paths' revealed cells."""
+    p_lo = min(min((-w.tape_cells[0][0] for w in worlds), default=0), 0)
+    p_hi = max(max((len(w.tape_cells[0][1]) - w.tape_cells[0][0] - 1
+                    for w in worlds), default=-1), 0)
+    d_lo = min(min((-w.tape_cells[1][0] for w in worlds), default=0), 0)
+    d_hi = max(max((len(w.tape_cells[1][1]) - w.tape_cells[1][0] - 1
+                    for w in worlds), default=-1), 0)
+    return p_lo, p_hi, d_lo, d_hi
+
+
+def _world_window_info(w, n_cells, n_p, p_lo, d_lo):
+    """One world's revealed cells and write set over the combined window.
+
+    Returns (fixed_cells, fixed_vals, write_mask, write_vals): the cells
+    the path revealed with their original symbols, and the cells it
+    changed with the adjusted symbols.
+    """
+    fixed_cells, fixed_vals = [], []
+    mask = np.zeros(n_cells, bool)
+    val = np.zeros(n_cells, np.int32)
+    for t, (lo, base) in enumerate(((p_lo, 0), (d_lo, n_p))):
+        l_len, orig, adj = w.tape_cells[t]
+        for i, (o, adj_v) in enumerate(zip(orig, adj)):
+            cell = base + (i - l_len) - lo
+            fixed_cells.append(cell)
+            fixed_vals.append(o)
+            if o != adj_v:
+                mask[cell] = True
+                val[cell] = adj_v
+    return fixed_cells, fixed_vals, mask, val
+
+
 def compile_transition_table(tag: str, *, max_rows: int = 5_000_000,
                              max_worlds: int | None = None
                              ) -> TransitionTable:
@@ -98,14 +132,7 @@ def compile_transition_table(tag: str, *, max_rows: int = 5_000_000,
     worlds = [w for w in enum_mod.enumerate_worlds(
         problem, 2, max_worlds=max_worlds) if w.const > 0.0]
 
-    p_lo = min((-w.tape_cells[0][0] for w in worlds), default=0)
-    p_hi = max((len(w.tape_cells[0][1]) - w.tape_cells[0][0] - 1
-                for w in worlds), default=-1)
-    d_lo = min((-w.tape_cells[1][0] for w in worlds), default=0)
-    d_hi = max((len(w.tape_cells[1][1]) - w.tape_cells[1][0] - 1
-                for w in worlds), default=-1)
-    p_lo, p_hi = min(p_lo, 0), max(p_hi, 0)
-    d_lo, d_hi = min(d_lo, 0), max(d_hi, 0)
+    p_lo, p_hi, d_lo, d_hi = _window_bounds(worlds)
     n_p = p_hi - p_lo + 1
     n_cells = n_p + (d_hi - d_lo + 1)
     num_rows = size_a**n_cells
@@ -123,18 +150,8 @@ def compile_transition_table(tag: str, *, max_rows: int = 5_000_000,
 
     row_chunks, world_chunks, const_chunks, order_chunks = [], [], [], []
     for n_world, w in enumerate(worlds):
-        fixed_cells, fixed_vals = [], []
-        mask = np.zeros(n_cells, bool)
-        val = np.zeros(n_cells, np.int32)
-        for t, (lo, base) in enumerate(((p_lo, 0), (d_lo, n_p))):
-            l_len, orig, adj = w.tape_cells[t]
-            for i, (o, a) in enumerate(zip(orig, adj)):
-                cell = base + (i - l_len) - lo
-                fixed_cells.append(cell)
-                fixed_vals.append(o)
-                if o != a:
-                    mask[cell] = True
-                    val[cell] = a
+        fixed_cells, fixed_vals, mask, val = _world_window_info(
+            w, n_cells, n_p, p_lo, d_lo)
         key = (tuple(np.flatnonzero(mask)), tuple(val[mask]))
         if key not in wr_specs:
             wr_specs[key] = len(wr_mask_list)
@@ -280,12 +297,7 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
     size_a = problem.size_a
     worlds = enum_mod.enumerate_worlds(problem, 2, max_worlds=max_worlds)
 
-    p_lo = min(min((-w.tape_cells[0][0] for w in worlds), default=0), 0)
-    p_hi = max(max((len(w.tape_cells[0][1]) - w.tape_cells[0][0] - 1
-                    for w in worlds), default=-1), 0)
-    d_lo = min(min((-w.tape_cells[1][0] for w in worlds), default=0), 0)
-    d_hi = max(max((len(w.tape_cells[1][1]) - w.tape_cells[1][0] - 1
-                    for w in worlds), default=-1), 0)
+    p_lo, p_hi, d_lo, d_hi = _window_bounds(worlds)
     n_p = p_hi - p_lo + 1
     n_d = d_hi - d_lo + 1
     n_cells = n_p + n_d
@@ -296,15 +308,7 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
     wr_val_list: list[np.ndarray] = []
     leaf_spec: dict[tuple[int, ...], int] = {}
     for w in worlds:
-        mask = np.zeros(n_cells, bool)
-        val = np.zeros(n_cells, np.int32)
-        for t, (lo, base) in enumerate(((p_lo, 0), (d_lo, n_p))):
-            l_len, orig, adj = w.tape_cells[t]
-            for i, (o, adj_v) in enumerate(zip(orig, adj)):
-                if o != adj_v:
-                    cell = base + (i - l_len) - lo
-                    mask[cell] = True
-                    val[cell] = adj_v
+        _, _, mask, val = _world_window_info(w, n_cells, n_p, p_lo, d_lo)
         key = (tuple(np.flatnonzero(mask)), tuple(val[mask]))
         if key not in wr_specs:
             wr_specs[key] = len(wr_mask_list)

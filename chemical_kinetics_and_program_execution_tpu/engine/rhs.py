@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..markov import guarded_ratio as _ratio
+from ..markov import guarded_ratio_prod as _ratio_prod
 from ..markov import pyramid
 from .compile import CompiledProblem
 from . import tree as tree_mod
@@ -105,14 +107,6 @@ def device_tables(compiled: CompiledProblem,
         ev_sign=jnp.asarray(ev_sign, dtype=dtype),
         ev_tgt=as_i32(ev_tgt),
     )
-
-
-def _ratio(num, den):
-    return jnp.where(num > 0, num / jnp.maximum(num, den), 0.0)
-
-
-def _ratio_prod(pyr, num_idx, den_idx):
-    return jnp.prod(_ratio(pyr[num_idx], pyr[den_idx]), axis=-1)
 
 
 def _signature_weights(tables, pyr):

@@ -171,6 +171,18 @@ def pyramid_offsets(size_a, cl_k):
     return offsets, pos + 1  # + 1 for the constant-1 slot
 
 
+def guarded_ratio(num, den):
+    """The reference's conditional-probability noise guard
+    (`tape_multiverse.scm:560-562, 1263-1269`):
+    ``num > 0 ? num / max(num, den) : 0`` — elementwise, device op."""
+    return jnp.where(num > 0, num / jnp.maximum(num, den), 0.0)
+
+
+def guarded_ratio_prod(pyr, num_idx, den_idx):
+    """Chain products of guarded ratios gathered from a flat pyramid."""
+    return jnp.prod(guarded_ratio(pyr[num_idx], pyr[den_idx]), axis=-1)
+
+
 def pyramid(p, size_a, cl_k):
     """Flat marginal-pyramid buffer for an SPD vector ``p`` (device op)."""
     p = jnp.asarray(p).reshape(-1)

@@ -38,6 +38,15 @@ class ReactionNetwork:
     def stoichiometry(self) -> np.ndarray:
         return self.products - self.reactants
 
+    @property
+    def static(self) -> tuple:
+        """Hashable form for jit static arguments."""
+        return (
+            tuple(map(tuple, self.reactants.tolist())),
+            tuple(map(tuple, self.products.tolist())),
+            tuple(self.rates.tolist()),
+        )
+
 
 def autocatalysis_network(c_form_a, c_auto_a, c_stab_a,
                           c_form_b, c_auto_b, c_stab_b,
@@ -203,11 +212,6 @@ def ssa_batch(key, n0, network_static, num_events, batch):
 def run_ssa_ensemble(network: ReactionNetwork, n0, num_trajectories,
                      num_events, seed=0):
     """SSA ensemble: returns (times [B, E], states [B, E, S])."""
-    static = (
-        tuple(map(tuple, network.reactants.tolist())),
-        tuple(map(tuple, network.products.tolist())),
-        tuple(network.rates.tolist()),
-    )
     ts, ns = ssa_batch(jax.random.PRNGKey(seed), tuple(int(x) for x in n0),
-                       static, num_events, num_trajectories)
+                       network.static, num_events, num_trajectories)
     return np.asarray(ts), np.asarray(ns)

@@ -11,7 +11,10 @@ Two backends:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import time
 
 import numpy as np
 
@@ -66,13 +69,8 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         y = y0
         acc = rej = 0
         start = 0
-        import time as _time
-
         mm = meta_path = None
         if checkpoint_path:
-            import hashlib
-            import json
-
             key = hashlib.sha1(
                 ts.tobytes() + y0.tobytes()
                 + f"{rtol}:{atol}:{name}".encode()
@@ -98,7 +96,7 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                     shape=(n_out, y0.size),
                 )
 
-        t_begin = _time.time()
+        t_begin = time.time()
         while start < n_out:
             stop = min(start + chunk, n_out)
             ts_chunk = ts[start:stop] if start == 0 else ts[start - 1:stop]
@@ -116,8 +114,6 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
             rej += int(info["num_rejected"])
             rows = ys_c if start == 0 else ys_c[1:]
             if mm is not None:
-                import json
-
                 mm[start:stop] = rows
                 mm.flush()
                 tmp = meta_path + ".tmp"
@@ -133,7 +129,7 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                 print(
                     f"[ckpe.ode] t={ts[stop - 1]:g}/{ts[-1]:g} "
                     f"steps={acc}(+{rej} rej) "
-                    f"{_time.time() - t_begin:.0f}s",
+                    f"{time.time() - t_begin:.0f}s",
                     flush=True,
                 )
             start = stop

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..markov import guarded_ratio_prod as _ratio_prod
 from ..markov import pyramid
 from ..engine.compile import CompiledProblem
 
@@ -110,13 +111,6 @@ def shard_event_tables(compiled: CompiledProblem,
         ev_sign=ev_sign,
         ev_tgt=ev_tgt,
     )
-
-
-def _ratio_prod(pyr, num_idx, den_idx):
-    num = pyr[num_idx]
-    den = pyr[den_idx]
-    return jnp.prod(jnp.where(num > 0, num / jnp.maximum(num, den), 0.0),
-                    axis=-1)
 
 
 def make_sharded_dy_dt(compiled: CompiledProblem, mesh: jax.sharding.Mesh,
