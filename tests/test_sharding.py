@@ -66,6 +66,39 @@ def test_dense_state_sharding_matches_single_ex4var2_geometry():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
 
 
+def test_ensemble_batch_axis_shards_across_devices():
+    """The lockstep tape ensemble is data-parallel over the mesh batch
+    axis: a batch-sharded `run_ensemble` must produce the same tapes as
+    the replicated run (GSPMD partitions the whole round; no collectives
+    are needed because rounds touch only the replica's own tapes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    mesh = make_mesh(n_batch=8, n_event=1)
+    sharding = NamedSharding(mesh, P("batch", None))
+    B, L = 16, 256
+    key = jax.random.PRNGKey(3)
+    pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
+    dtp = jnp.zeros((B, L), jnp.int32)
+
+    (want_p, want_d), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(4), (pt, dtp), dm, (3, 8))
+    pt_s = jax.device_put(pt, sharding)
+    dtp_s = jax.device_put(dtp, sharding)
+    (got_p, got_d), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(4), (pt_s, dtp_s), dm, (3, 8))
+    assert len(got_p.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+
 def test_sharded_event_axis_only(compiled):
     from chemical_kinetics_and_program_execution_tpu import make_dy_dt
     from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
