@@ -14,9 +14,10 @@ Three interchangeable exact kernels compute the same dy/dt:
 
 from __future__ import annotations
 
-# Above this many revealed-window signatures the unrolled dense graph
-# stops being worth its compile time; fall back to the tree kernel.
-DENSE_SIG_LIMIT = 512
+# Above this many signature *groups* (same-(length, changed-positions)
+# signatures share one sweep and batched emissions) the unrolled dense
+# graph stops being worth its compile time; fall back to the tree kernel.
+DENSE_GROUP_LIMIT = 600
 
 
 def build_dy_dt(tag: str, cl_k: int, *, dtype=None, jit: bool = True,
@@ -36,7 +37,9 @@ def build_dy_dt(tag: str, cl_k: int, *, dtype=None, jit: bool = True,
         from . import dense as dense_mod
 
         prog = dense_mod.compile_dense(tag, cl_k, max_worlds=max_worlds)
-        if engine == "dense" or prog.num_signatures <= DENSE_SIG_LIMIT:
+        n_groups = len(dense_mod._group_plans(
+            prog.plans, prog.size_a, prog.cl_k))
+        if engine == "dense" or n_groups <= DENSE_GROUP_LIMIT:
             return dense_mod.make_dense_dy_dt(prog, dtype=dtype, jit=jit), prog
     from . import rhs
     from .compile import compile_problem

@@ -48,9 +48,6 @@ def test_canary_golden_vector_exact():
 def test_compiled_matches_reference(tag, cl_k, engine):
     from chemical_kinetics_and_program_execution_tpu import build_dy_dt
 
-    if engine == "dense" and tag == "ex6-mini-bff-lite":
-        pytest.skip("thousands of signatures: dense graph too large "
-                    "(auto-dispatch picks the tree kernel)")
     fn, prog = build_dy_dt(tag, cl_k, engine=engine)
     rng = np.random.RandomState(hash(tag) % 2**31)
     for concentrated in (False, True):

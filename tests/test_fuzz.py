@@ -100,9 +100,10 @@ def test_fuzz_dense_vs_reference_and_chain(seed):
     cl_k = 3
     tag = _register_random(seed, size_a)
     prog = dense.compile_dense(tag, cl_k)
-    if prog.num_signatures > 120:
-        pytest.skip(f"{prog.num_signatures} signatures: graph too large "
-                    "for a unit-test compile budget")
+    n_groups = len(dense._group_plans(prog.plans, prog.size_a, prog.cl_k))
+    if n_groups > 60:
+        pytest.skip(f"{n_groups} sweep groups: graph too large for a "
+                    "unit-test compile budget")
     f_dense = dense.make_dense_dy_dt(prog)
     f_chain = rhs.make_chain_dy_dt(compile_problem(tag, cl_k,
                                                    use_cache=False))
