@@ -355,6 +355,11 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
             raise ValueError(
                 f"{tag!r}: node arity {arity} too wide for spec packing."
             )
+        if next_id > 32000:  # FSM state rides int16
+            raise ValueError(
+                f"{tag!r}: decision tree exceeds int16 state ids; "
+                "use the transition table."
+            )
         if meta[0] == "reveal":
             _, data_tape, index = meta
             cell = (n_p + index - d_lo) if data_tape else (index - p_lo)
@@ -397,23 +402,25 @@ def _machine_specs(dm: DeviceMachine, cells, uniforms):
     Equivalent to the table's row lookup + cumulative outcome sampling
     (the uniform is renormalised into each chosen branch, which is the
     inverse-CDF of the joint outcome distribution in decision order —
-    the exact order the table's cumulative rows use).
+    the exact order the table's cumulative rows use). State rides int16
+    and symbols int8: the walk is one full-array pass per decision node,
+    so narrow types halve its bandwidth.
     """
-    state = jnp.zeros(cells.shape[:-1], jnp.int32)
-    spec = jnp.zeros_like(state)
+    state = jnp.zeros(cells.shape[:-1], jnp.int16)
+    spec = jnp.zeros(cells.shape[:-1], jnp.int8)
     u = uniforms
     for node in dm.nodes:
         mask = state == node.node_id
         if isinstance(node, _Reveal):
-            b = cells[..., node.cell]
+            b = cells[..., node.cell].astype(jnp.int16)
         else:
             cum = np.cumsum(np.asarray(node.probs))
-            b = jnp.zeros_like(state)
+            b = jnp.zeros(state.shape, jnp.int16)
             lo = jnp.zeros_like(u)
             width = jnp.full_like(u, max(node.probs[0], 1e-30))
             for j in range(1, len(node.probs)):
                 sel = u >= cum[j - 1]
-                b = jnp.where(sel, j, b)
+                b = jnp.where(sel, jnp.int16(j), b)
                 lo = jnp.where(sel, cum[j - 1], lo)
                 width = jnp.where(sel, max(node.probs[j], 1e-30), width)
             u = jnp.where(mask, (u - lo) / width, u)
@@ -421,28 +428,29 @@ def _machine_specs(dm: DeviceMachine, cells, uniforms):
         node_spec = jnp.right_shift(
             jnp.int64(node.packed_spec), _SPEC_BITS * b.astype(jnp.int64)
         ) & ((1 << _SPEC_BITS) - 1)
-        spec = jnp.where(mask, node_spec.astype(jnp.int32), spec)
+        spec = jnp.where(mask, node_spec.astype(jnp.int8), spec)
     return spec
 
 
 def _machine_writes(dm: DeviceMachine, spec, cells):
     """Applies write specs to window cells via bit-unpacking (no gathers).
 
-    Returns the new combined window-cell tensor.
+    Returns the new combined window-cell tensor (same dtype as cells).
     """
     spec64 = spec.astype(jnp.int64)
+    dtype = cells.dtype
     outs = []
     for c in range(dm.n_cells):
         writes = (
             jnp.right_shift(jnp.int64(dm.wr_maskbits[c]), spec64) & 1
         ) == 1
-        val = jnp.zeros_like(spec)
+        val = jnp.zeros(spec.shape, dtype)
         for wd, word in enumerate(dm.wr_valwords[c]):
             in_word = (spec >= 15 * wd) & (spec < 15 * (wd + 1))
             v = jnp.right_shift(
                 jnp.int64(word), 4 * (spec64 - 15 * wd)
             ) & 15
-            val = jnp.where(in_word, v.astype(jnp.int32), val)
+            val = jnp.where(in_word, v.astype(dtype), val)
         outs.append(jnp.where(writes, val, cells[..., c]))
     return jnp.stack(outs, axis=-1)
 
@@ -687,7 +695,15 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
         return (pt, dti), None
 
     keys = jax.random.split(key, num_steps)
-    (ptape, dtape), _ = jax.lax.scan(step, (ptape, dtape), keys)
+    carry = (ptape, dtape)
+    if is_machine:
+        # Symbols fit int8; narrow tapes halve the bandwidth of the
+        # rolls and FSM passes that dominate the round.
+        carry = tuple(t.astype(jnp.int8) for t in carry)
+    (ptape, dtape), _ = jax.lax.scan(step, carry, keys)
+    if is_machine:
+        ptape = ptape.astype(jnp.int32)
+        dtape = dtape.astype(jnp.int32)
     applied = jnp.full((num_steps,), B * events, jnp.int64)
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
