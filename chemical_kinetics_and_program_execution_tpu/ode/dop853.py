@@ -28,9 +28,13 @@ import numpy as np
 from scipy.integrate._ivp import dop853_coefficients as _dc
 
 _N_STAGES = _dc.N_STAGES  # 12
+_N_EXTENDED = _dc.N_STAGES_EXTENDED  # 16 (3 extra dense-output stages)
 _A = np.array(_dc.A[:_N_STAGES, :_N_STAGES])
+_A_EXTRA = np.array(_dc.A[_N_STAGES + 1:_N_EXTENDED])  # rows 13..15
 _B = np.array(_dc.B)  # [12]
 _C = np.array(_dc.C[:_N_STAGES])
+_C_EXTRA = np.array(_dc.C[_N_STAGES + 1:_N_EXTENDED])
+_D = np.array(_dc.D)  # [4, 16] interpolation weights
 _E3 = np.array(_dc.E3)  # [13], includes the f(t+h, y_new) stage
 _E5 = np.array(_dc.E5)
 _ERROR_EXPONENT = -1.0 / 8.0  # scipy: -1 / (error_estimator_order + 1)
@@ -147,3 +151,150 @@ def odeint_dop853(fn, y0, ts, tols, max_steps=1_000_000):
 
 def _rms(x):
     return jnp.sqrt(jnp.mean(x * x))
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def odeint_dop853_dense(fn, y0, ts, tols, max_steps=1_000_000):
+    """DOP853 with scipy's 7th-order dense output.
+
+    Unlike :func:`odeint_dop853`, steps are NOT clamped to land on the
+    sample times: the controller takes its natural step and every sample
+    inside an accepted step is filled by the continuous-output polynomial
+    (scipy's `Dop853DenseOutput`), at the cost of 3 extra RHS stages per
+    accepted step. For dense sample grids (the reference scripts use
+    2001-5001 points) this cuts RHS evaluations several-fold.
+    """
+    rtol, atol = tols
+    y0 = jnp.asarray(y0)
+    dtype = y0.dtype
+    ts = jnp.asarray(ts, dtype=dtype)
+    n_out = ts.shape[0]
+    out = jnp.zeros((n_out,) + y0.shape, dtype).at[0].set(y0)
+
+    A = jnp.asarray(_A, dtype)
+    AE = jnp.asarray(_A_EXTRA, dtype)
+    B = jnp.asarray(_B, dtype)
+    C = jnp.asarray(_C, dtype)
+    CE = jnp.asarray(_C_EXTRA, dtype)
+    D = jnp.asarray(_D, dtype)
+    E3 = jnp.asarray(_E3, dtype)
+    E5 = jnp.asarray(_E5, dtype)
+
+    t0 = ts[0]
+    t_end = ts[-1]
+    f0 = fn(y0, t0)
+
+    scale0 = atol + jnp.abs(y0) * rtol
+    d0 = _rms(y0 / scale0)
+    d1 = _rms(f0 / scale0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + h0 * f0
+    f1 = fn(y1, t0 + h0)
+    d2 = _rms((f1 - f0) / scale0) / h0
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / 8.0),
+    )
+    span = t_end - t0
+    dt0 = jnp.clip(jnp.minimum(100 * h0, h1), 1e-14 * span, span)
+
+    def cond(state):
+        t, y, f, dt, i_out, out, n_acc, n_rej = state
+        return (i_out < n_out) & (n_acc + n_rej < max_steps)
+
+    def body(state):
+        t, y, f, dt, i_out, out, n_acc, n_rej = state
+        h = jnp.minimum(dt, t_end - t)
+
+        def stage(i, K):
+            yi = y + h * jnp.tensordot(A[i], K[:_N_STAGES], 1)
+            return K.at[i].set(fn(yi, t + C[i] * h))
+
+        K0 = jnp.zeros((_N_EXTENDED,) + y.shape, dtype).at[0].set(f)
+        K = jax.lax.fori_loop(1, _N_STAGES, stage, K0)
+        y_new = y + h * jnp.tensordot(B, K[:_N_STAGES], 1)
+        f_new = fn(y_new, t + h)
+        K = K.at[_N_STAGES].set(f_new)
+
+        scale = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+        err5 = jnp.tensordot(E5, K[:_N_STAGES + 1], 1) / scale
+        err3 = jnp.tensordot(E3, K[:_N_STAGES + 1], 1) / scale
+        n5 = jnp.sum(err5 * err5)
+        n3 = jnp.sum(err3 * err3)
+        denom = jnp.sqrt((n5 + 0.01 * n3) * err5.size)
+        err = jnp.abs(h) * n5 / jnp.maximum(denom, 1e-300)
+        err = jnp.maximum(err, 1e-30)
+
+        accept = err <= 1.0
+        factor = jnp.clip(
+            _SAFETY * err**_ERROR_EXPONENT, _MIN_FACTOR, _MAX_FACTOR
+        )
+        dt_next = jnp.where(
+            accept, h * factor, h * jnp.minimum(factor, 1.0)
+        )
+        t_new = t + h
+        at_end = t_new >= t_end * (1 - 1e-15) + t0 * 1e-15
+
+        def emit(args):
+            i_out, out, K = args
+            # Three extra stages for the continuous output
+            # (scipy `_dense_output_impl`).
+            for j in range(_N_EXTENDED - _N_STAGES - 1):
+                s = _N_STAGES + 1 + j
+                dy = h * jnp.tensordot(AE[j, :s], K[:s], 1)
+                K = K.at[s].set(fn(y + dy, t + CE[j] * h))
+            delta = y_new - y
+            F = jnp.concatenate([
+                delta[None],
+                (h * f - delta)[None],
+                (2 * delta - h * (f_new + f))[None],
+                h * jnp.tensordot(D, K, 1),
+            ])
+
+            def interp(x):
+                acc = jnp.zeros_like(y)
+                for i in range(F.shape[0] - 1, -1, -1):
+                    acc = acc + F[i]
+                    acc = acc * (x if (F.shape[0] - 1 - i) % 2 == 0
+                                 else (1 - x))
+                return y + acc
+
+            def fill_cond(st):
+                i, _ = st
+                # Emit every sample inside this step; at the final step,
+                # sweep up everything left (guards fp shortfall at t_end).
+                return (i < n_out) & (
+                    (ts[jnp.minimum(i, n_out - 1)] <= t_new) | at_end
+                )
+
+            def fill(st):
+                i, o = st
+                x = (ts[i] - t) / h
+                return i + 1, o.at[i].set(interp(jnp.clip(x, 0.0, 1.0)))
+
+            i_out, out = jax.lax.while_loop(fill_cond, fill, (i_out, out))
+            return i_out, out
+
+        i_out, out = jax.lax.cond(
+            accept, emit, lambda a: (a[0], a[1]), (i_out, out, K)
+        )
+        return (
+            jnp.where(accept, t_new, t),
+            jnp.where(accept, y_new, y),
+            jnp.where(accept, f_new, f),
+            dt_next,
+            i_out,
+            out,
+            n_acc + jnp.where(accept, 1, 0),
+            n_rej + jnp.where(accept, 0, 1),
+        )
+
+    state = (t0, y0, f0, dt0, 1, out,
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    t, y, f, dt, i_out, out, n_acc, n_rej = jax.lax.while_loop(
+        cond, body, state
+    )
+    info = {"num_accepted": n_acc, "num_rejected": n_rej,
+            "completed": i_out >= n_out}
+    return out, info

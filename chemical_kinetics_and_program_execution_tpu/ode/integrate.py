@@ -18,8 +18,17 @@ import time
 
 import numpy as np
 
-from .dop853 import odeint_dop853
+from .dop853 import odeint_dop853, odeint_dop853_dense
 from .dopri5 import odeint_dopri5
+
+# "dop853" uses the dense-output stepper (steps decoupled from the
+# sample grid); "dop853-step" clamps steps to sample times (the simpler
+# variant, kept selectable for cross-checks).
+_STEPPERS = {
+    "dopri5": "odeint_dopri5",
+    "dop853": "odeint_dop853_dense",
+    "dop853-step": "odeint_dop853",
+}
 
 
 def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
@@ -51,9 +60,10 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         name = (method or "").lower()
         if not name:
             name = "dop853" if min(rtol, atol) < 1e-9 else "dopri5"
-        if name not in ("dopri5", "dop853"):
+        if name not in _STEPPERS:
             name = "dop853"  # scipy method names (DOP853, RK45, LSODA...)
-        stepper = odeint_dop853 if name == "dop853" else odeint_dopri5
+        # Looked up via globals() so tests can monkeypatch the stepper.
+        stepper = globals()[_STEPPERS[name]]
 
         n_out = len(ts)
         if n_out < 2:

@@ -111,6 +111,22 @@ def test_dop853_scipy_parity_on_spd_at_1e13():
     assert dev <= 1e-9, f"max trajectory deviation {dev:.3e} > 1e-9"
 
 
+def test_dense_output_matches_step_clamped_with_fewer_steps():
+    """The dense-output stepper must reproduce the step-clamped DOP853
+    trajectory while taking fewer steps on a dense sample grid."""
+    from chemical_kinetics_and_program_execution_tpu import build_dy_dt
+
+    fn, prog = build_dy_dt("ex2-ferromagnetic-chain", 4)
+    rhs = lambda y, t: fn(y)  # noqa: E731
+    p0 = np.full(prog.state_size, 1.0 / prog.state_size)
+    ts = np.linspace(0.0, 20.0, 801)  # dense grid: clamping binds
+    kwargs = dict(rtol=1e-12, atol=1e-12, return_info=True)
+    ys_dense, info_dense = solve(rhs, p0, ts, method="dop853", **kwargs)
+    ys_step, info_step = solve(rhs, p0, ts, method="dop853-step", **kwargs)
+    np.testing.assert_allclose(ys_dense, ys_step, rtol=1e-8, atol=1e-12)
+    assert info_dense["num_accepted"] < info_step["num_accepted"] / 2
+
+
 def test_chunked_solve_matches_unchunked():
     """Chunked device calls (bounded program duration on tunnelled TPUs)
     must reproduce the single-call solve to solver accuracy."""
@@ -148,7 +164,7 @@ def test_checkpointed_solve_resumes_after_crash(tmp_path):
     )
 
     calls = {"n": 0}
-    orig_stepper = integ.odeint_dop853
+    orig_stepper = integ.odeint_dop853_dense
 
     def crashing_stepper(*a, **k):
         calls["n"] += 1
@@ -156,12 +172,12 @@ def test_checkpointed_solve_resumes_after_crash(tmp_path):
             raise KeyboardInterrupt
         return orig_stepper(*a, **k)
 
-    integ.odeint_dop853 = crashing_stepper
+    integ.odeint_dop853_dense = crashing_stepper
     try:
         with pytest.raises(KeyboardInterrupt):
             solve(rhs, p0, ts, checkpoint_path=ckpt, **kwargs)
     finally:
-        integ.odeint_dop853 = orig_stepper
+        integ.odeint_dop853_dense = orig_stepper
     assert (tmp_path / "solve.npy").exists()  # partial state persisted
 
     counting = {"n": 0}
@@ -170,11 +186,11 @@ def test_checkpointed_solve_resumes_after_crash(tmp_path):
         counting["n"] += 1
         return orig_stepper(*a, **k)
 
-    integ.odeint_dop853 = counting_stepper
+    integ.odeint_dop853_dense = counting_stepper
     try:
         resumed = solve(rhs, p0, ts, checkpoint_path=ckpt, **kwargs)
     finally:
-        integ.odeint_dop853 = orig_stepper
+        integ.odeint_dop853_dense = orig_stepper
     np.testing.assert_allclose(resumed, full, rtol=1e-9, atol=1e-12)
     assert counting["n"] == 3  # 5 chunks total, 2 done pre-crash
     assert not (tmp_path / "solve.npy").exists()  # cleaned up on success
