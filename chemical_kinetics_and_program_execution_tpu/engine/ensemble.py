@@ -236,37 +236,46 @@ def compile_transition_table(tag: str, *, max_rows: int = 5_000_000,
 # internal node (branch index = a window cell for reveals, an
 # inverse-CDF threshold count for chooses, with the uniform renormalised
 # into the chosen branch — exactly the table's lexicographic cumulative
-# sampling), and write specs decoded from bit-packed per-node constants.
+# sampling).
+#
+# Two compile-time compressions keep the walk cheap on the VPU:
+#   * identical subtrees are hash-consed into a DAG (shared
+#     continuations are the norm in these rules: ex5 59 -> 26 nodes),
+#     so the per-element pass count is the number of *unique* subtrees;
+#   * per-branch child ids and leaf write-spec ids ride little-endian
+#     fields of int32 words (variable shifts on int32 are native VPU
+#     ops; int64 is emulated as 2x32 on TPU).
 
 
 @dataclasses.dataclass(frozen=True)
 class _Reveal:
     node_id: int
     cell: int  # column in the combined window-cell tensor
-    first_child: int
-    packed_spec: int  # 6-bit spec id per branch (leaves only)
+    child_words: tuple[int, ...]  # per-branch child ids (0 = leaf)
+    spec_words: tuple[int, ...]   # per-branch leaf spec ids
 
 
 @dataclasses.dataclass(frozen=True)
 class _Choose:
     node_id: int
     probs: tuple[float, ...]
-    first_child: int
-    packed_spec: int
+    child_words: tuple[int, ...]
+    spec_words: tuple[int, ...]
 
 
-_SPEC_BITS = 6  # up to 63 write specs; arity*6 must fit in int64
+_SPEC_BITS = 6  # up to 63 write specs
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("p_offs", "d_offs"),
     meta_fields=("tag", "size_a", "span", "p_lo", "d_lo", "n_p", "n_d",
-                 "nodes", "wr_maskbits", "wr_valwords", "num_specs"),
+                 "nodes", "root", "n_states", "bits", "wr_words",
+                 "num_specs"),
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceMachine:
-    """Compiled decision machine (static metadata + window offsets)."""
+    """Compiled decision DAG (static metadata + window offsets)."""
 
     tag: str
     size_a: int
@@ -277,12 +286,13 @@ class DeviceMachine:
     span: int
     p_offs: jax.Array
     d_offs: jax.Array
-    nodes: tuple  # _Reveal/_Choose in BFS order (parents first)
-    # Per-cell packed write info: bit s of wr_maskbits[c] = does spec s
-    # write cell c; wr_valwords[c] = tuple of int64 words, 15 specs per
-    # word, 4 bits per written symbol value.
-    wr_maskbits: tuple[int, ...]
-    wr_valwords: tuple[tuple[int, ...], ...]
+    nodes: tuple  # _Reveal/_Choose in topological order (parents first)
+    root: int     # initial FSM state (0 iff the rule never branches)
+    n_states: int
+    bits: int     # field width of child/spec words
+    # Per-cell write words: 5-bit field s = (writes?<<4 | symbol) for
+    # write-spec s, 6 fields per int32 word.
+    wr_words: tuple[tuple[int, ...], ...]
     num_specs: int
 
     @property
@@ -290,9 +300,23 @@ class DeviceMachine:
         return self.n_p + self.n_d
 
 
+def _pack_fields(vals, bits):
+    """Packs ints little-endian into int32 words, 31//bits per word."""
+    per = 31 // bits
+    words = []
+    for w in range((len(vals) + per - 1) // per):
+        word = 0
+        for f in range(per):
+            i = w * per + f
+            if i < len(vals):
+                word |= int(vals[i]) << (bits * f)
+        words.append(word)
+    return tuple(words)
+
+
 def compile_decision_machine(tag: str, *, max_worlds: int | None = None
                              ) -> DeviceMachine:
-    """Compiles a rule's decision tree to the gather-free FSM form."""
+    """Compiles a rule's decision tree to the gather-free FSM DAG."""
     problem = dsl.get_problem(tag)
     size_a = problem.size_a
     worlds = enum_mod.enumerate_worlds(problem, 2, max_worlds=max_worlds)
@@ -333,39 +357,77 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
                 v, {"children": {}, "meta": None})
         cur["spec"] = leaf_spec[w.decisions]
 
-    # BFS numbering with consecutive children blocks.
-    nodes: list = []
-    queue = [(trie, 0)]
-    next_id = 1
-    while queue:
-        node, nid = queue.pop(0)
-        if node["meta"] is None:  # leaf (possible only at the root for
-            continue              # rules that never read anything)
+    # Hash-cons identical subtrees into a DAG: a node is identified by
+    # its (meta, ordered child signatures); shared continuations collapse
+    # to one FSM state each.
+    canon: dict = {}
+
+    def intern(node):
+        if node["meta"] is None:
+            return ("leaf", node.get("spec", 0))
         meta = node["meta"]
-        arity = (size_a if meta[0] == "reveal" else len(meta[1]))
-        first_child = next_id
-        packed = 0
-        for b in range(arity):
-            child = node["children"][b]
-            if child["meta"] is None and "spec" in child:
-                packed |= child["spec"] << (_SPEC_BITS * b)
-            queue.append((child, first_child + b))
-        next_id += arity
-        if arity * _SPEC_BITS > 63:
-            raise ValueError(
-                f"{tag!r}: node arity {arity} too wide for spec packing."
-            )
-        if next_id > 32000:  # FSM state rides int16
-            raise ValueError(
-                f"{tag!r}: decision tree exceeds int16 state ids; "
-                "use the transition table."
-            )
+        arity = size_a if meta[0] == "reveal" else len(meta[1])
+        kids = tuple(intern(node["children"][b]) for b in range(arity))
+        sig = (repr(meta), kids)
+        if sig not in canon:
+            canon[sig] = (meta, kids)
+        return ("node", sig)
+
+    root_ref = intern(trie)
+    if root_ref[0] == "leaf":  # rule makes no reads/choices at all
+        raise ValueError(f"{tag!r}: rule has no decision points.")
+
+    # Topological order, parents before children (every edge deepens).
+    order: list = []
+    seen: set = set()
+
+    def topo(ref):
+        kind, payload = ref
+        if kind != "node" or payload in seen:
+            return
+        seen.add(payload)
+        for k in canon[payload][1]:
+            topo(k)
+        order.append(payload)
+
+    topo(root_ref)
+    order.reverse()
+    ids = {sig: i + 1 for i, sig in enumerate(order)}  # 0 = terminal
+    n_states = len(order) + 1
+    bits = max(_SPEC_BITS, (n_states - 1).bit_length())
+    if bits > 15:
+        raise ValueError(
+            f"{tag!r}: {n_states} FSM states exceed the int32 field "
+            "packing; use the transition table."
+        )
+
+    nodes: list = []
+    for sig in order:
+        meta, kids = canon[sig]
+        child_ids = [0 if k[0] == "leaf" else ids[k[1]] for k in kids]
+        kid_specs = [k[1] if k[0] == "leaf" else 0 for k in kids]
+        child_words = _pack_fields(child_ids, bits)
+        spec_words = _pack_fields(kid_specs, bits)
         if meta[0] == "reveal":
             _, data_tape, index = meta
             cell = (n_p + index - d_lo) if data_tape else (index - p_lo)
-            nodes.append(_Reveal(nid, cell, first_child, packed))
+            nodes.append(_Reveal(ids[sig], cell, child_words, spec_words))
         else:
-            nodes.append(_Choose(nid, meta[1], first_child, packed))
+            nodes.append(_Choose(ids[sig], tuple(meta[1]), child_words,
+                                 spec_words))
+
+    # Per-cell write words: 5-bit (writes<<4 | symbol) fields, 6/word.
+    for s in range(num_specs):
+        if (wr_val_list[s] >= 16).any():
+            raise ValueError(
+                f"{tag!r}: symbol values exceed the 4-bit write packing."
+            )
+    wr_words = tuple(
+        _pack_fields(
+            [int(wr_mask_list[s][c]) << 4 | int(wr_val_list[s][c])
+             for s in range(num_specs)], 5)
+        for c in range(n_cells)
+    )
 
     return DeviceMachine(
         tag=tag,
@@ -378,80 +440,90 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
         p_offs=jnp.arange(p_lo, p_hi + 1, dtype=jnp.int32),
         d_offs=jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32),
         nodes=tuple(nodes),
-        wr_maskbits=tuple(
-            int(sum(int(wr_mask_list[s][c]) << s
-                    for s in range(num_specs)))
-            for c in range(n_cells)
-        ),
-        wr_valwords=tuple(
-            tuple(
-                int(sum(int(wr_val_list[s][c]) << (4 * (s - 15 * wd))
-                        for s in range(15 * wd,
-                                       min(15 * (wd + 1), num_specs))))
-                for wd in range((num_specs + 14) // 15)
-            )
-            for c in range(n_cells)
-        ),
+        root=ids[order[0]],
+        n_states=n_states,
+        bits=bits,
+        wr_words=wr_words,
         num_specs=num_specs,
     )
 
 
-def _machine_specs(dm: DeviceMachine, cells, uniforms):
-    """Vectorized FSM walk: window cells + one uniform -> write spec.
+def _unpack_field(words, widx, shift_amt, bits):
+    """Selects words[widx] >> shift_amt & mask via a native int32 chain."""
+    v = jnp.right_shift(jnp.int32(words[0]), shift_amt)
+    for wi in range(1, len(words)):
+        v = jnp.where(widx == wi,
+                      jnp.right_shift(jnp.int32(words[wi]), shift_amt), v)
+    return v & ((1 << bits) - 1)
 
-    Equivalent to the table's row lookup + cumulative outcome sampling
-    (the uniform is renormalised into each chosen branch, which is the
-    inverse-CDF of the joint outcome distribution in decision order —
-    the exact order the table's cumulative rows use). State rides int16
-    and symbols int8: the walk is one full-array pass per decision node,
-    so narrow types halve its bandwidth.
+
+def _machine_specs_planes(dm: DeviceMachine, cells, uniforms):
+    """Vectorized FSM walk over per-cell planes -> write spec.
+
+    ``cells`` is a sequence of n_cells arrays of identical shape (one
+    plane per window cell). Equivalent to the table's row lookup +
+    cumulative outcome sampling (the uniform is renormalised into each
+    chosen branch, which is the inverse-CDF of the joint outcome
+    distribution in decision order — the exact order the table's
+    cumulative rows use).
     """
-    state = jnp.zeros(cells.shape[:-1], jnp.int16)
-    spec = jnp.zeros(cells.shape[:-1], jnp.int8)
+    bits = dm.bits
+    fields = 31 // bits
+    sdt = jnp.int8 if dm.n_states <= 127 else jnp.int16
+    state = jnp.full(cells[0].shape, dm.root, sdt)
+    spec = jnp.zeros(cells[0].shape, jnp.int8)
     u = uniforms
     for node in dm.nodes:
         mask = state == node.node_id
         if isinstance(node, _Reveal):
-            b = cells[..., node.cell].astype(jnp.int16)
+            b = cells[node.cell].astype(jnp.int32)
         else:
             cum = np.cumsum(np.asarray(node.probs))
-            b = jnp.zeros(state.shape, jnp.int16)
+            b = jnp.zeros(state.shape, jnp.int32)
             lo = jnp.zeros_like(u)
             width = jnp.full_like(u, max(node.probs[0], 1e-30))
             for j in range(1, len(node.probs)):
                 sel = u >= cum[j - 1]
-                b = jnp.where(sel, jnp.int16(j), b)
+                b = jnp.where(sel, jnp.int32(j), b)
                 lo = jnp.where(sel, cum[j - 1], lo)
                 width = jnp.where(sel, max(node.probs[j], 1e-30), width)
             u = jnp.where(mask, (u - lo) / width, u)
-        state = jnp.where(mask, node.first_child + b, state)
-        node_spec = jnp.right_shift(
-            jnp.int64(node.packed_spec), _SPEC_BITS * b.astype(jnp.int64)
-        ) & ((1 << _SPEC_BITS) - 1)
-        spec = jnp.where(mask, node_spec.astype(jnp.int8), spec)
+        shift_amt = bits * (b % fields)
+        widx = b // fields
+        child = _unpack_field(node.child_words, widx, shift_amt, bits)
+        nspec = _unpack_field(node.spec_words, widx, shift_amt, bits)
+        state = jnp.where(mask, child.astype(sdt), state)
+        spec = jnp.where(mask, nspec.astype(jnp.int8), spec)
     return spec
 
 
-def _machine_writes(dm: DeviceMachine, spec, cells):
-    """Applies write specs to window cells via bit-unpacking (no gathers).
+def _machine_writes_planes(dm: DeviceMachine, spec, cells):
+    """Applies write specs to per-cell planes via bit-unpacking.
 
-    Returns the new combined window-cell tensor (same dtype as cells).
+    Returns the list of new planes (same dtypes as the inputs).
     """
-    spec64 = spec.astype(jnp.int64)
-    dtype = cells.dtype
+    spec32 = spec.astype(jnp.int32)
+    shift5 = 5 * (spec32 % 6)
+    widx = spec32 // 6
     outs = []
     for c in range(dm.n_cells):
-        writes = (
-            jnp.right_shift(jnp.int64(dm.wr_maskbits[c]), spec64) & 1
-        ) == 1
-        val = jnp.zeros(spec.shape, dtype)
-        for wd, word in enumerate(dm.wr_valwords[c]):
-            in_word = (spec >= 15 * wd) & (spec < 15 * (wd + 1))
-            v = jnp.right_shift(
-                jnp.int64(word), 4 * (spec64 - 15 * wd)
-            ) & 15
-            val = jnp.where(in_word, v.astype(dtype), val)
-        outs.append(jnp.where(writes, val, cells[..., c]))
+        f = _unpack_field(dm.wr_words[c], widx, shift5, 5)
+        writes = jnp.right_shift(f, 4) == 1
+        val = (f & 15).astype(cells[c].dtype)
+        outs.append(jnp.where(writes, val, cells[c]))
+    return outs
+
+
+def _machine_specs(dm: DeviceMachine, cells, uniforms):
+    """AoS wrapper of :func:`_machine_specs_planes` (cells [..., n])."""
+    return _machine_specs_planes(
+        dm, [cells[..., c] for c in range(dm.n_cells)], uniforms)
+
+
+def _machine_writes(dm: DeviceMachine, spec, cells):
+    """AoS wrapper of :func:`_machine_writes_planes`; returns [..., n]."""
+    outs = _machine_writes_planes(
+        dm, spec, [cells[..., c] for c in range(dm.n_cells)])
     return jnp.stack(outs, axis=-1)
 
 
@@ -626,7 +698,10 @@ def _apply_lattice_round_fsm(dm: DeviceMachine, ptape, dtape, shift,
                              uniforms):
     """Gather-free twin of :func:`_apply_lattice_round` on a
     :class:`DeviceMachine`: same dense roll/reshape tape access, with
-    outcome resolution and writes as vectorized FSM/bit ops."""
+    outcome resolution and writes as vectorized FSM/bit ops.
+
+    This is the any-shift reference formulation; the hot path is the
+    roll-free plane round (:func:`_apply_plane_round_fsm`)."""
     B, L = ptape.shape
     E = uniforms.shape[1]
     stride = L // E
@@ -643,13 +718,99 @@ def _apply_lattice_round_fsm(dm: DeviceMachine, ptape, dtape, shift,
     return ptape, dtape
 
 
+# --- Plane (struct-of-planes) rounds: the roll-free TPU hot path --------------
+#
+# Storing the tape as `stride` planes (plane c = columns c::stride, each
+# [B, E]) makes a lattice round touch ONLY the window cells: site k of a
+# round with phase s sits at flat column s + k*stride; its window cell j
+# lives in plane (s+lo+j) mod stride at element k + (s+lo+j)//stride —
+# a static plane pick plus a static ±1 circular shift along the site
+# axis, chosen by a `lax.switch` over the stride phases. The full-tape
+# rolls of the reference formulation (4 per round, the dominant memory
+# traffic) vanish entirely; untouched planes flow through the round as
+# unmodified buffers. Restricting the phase to [0, stride) is exact:
+# the site *set* {s + k*stride} only depends on s mod stride, so a
+# uniform draw over [0, stride) gives the same site-marginal statistics
+# as a uniform draw over the whole tape. For s < stride the plane round
+# is bit-identical to `_apply_lattice_round_fsm` at the same uniforms.
+
+_MAX_PLANE_STRIDE = 64  # switch branches per round; guards compile size
+
+
+def _tape_to_planes(tape, stride):
+    return tuple(tape[:, c::stride] for c in range(stride))
+
+
+def _planes_to_tape(planes):
+    B = planes[0].shape[0]
+    return jnp.stack(planes, axis=-1).reshape(B, -1)
+
+
+def _plane_coords(dm: DeviceMachine, stride):
+    """Static (plane, site-shift) coordinates of every window cell for
+    every phase: coords[phase] = [(tape, plane, extra), ...] in cell
+    order (p cells then d cells)."""
+    coords = []
+    for phase in range(stride):
+        row = []
+        for tape, lo, n in ((0, dm.p_lo, dm.n_p), (1, dm.d_lo, dm.n_d)):
+            for j in range(n):
+                a = phase + lo + j
+                row.append((tape, a % stride, a // stride))
+        coords.append(row)
+    return coords
+
+
+def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
+                           uniforms):
+    """One stratified round on plane-stored tapes; shift in [0, stride).
+
+    Returns the updated (p_planes, d_planes) tuples.
+    """
+    stride = len(p_planes)
+    coords = _plane_coords(dm, stride)
+
+    def read_branch(phase):
+        def body(p_planes, d_planes):
+            cells = []
+            for tape, c, extra in coords[phase]:
+                x = (p_planes if tape == 0 else d_planes)[c]
+                if extra:
+                    x = jnp.roll(x, -extra, axis=1)
+                cells.append(x)
+            return tuple(cells)
+        return body
+
+    def write_branch(phase):
+        def body(p_planes, d_planes, new):
+            outs = (list(p_planes), list(d_planes))
+            for i, (tape, c, extra) in enumerate(coords[phase]):
+                v = new[i]
+                if extra:
+                    v = jnp.roll(v, extra, axis=1)
+                outs[tape][c] = v
+            return tuple(outs[0]), tuple(outs[1])
+        return body
+
+    cells = jax.lax.switch(
+        shift, [read_branch(s) for s in range(stride)], p_planes, d_planes)
+    spec = _machine_specs_planes(dm, cells, uniforms)
+    new = _machine_writes_planes(dm, spec, list(cells))
+    return jax.lax.switch(
+        shift, [write_branch(s) for s in range(stride)],
+        p_planes, d_planes, tuple(new))
+
+
 @partial(jax.jit, static_argnums=(3,))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
     """Advances a batch of tape pairs with stratified lattice rounds.
 
     Each round fires the rule at E sites per replica arranged as a
-    randomly shifted lattice (`_apply_lattice_round`): dense tape
-    access, no conflicts, every event applies.
+    randomly shifted lattice: dense tape access, no conflicts, every
+    event applies. With a :class:`DeviceMachine` the tapes are stored
+    as `stride` int8 planes and stepped by the roll-free plane round
+    (`_apply_plane_round_fsm`); a :class:`DeviceTable` uses the rolled
+    gather round (`_apply_lattice_round`).
 
     Time semantics: the exact engine's rule fires as a rate-1 Poisson
     process per site. A round applies one event at each of E distinct
@@ -683,27 +844,49 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
 
     is_machine = isinstance(dtable, DeviceMachine)
     u_dtype = jnp.float32 if is_machine else dtable.out_cum.dtype
-    round_fn = _apply_lattice_round_fsm if is_machine \
-        else _apply_lattice_round
-
-    def step(carry, k):
-        pt, dti = carry
-        k1, k2 = jax.random.split(k)
-        shift = jax.random.randint(k1, (), 0, L, dtype=jnp.int32)
-        uniforms = jax.random.uniform(k2, (B, events), dtype=u_dtype)
-        pt, dti = round_fn(dtable, pt, dti, shift, uniforms)
-        return (pt, dti), None
-
+    stride = L // events
+    use_planes = is_machine and stride <= _MAX_PLANE_STRIDE
     keys = jax.random.split(key, num_steps)
-    carry = (ptape, dtape)
-    if is_machine:
-        # Symbols fit int8; narrow tapes halve the bandwidth of the
-        # rolls and FSM passes that dominate the round.
-        carry = tuple(t.astype(jnp.int8) for t in carry)
-    (ptape, dtape), _ = jax.lax.scan(step, carry, keys)
-    if is_machine:
-        ptape = ptape.astype(jnp.int32)
-        dtape = dtape.astype(jnp.int32)
+
+    if use_planes:
+        # Hot path: plane-stored int8 tapes, roll-free rounds, phase
+        # drawn over [0, stride) (site-set equivalent to a full-tape
+        # shift; see the plane-round commentary above).
+        def step(carry, k):
+            pp, dd = carry
+            k1, k2 = jax.random.split(k)
+            shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
+            uniforms = jax.random.uniform(k2, (B, events), dtype=u_dtype)
+            pp, dd = _apply_plane_round_fsm(dtable, pp, dd, shift,
+                                            uniforms)
+            return (pp, dd), None
+
+        carry = (_tape_to_planes(ptape.astype(jnp.int8), stride),
+                 _tape_to_planes(dtape.astype(jnp.int8), stride))
+        (pp, dd), _ = jax.lax.scan(step, carry, keys)
+        ptape = _planes_to_tape(pp).astype(jnp.int32)
+        dtape = _planes_to_tape(dd).astype(jnp.int32)
+    else:
+        round_fn = _apply_lattice_round_fsm if is_machine \
+            else _apply_lattice_round
+
+        def step(carry, k):
+            pt, dti = carry
+            k1, k2 = jax.random.split(k)
+            shift = jax.random.randint(k1, (), 0, L, dtype=jnp.int32)
+            uniforms = jax.random.uniform(k2, (B, events), dtype=u_dtype)
+            pt, dti = round_fn(dtable, pt, dti, shift, uniforms)
+            return (pt, dti), None
+
+        carry = (ptape, dtape)
+        if is_machine:
+            # Symbols fit int8; narrow tapes halve the bandwidth of the
+            # rolls and FSM passes that dominate the round.
+            carry = tuple(t.astype(jnp.int8) for t in carry)
+        (ptape, dtape), _ = jax.lax.scan(step, carry, keys)
+        if is_machine:
+            ptape = ptape.astype(jnp.int32)
+            dtape = dtape.astype(jnp.int32)
     applied = jnp.full((num_steps,), B * events, jnp.int64)
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)

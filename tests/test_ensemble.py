@@ -174,6 +174,43 @@ def test_decision_machine_matches_table_round(tag):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.parametrize("tag", [
+    "ex5-msrtf-machine",
+    "ex2-ferromagnetic-chain",
+    "ex4-chemical-turing",
+])
+@pytest.mark.parametrize("shift", [0, 5, 15])
+def test_plane_round_matches_roll_round(tag, shift):
+    """The roll-free plane round must be bit-identical to the rolled FSM
+    round for any phase in [0, stride) at the same uniforms — including
+    phases whose windows spill across block boundaries."""
+    dm = ensemble.compile_decision_machine(tag)
+    rng = np.random.RandomState(7)
+    B, L, E = 4, 256, 16
+    stride = L // E
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int8)
+    dtp = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int8)
+    uniforms = jnp.asarray(rng.rand(B, E), jnp.float32)
+    s = jnp.asarray(shift, jnp.int32)
+    want = ensemble._apply_lattice_round_fsm(dm, pt, dtp, s, uniforms)
+    pp = ensemble._tape_to_planes(pt, stride)
+    dd = ensemble._tape_to_planes(dtp, stride)
+    gp, gd = ensemble._apply_plane_round_fsm(dm, pp, dd, s, uniforms)
+    np.testing.assert_array_equal(
+        np.asarray(ensemble._planes_to_tape(gp)), np.asarray(want[0]))
+    np.testing.assert_array_equal(
+        np.asarray(ensemble._planes_to_tape(gd)), np.asarray(want[1]))
+
+
+def test_plane_storage_roundtrip():
+    rng = np.random.RandomState(3)
+    t = jnp.asarray(rng.randint(0, 5, (3, 64)), jnp.int8)
+    planes = ensemble._tape_to_planes(t, 16)
+    assert len(planes) == 16 and planes[0].shape == (3, 4)
+    np.testing.assert_array_equal(
+        np.asarray(ensemble._planes_to_tape(planes)), np.asarray(t))
+
+
 def test_run_ensemble_accepts_decision_machine():
     import jax
     import jax.numpy as jnp
