@@ -138,7 +138,7 @@ def bench_config5():
 
     dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
     B = int(os.environ.get("CKPE_BENCH_C5_B", "10000000"))
-    L, E, steps = 32, 2, 10
+    L, E, steps = 32, 2, 50
     key = jax.random.PRNGKey(0)
     pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
     dtp = jnp.zeros((B, L), jnp.int32)

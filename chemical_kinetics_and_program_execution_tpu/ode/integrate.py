@@ -106,13 +106,32 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                     shape=(n_out, y0.size),
                 )
 
+        # With the dense-output stepper every chunk is padded to a single
+        # static shape (chunk+1 sample times, the tail repeating t_end),
+        # so the device program compiles once instead of once per
+        # distinct first/middle/last chunk length. Dense output at a
+        # repeated sample time just re-evaluates the same interpolant;
+        # the step-clamped steppers would take zero-length steps, so
+        # they keep exact chunk shapes.
+        pad_chunks = chunk < n_out and name == "dop853"
+        if pad_chunks and start == 0:
+            ys_parts.append(y0[None])
+            if mm is not None:
+                mm[0] = y0
+            start = 1
+
         t_begin = time.time()
         while start < n_out:
             stop = min(start + chunk, n_out)
             ts_chunk = ts[start:stop] if start == 0 else ts[start - 1:stop]
+            if pad_chunks and len(ts_chunk) < chunk + 1:
+                ts_chunk = np.concatenate(
+                    [ts_chunk,
+                     np.full(chunk + 1 - len(ts_chunk), ts[-1])])
             ys_c, info = stepper(fn_dy_dt, y, ts_chunk, (rtol, atol),
                                  max_steps=max_steps)
-            ys_c = np.asarray(ys_c)
+            ys_c = np.asarray(ys_c)[:1 + (stop - start)
+                                    if start else (stop - start)]
             if not bool(info["completed"]):
                 raise RuntimeError(
                     f"ODE solve did not complete within "

@@ -146,6 +146,30 @@ def test_chunked_solve_matches_unchunked():
         np.testing.assert_allclose(chunked, full, rtol=1e-9, atol=1e-11)
 
 
+def test_chunked_dense_solve_uses_one_chunk_shape(monkeypatch):
+    """Dense-output chunking pads every device call to one static sample
+    count so the solve compiles a single program (first/middle/last
+    chunks previously had three distinct shapes)."""
+    from chemical_kinetics_and_program_execution_tpu.ode import integrate
+
+    seen = []
+    real = integrate.odeint_dop853_dense
+
+    def spy(fn, y0, ts, tols, **kw):
+        seen.append(len(ts))
+        return real(fn, y0, ts, tols, **kw)
+
+    monkeypatch.setattr(integrate, "odeint_dop853_dense", spy)
+    from chemical_kinetics_and_program_execution_tpu import (
+        build_dy_dt,
+    )
+    fn, _ = build_dy_dt("ex1-radioactive-decay", 3)
+    integrate.solve(lambda y, t: fn(y), np.full(8, 0.125),
+                    np.linspace(0, 3, 31), rtol=1e-12, atol=1e-12,
+                    method="dop853", chunk_size=7)
+    assert len(seen) > 1 and len(set(seen)) == 1
+
+
 def test_checkpointed_solve_resumes_after_crash(tmp_path):
     """A chunked solve killed mid-way must resume from its checkpoint
     and produce the same trajectory as an uninterrupted run."""
