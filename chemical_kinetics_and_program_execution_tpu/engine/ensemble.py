@@ -899,74 +899,118 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
     """Weighted-frontier mode with top-k pruning (BASELINE config 5).
 
     Tracks K weighted tape configurations as an explicit frontier over
-    the reaction multiverse: each step fires the rule at one random site
-    of every configuration, *branches* into all table outcomes (instead
-    of sampling one), and keeps the top-k children by weight globally.
-    A beam-search-style approximation of the full distribution evolution
-    — the exact SPD engine (`rhs.py`) is the unpruned reference.
+    the reaction multiverse: each step fires the rule at one random
+    site, *branches* every configuration into all table outcomes
+    (instead of sampling one), and keeps the top-k children by weight
+    globally. A beam-search-style approximation of the full
+    distribution evolution — the exact SPD engine (`rhs.py`) is the
+    unpruned reference.
+
+    The firing site is shared by all members (common random sites):
+    each member's site marginal is still uniform, so per-member window
+    statistics are unchanged; only the joint site exploration across
+    members is correlated, trading a little cross-member diversity for
+    a dense data path. The shared site turns the per-member window
+    gathers into one tape roll plus *static* column slices — measured
+    ~100× faster than the independent-site take_along_axis/scatter
+    formulation, whose dynamic per-row gathers dominated the step.
 
     Candidate weights are ranked *before* materialising child tapes, so
-    the working set stays at K tapes (children = gather parent + masked
-    write), never K×M.
+    the working set stays at K tapes (children = gather parent rows +
+    static-slice write), never K×M. Outcome log-probabilities come from
+    a precomputed table (hoisted out of the scan), and weights are only
+    max-shifted inside the scan — the single logsumexp normalisation
+    happens once at the end.
 
     Args:
       key: PRNG key.
-      tapes: (ptape [K, L] int32, dtape [K, L] int32) initial frontier.
+      tapes: (ptape [K, L] int, dtape [K, L] int) initial frontier.
       logw: [K] float64 log-weights (normalised or not).
       dtable: compiled device table.
       num_steps: static; each step advances time by 1/L.
       top_k: static; must equal K (the frontier width is fixed).
 
     Returns:
-      ((ptape, dtape), logw) after num_steps; logw is renormalised by
-      logsumexp each step, so exp(logw) sums to 1.
+      ((ptape, dtape), logw) after num_steps; exp(logw) sums to 1.
     """
     ptape, dtape = tapes
     K, L = ptape.shape
     M = dtable.out_cum.shape[1]
     n_p = dtable.p_offs.shape[0]
+    n_d = dtable.d_offs.shape[0]
+    in_dtype = ptape.dtype
+    # Symbols fit int8: narrow tapes quarter the roll / row-gather
+    # bandwidth (same trade as run_ensemble's machine path).
+    ptape = ptape.astype(jnp.int8)
+    dtape = dtape.astype(jnp.int8)
+
+    # Static column layout after rolling the window start to column 0:
+    # both tapes roll by the same amount (their relative alignment is
+    # physical), so the p-window occupies columns [p_lo-lo, ...) and
+    # the d-window [d_lo-lo, ...).
+    lo = min(dtable.p_lo, dtable.d_lo)
+    pc = dtable.p_lo - lo
+    dc = dtable.d_lo - lo
+    if max(pc + n_p, dc + n_d) > L:
+        raise ValueError(f"window span exceeds tape length {L}")
+
+    probs = jnp.diff(dtable.out_cum, axis=1, prepend=0.0)
+    out_log = jnp.where(probs > 0,
+                        jnp.log(jnp.maximum(probs, 1e-300)), -jnp.inf)
 
     def step(carry, k):
-        pt, dti, lw = carry
-        sites = jax.random.randint(k, (K,), 0, L)
-        idx_p = (sites[:, None] + dt_offs_p) % L
-        idx_d = (sites[:, None] + dt_offs_d) % L
-        cells_p = jnp.take_along_axis(pt, idx_p, axis=1)
-        cells_d = jnp.take_along_axis(dti, idx_d, axis=1)
+        pt, dti, lw, shift_acc = carry
+        site = jax.random.randint(k, (), 0, L, dtype=jnp.int32)
+        roll = -(site + lo)
+        pt = jnp.roll(pt, roll, axis=1)
+        dti = jnp.roll(dti, roll, axis=1)
+
+        cells_p = pt[:, pc:pc + n_p].astype(jnp.int32)
+        cells_d = dti[:, dc:dc + n_d].astype(jnp.int32)
         cells = jnp.concatenate([cells_p, cells_d], axis=1)
         rows = (cells * dtable.pv).sum(axis=1)
 
-        cum = dtable.out_cum[rows]  # [K, M]
-        probs = jnp.diff(cum, axis=1, prepend=0.0)
-        child_lw = lw[:, None] + jnp.log(jnp.maximum(probs, 1e-300))
-        child_lw = jnp.where(probs > 0, child_lw, -jnp.inf)
-
-        top_lw, top_idx = jax.lax.top_k(child_lw.reshape(-1), top_k)
-        parent = top_idx // M
-        slot = top_idx % M
-
-        spec = dtable.out_world[rows[parent], slot]
+        child_lw = lw[:, None] + out_log[rows]  # [K, M]
+        if M == 1:
+            # Deterministic rules (one outcome per window): no branching,
+            # so ranking is a pure permutation — skip the sort and the
+            # parent row-gather entirely. Also avoids XLA's
+            # minutes-long compile of a full f64 top_k sort network.
+            top_lw = child_lw[:, 0]
+            top_lw = top_lw - jnp.max(top_lw)
+            spec = dtable.out_world[rows, 0]
+            par_p = cells_p.astype(jnp.int8)
+            par_d = cells_d.astype(jnp.int8)
+        else:
+            top_lw, top_idx = jax.lax.top_k(child_lw.reshape(-1), top_k)
+            parent = top_idx // M
+            slot = top_idx % M
+            rows = rows[parent]
+            spec = dtable.out_world[rows, slot]
+            par_p = cells_p[parent].astype(jnp.int8)
+            par_d = cells_d[parent].astype(jnp.int8)
+            pt = pt[parent]
+            dti = dti[parent]
+            top_lw = top_lw - top_lw[0]
         mask = dtable.wr_mask[spec]
-        vals = dtable.wr_val[spec]
-        par_p = pt[parent]
-        par_d = dti[parent]
-        new_cells_p = jnp.where(mask[:, :n_p], vals[:, :n_p],
-                                cells_p[parent])
-        new_cells_d = jnp.where(mask[:, n_p:], vals[:, n_p:],
-                                cells_d[parent])
-        pt = jax.vmap(lambda row, idx, vals_: row.at[idx].set(vals_))(
-            par_p, idx_p[parent], new_cells_p)
-        dti = jax.vmap(lambda row, idx, vals_: row.at[idx].set(vals_))(
-            par_d, idx_d[parent], new_cells_d)
+        vals = dtable.wr_val[spec].astype(jnp.int8)
+        new_cells_p = jnp.where(mask[:, :n_p], vals[:, :n_p], par_p)
+        new_cells_d = jnp.where(mask[:, n_p:], vals[:, n_p:], par_d)
+        pt = pt.at[:, pc:pc + n_p].set(new_cells_p)
+        dti = dti.at[:, dc:dc + n_d].set(new_cells_d)
 
-        lw = top_lw - jax.scipy.special.logsumexp(top_lw)
-        return (pt, dti, lw), None
+        # Normalisation is deferred: the max-shift above keeps
+        # magnitudes bounded; one logsumexp runs after the scan.
+        return (pt, dti, top_lw, (shift_acc + roll) % L), None
 
-    dt_offs_p = dtable.p_offs
-    dt_offs_d = dtable.d_offs
     keys = jax.random.split(key, num_steps)
-    (ptape, dtape, logw), _ = jax.lax.scan(
-        step, (ptape, dtape, logw), keys)
+    (ptape, dtape, logw, shift_acc), _ = jax.lax.scan(
+        step, (ptape, dtape, logw, jnp.int32(0)), keys)
+    # Undo the accumulated rotation so absolute tape positions match the
+    # unrolled formulation, and normalise the weights once.
+    ptape = jnp.roll(ptape, -shift_acc, axis=1).astype(in_dtype)
+    dtape = jnp.roll(dtape, -shift_acc, axis=1).astype(in_dtype)
+    logw = logw - jax.scipy.special.logsumexp(logw)
     return (ptape, dtape), logw
 
 

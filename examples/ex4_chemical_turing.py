@@ -31,14 +31,22 @@ def main():
     ap.add_argument("--cl-k", type=int, default=5)
     ap.add_argument("--t-max", type=float, default=2000.0)
     ap.add_argument("--tol", type=float, default=1e-13)
+    # Beyond-reference runs (e.g. --cl-k 6: 531,441-dim state, 9x the
+    # reference's largest) keep the sample grid small: sample transfer
+    # off-chip, not device compute, dominates at that state size.
+    ap.add_argument("--n-samples", type=int, default=2001)
+    ap.add_argument("--scenario", default=None, choices=["a", "b"])
+    ap.add_argument("--chunk-size", type=int, default=100)
     args = ap.parse_args()
     cl_k = args.cl_k
 
-    ode_ts = np.linspace(0, args.t_max, 2001)
+    ode_ts = np.linspace(0, args.t_max, args.n_samples)
     scenarios = (
         ("a", chemical_turing_p0(cl_k, powered_fraction=0.04)),
         ("b", chemical_turing_p0(cl_k, powered_fraction=0.01)),  # starved
     )
+    if args.scenario:
+        scenarios = tuple(s for s in scenarios if s[0] == args.scenario)
     for name, p0 in scenarios:
         ode_ys = cached(
             f"ex4_chemical_turing_{name}_k{cl_k}.npz",

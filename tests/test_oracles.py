@@ -72,3 +72,29 @@ def test_ex4_p_final_oracles(scenario, oracle):
         assert got == pytest.approx(want, rel=2e-6), (
             f"scenario {scenario} p({name}): got {got!r}, oracle {want!r}"
         )
+
+
+def test_ex4_cl_k_convergence():
+    """Beyond-reference: ex4 scenario-a observables converge in cl_k.
+
+    The Markov-window closure is an approximation in cl_k (SURVEY §0);
+    the reference only ever runs ex4 at cl_k=5. With the cl_k=6 artifact
+    (531,441-dim state, 9x the reference's largest — produced by
+    `examples/ex4_chemical_turing.py --cl-k 6`) the final-time
+    observables must agree with cl_k=5 to the closure error, which is
+    small for this dilute machine-chemistry mix.
+    """
+    from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
+
+    path5 = os.path.join(ART_DIR, "ex4_chemical_turing_a_k5.npz")
+    path6 = os.path.join(ART_DIR, "ex4_chemical_turing_a_k6.npz")
+    if not (os.path.exists(path5) and os.path.exists(path6)):
+        pytest.skip("cl_k=5/6 artifacts not both produced yet")
+    p5 = np.load(path5)["ode_ys"][-1].reshape([9] * 5)
+    p6 = np.load(path6)["ode_ys"][-1].reshape([9] * 6)
+    for name, seq in SEQS.items():
+        got5 = float(seq_prob(p5, seq)[0])
+        got6 = float(seq_prob(p6, seq)[0])
+        assert got6 == pytest.approx(got5, rel=0.05, abs=1e-9), (
+            f"p({name}): cl_k=6 {got6!r} vs cl_k=5 {got5!r}"
+        )
