@@ -72,7 +72,8 @@ def main():
         pl.plot([7], ":b", "p(X)")
         c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
         ax.plot(ode_ts[1:], log10(c_tot[1:]), "--r", label="{total cursor}")
-        finish(fig, ax, f"ex4_chemical_turing_{name}.pdf")
+        suffix = "" if cl_k == 5 else f"_k{cl_k}"
+        finish(fig, ax, f"ex4_chemical_turing_{name}{suffix}.pdf")
 
 
 if __name__ == "__main__":
