@@ -187,6 +187,34 @@ def bench_ssa():
                     "events_per_s": f"{B * E / dt:.3e}"}
 
 
+def bench_frontier():
+    """Weighted top-k frontier throughput (branch-steps/s at K=10^6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    dtab = ensemble.device_table(
+        ensemble.compile_transition_table("ex5-msrtf-machine"))
+    K = int(os.environ.get("CKPE_BENCH_FRONTIER_K", "1000000"))
+    L, steps = 32, 50
+    pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
+                            dtype=jnp.int32)
+    dtp = jnp.zeros((K, L), jnp.int32)
+    lw = jnp.full((K,), -np.log(K), jnp.float64)
+    (pt, dtp), lw = ensemble.run_weighted_frontier(
+        jax.random.PRNGKey(1), (pt, dtp), lw, dtab, steps, K)
+    float(jnp.sum(lw))  # sync
+    t0 = time.time()
+    (pt, dtp), lw = ensemble.run_weighted_frontier(
+        jax.random.PRNGKey(2), (pt, dtp), lw, dtab, steps, K)
+    float(jnp.sum(pt.astype(jnp.int64))) + float(jnp.sum(lw))
+    dt = time.time() - t0
+    return K * steps / dt, {"K": K, "steps": steps,
+                            "ms_per_step": round(dt / steps * 1e3, 1)}
+
+
 def main():
     tps, info = bench_ensemble()
     result = {
@@ -214,6 +242,12 @@ def main():
               f"{cinfo}", file=sys.stderr)
     except Exception as e:
         print(f"# config5 bench skipped: {e}", file=sys.stderr)
+    try:
+        fr, finfo = bench_frontier()
+        print(f"# frontier: {fr:.3e} branch-steps/s {finfo}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# frontier bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

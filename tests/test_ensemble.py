@@ -283,3 +283,27 @@ def test_sample_tapes_from_spd_statistics():
     )
     counts = np.asarray(ensemble.window_counts(tapes, 2, 2))
     np.testing.assert_allclose(counts, spd, atol=0.01)
+
+
+def test_weighted_frontier_deterministic_rule_keeps_uniform_weights():
+    """ex5's transition table has one outcome per window (M=1): the
+    frontier cannot branch, so the fast path (no top-k sort, no parent
+    gather) must keep the weights exactly uniform while the tapes
+    evolve."""
+    import math
+
+    table = ensemble.compile_transition_table("ex5-msrtf-machine")
+    dtab = ensemble.device_table(table)
+    assert dtab.out_cum.shape[1] == 1  # deterministic: M == 1
+    K, L = 64, 32
+    ptape = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
+                               dtype=jnp.int32)
+    dtape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(K))
+    (pt2, dt2), lw = ensemble.run_weighted_frontier(
+        jax.random.PRNGKey(1), (ptape, dtape), logw, dtab, 20, K)
+    np.testing.assert_allclose(np.asarray(lw), -math.log(K), rtol=1e-12)
+    assert pt2.dtype == ptape.dtype
+    # The S symbol (index 1) starts machines: data tape must have
+    # changed somewhere across the ensemble.
+    assert int(jnp.sum(jnp.abs(dt2))) > 0
