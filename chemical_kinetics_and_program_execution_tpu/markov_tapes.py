@@ -126,6 +126,8 @@ def ode_integrate_ivp(*, tag, size_a, cl_k, p0, ts,
             chunk_size=kwargs.pop("chunk_size", None),
             progress=kwargs.pop("progress", False),
             checkpoint_path=kwargs.pop("checkpoint_path", None),
+            project=kwargs.pop("project", None),
+            return_info=kwargs.pop("return_info", False),
         )
     import scipy.integrate
 

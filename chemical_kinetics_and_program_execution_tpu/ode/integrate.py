@@ -33,7 +33,8 @@ _STEPPERS = {
 
 def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
           method=None, max_steps=1_000_000, return_info=False,
-          chunk_size=None, progress=False, checkpoint_path=None):
+          chunk_size=None, progress=False, checkpoint_path=None,
+          project=None):
     """Integrates ``dy/dt = fn(y, t)`` sampling at ``ts``.
 
     Returns an array of shape ``[len(ts), n]`` like
@@ -53,9 +54,24 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
     that path with a JSON progress sidecar; re-invoking the same solve
     resumes after the last completed chunk instead of restarting. The
     files are removed on successful completion.
+
+    ``project`` (jax backend): a device-side observable projection — a
+    callable mapping sampled states ``[T, n]`` to observables
+    ``[T, n_obs]``, applied on device per chunk so only the projected
+    rows cross the host link. At large states the full sample grid is
+    the wall-clock bottleneck on a tunnelled TPU (e.g. ex4 at cl_k=7:
+    4.78M-dim f64 state → 38 MB per sample), and most observables (all
+    ``seq_prob`` windows of length ≤ cl_k) are linear slices of p. The
+    returned array has shape ``[len(ts), n_obs]``; with ``return_info``
+    the full final state rides in ``info["y_final"]``. With
+    ``checkpoint_path`` the full carry state is additionally saved to
+    ``<checkpoint_path>.y.npy`` each chunk (projected rows alone cannot
+    seed a resume); a resume assumes the same projection.
     """
     y0 = np.asarray(y0, dtype=np.float64).ravel()
     ts = np.asarray(ts, dtype=np.float64)
+    if project is not None and backend != "jax":
+        raise ValueError("project= requires the jax backend")
     if backend == "jax":
         name = (method or "").lower()
         if not name:
@@ -67,10 +83,13 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
 
         n_out = len(ts)
         if n_out < 2:
-            return (np.asarray([y0]), {"num_accepted": 0,
-                                       "num_rejected": 0,
-                                       "completed": True}) \
-                if return_info else np.asarray([y0])
+            out = (np.asarray([y0]) if project is None
+                   else np.asarray(project(y0[None]), dtype=np.float64))
+            info0 = {"num_accepted": 0, "num_rejected": 0,
+                     "completed": True}
+            if project is not None:
+                info0["y_final"] = y0
+            return (out, info0) if return_info else out
         if chunk_size is None:
             env = os.environ.get("CKPE_ODE_CHUNK")
             chunk_size = int(env) if env else None
@@ -79,23 +98,32 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         y = y0
         acc = rej = 0
         start = 0
-        mm = meta_path = None
+        if project is not None:
+            row0 = np.asarray(project(y0[None]), dtype=np.float64)
+            width = row0.shape[-1]
+        else:
+            row0 = y0[None]
+            width = y0.size
+        mm = meta_path = y_path = None
         if checkpoint_path:
             key = hashlib.sha1(
                 ts.tobytes() + y0.tobytes()
-                + f"{rtol}:{atol}:{name}".encode()
+                + f"{rtol}:{atol}:{name}:{width}".encode()
             ).hexdigest()
             meta_path = checkpoint_path + ".meta.json"
+            y_path = checkpoint_path + ".y.npy"
             if os.path.exists(checkpoint_path) and os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = json.load(f)
-                if meta.get("key") == key:
+                if meta.get("key") == key and (
+                        project is None or os.path.exists(y_path)):
                     mm = np.lib.format.open_memmap(checkpoint_path,
                                                    mode="r+")
                     start = int(meta["next"])
                     acc = int(meta.get("num_accepted", 0))
                     rej = int(meta.get("num_rejected", 0))
-                    y = np.array(mm[start - 1])
+                    y = (np.load(y_path) if project is not None
+                         else np.array(mm[start - 1]))
                     if progress:
                         print(f"[ckpe.ode] resuming at sample {start}"
                               f"/{n_out} from {checkpoint_path}",
@@ -103,7 +131,7 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
             if mm is None:
                 mm = np.lib.format.open_memmap(
                     checkpoint_path, mode="w+", dtype=np.float64,
-                    shape=(n_out, y0.size),
+                    shape=(n_out, width),
                 )
 
         # With the dense-output stepper every chunk is padded to a single
@@ -115,9 +143,9 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
         # they keep exact chunk shapes.
         pad_chunks = chunk < n_out and name == "dop853"
         if pad_chunks and start == 0:
-            ys_parts.append(y0[None])
+            ys_parts.append(row0)
             if mm is not None:
-                mm[0] = y0
+                mm[0] = row0[0]
             start = 1
 
         t_begin = time.time()
@@ -130,8 +158,8 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                      np.full(chunk + 1 - len(ts_chunk), ts[-1])])
             ys_c, info = stepper(fn_dy_dt, y, ts_chunk, (rtol, atol),
                                  max_steps=max_steps)
-            ys_c = np.asarray(ys_c)[:1 + (stop - start)
-                                    if start else (stop - start)]
+            # Stays a device array until (projected) transfer below.
+            ys_c = ys_c[:1 + (stop - start) if start else (stop - start)]
             if not bool(info["completed"]):
                 raise RuntimeError(
                     f"ODE solve did not complete within "
@@ -141,10 +169,17 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                 )
             acc += int(info["num_accepted"])
             rej += int(info["num_rejected"])
-            rows = ys_c if start == 0 else ys_c[1:]
+            rows_dev = ys_c if start == 0 else ys_c[1:]
+            rows = np.asarray(rows_dev if project is None
+                              else project(rows_dev), dtype=np.float64)
+            y = ys_c[-1]  # full state, device-resident under project
             if mm is not None:
                 mm[start:stop] = rows
                 mm.flush()
+                if project is not None:
+                    tmp_y = y_path + ".tmp"
+                    np.save(tmp_y, np.asarray(y))
+                    os.replace(tmp_y + ".npy", y_path)
                 tmp = meta_path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump({"key": key, "next": stop,
@@ -153,7 +188,6 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                 os.replace(tmp, meta_path)
             else:
                 ys_parts.append(rows)
-            y = ys_c[-1]
             if progress:
                 print(
                     f"[ckpe.ode] t={ts[stop - 1]:g}/{ts[-1]:g} "
@@ -167,10 +201,14 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
             del mm
             os.remove(checkpoint_path)
             os.remove(meta_path)
+            if y_path and os.path.exists(y_path):
+                os.remove(y_path)
         else:
             ys = (np.concatenate(ys_parts, axis=0) if len(ys_parts) > 1
                   else ys_parts[0])
         info = {"num_accepted": acc, "num_rejected": rej, "completed": True}
+        if project is not None:
+            info["y_final"] = np.asarray(y, dtype=np.float64)
         return (ys, info) if return_info else ys
     if backend == "scipy":
         import scipy.integrate

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--n-samples", type=int, default=2001)
     ap.add_argument("--scenario", default=None, choices=["a", "b"])
     ap.add_argument("--chunk-size", type=int, default=100)
+    ap.add_argument("--observables-only", action="store_true",
+                    help="Evaluate the plotted observables on device and "
+                    "transfer only those (required for cl_k >= 7 where "
+                    "full-state samples are GBs over the TPU tunnel).")
     args = ap.parse_args()
     cl_k = args.cl_k
 
@@ -47,32 +51,62 @@ def main():
     )
     if args.scenario:
         scenarios = tuple(s for s in scenarios if s[0] == args.scenario)
+    curves = [
+        ([5, 0, 5, 5, 5], "-k", "p(OAOOO)"),
+        ([5, 4, 1, 5, 5], "-b", "p(OIBOO)"),
+        ([5, 4, 1, 4, 5], "--b", "p(OIBIO)"),
+        ([5, 4, 5, 2, 5], "-m", "p(OIOCO)"),
+        ([5, 4, 5, 2, 4], "--m", "p(OIOCI)"),
+        ([5, 4, 5, 4, 3], "-r", "p(OIOID)"),
+        ([6], ":k", "p(P)"),
+        ([7], ":b", "p(X)"),
+    ]
+    cursors = [[0], [1], [2], [3]]
     for name, p0 in scenarios:
-        ode_ys = cached(
-            f"ex4_chemical_turing_{name}_k{cl_k}.npz",
-            lambda p0=p0: markov_tapes.ode_integrate_ivp(
-                tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
-                backend=args.backend,
-                ivp_kwargs=dict(rtol=args.tol, atol=args.tol,
-                                method="DOP853",
-                                # bounded device-program chunks: long
-                                # single programs trip tunnel watchdogs
-                                chunk_size=100, progress=True),
-            ),
-        )
-        fig, ax = new_fig()
-        pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k)
-        pl.plot([5, 0, 5, 5, 5], "-k", "p(OAOOO)")
-        pl.plot([5, 4, 1, 5, 5], "-b", "p(OIBOO)")
-        pl.plot([5, 4, 1, 4, 5], "--b", "p(OIBIO)")
-        pl.plot([5, 4, 5, 2, 5], "-m", "p(OIOCO)")
-        pl.plot([5, 4, 5, 2, 4], "--m", "p(OIOCI)")
-        pl.plot([5, 4, 5, 4, 3], "-r", "p(OIOID)")
-        pl.plot([6], ":k", "p(P)")
-        pl.plot([7], ":b", "p(X)")
-        c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
-        ax.plot(ode_ts[1:], log10(c_tot[1:]), "--r", label="{total cursor}")
         suffix = "" if cl_k == 5 else f"_k{cl_k}"
+        solver_kwargs = dict(rtol=args.tol, atol=args.tol,
+                             method="DOP853",
+                             # bounded device-program chunks: long
+                             # single programs trip tunnel watchdogs
+                             chunk_size=args.chunk_size, progress=True)
+        fig, ax = new_fig()
+        if args.observables_only:
+            # Large-state mode (cl_k >= 7): every plotted quantity is a
+            # linear functional of p — evaluate on device, transfer only
+            # [T, n_obs] instead of [T, size_a**cl_k] (38 MB/sample at
+            # cl_k=7 over a ~12 MB/s tunnel).
+            from chemical_kinetics_and_program_execution_tpu.ops.observables import (  # noqa: E501
+                seq_prob_projector,
+            )
+
+            seqs = [s for s, _, _ in curves] + cursors
+            proj = seq_prob_projector(seqs, SIZE_A, cl_k)
+            obs = cached(
+                f"ex4_chemical_turing_{name}_k{cl_k}_obs.npz",
+                lambda p0=p0, proj=proj: markov_tapes.ode_integrate_ivp(
+                    tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
+                    ts=ode_ts, backend=args.backend,
+                    ivp_kwargs=dict(project=proj, **solver_kwargs),
+                ),
+            )
+            for j, (_, style, label) in enumerate(curves):
+                ax.plot(ode_ts[1:], log10(obs[1:, j]), style, label=label)
+                print(f"{label}: p_final={obs[-1, j]}")
+            c_tot = obs[:, len(curves):].sum(axis=1)
+        else:
+            ode_ys = cached(
+                f"ex4_chemical_turing_{name}_k{cl_k}.npz",
+                lambda p0=p0: markov_tapes.ode_integrate_ivp(
+                    tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
+                    ts=ode_ts, backend=args.backend,
+                    ivp_kwargs=solver_kwargs,
+                ),
+            )
+            pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k)
+            for seq, style, label in curves:
+                pl.plot(seq, style, label)
+            c_tot = sum(pl.seq_prob(s) for s in cursors)
+        ax.plot(ode_ts[1:], log10(c_tot[1:]), "--r", label="{total cursor}")
         finish(fig, ax, f"ex4_chemical_turing_{name}{suffix}.pdf")
 
 

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--cl-k", type=int, default=5)
     ap.add_argument("--check-p0", action="store_true",
                     help="Run the (slow, RAM-heavy) eigen-space p0 gate.")
+    # Beyond-reference runs (--cl-k 6: a 10^6-dim state) keep the
+    # sample grid small — off-chip sample transfer dominates there.
+    ap.add_argument("--n-samples", type=int, default=5001)
+    ap.add_argument("--chunk-size", type=int, default=100)
     args = ap.parse_args()
     cl_k = args.cl_k
 
@@ -36,14 +40,14 @@ def main():
         if delta > 1e-6:
             raise ValueError("Impossible p0.")
 
-    ode_ts = np.linspace(0, 10000.0, 5001)
+    ode_ts = np.linspace(0, 10000.0, args.n_samples)
     ode_ys = cached(
         f"ex4var2_chemical_turing_k{cl_k}.npz",
         lambda: markov_tapes.ode_integrate_ivp(
             tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
             backend=args.backend,
             ivp_kwargs=dict(rtol=1e-11, atol=1e-11, method="DOP853",
-                            chunk_size=100, progress=True),
+                            chunk_size=args.chunk_size, progress=True),
         ),
     )
 
@@ -62,7 +66,8 @@ def main():
     c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
     ax.plot(np.log(ode_ts[1:]) / np.log(10), log10(c_tot[1:]),
             "-.m", label="{total cursor}")
-    finish(fig, ax, "ex4var2_chemical_turing.pdf",
+    suffix = "" if cl_k == 5 else f"_k{cl_k}"
+    finish(fig, ax, f"ex4var2_chemical_turing{suffix}.pdf",
            xlabel=r"$\log_{10}$(time)")
 
 

@@ -225,3 +225,63 @@ def test_ode_integrate_validates_p0():
         markov_tapes.ode_integrate(
             tag="ex1-radioactive-decay", size_a=2, cl_k=3,
             p0=np.full(8, 0.25), ts=np.linspace(0, 1, 3))
+
+
+def test_projected_solve_matches_full_solve(tmp_path):
+    """`project=` must yield exactly the observables of the full solve
+    (the projection is linear, so projecting per chunk on device and
+    projecting the full trajectory post-hoc commute), including through
+    a crash/resume cycle where the full carry state rides a sidecar."""
+    from chemical_kinetics_and_program_execution_tpu import build_dy_dt
+    from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
+    from chemical_kinetics_and_program_execution_tpu.ops.observables import (
+        seq_prob_projector,
+    )
+
+    fn, _ = build_dy_dt("ex2-ferromagnetic-chain", 4)
+    rhs = lambda y, t: fn(y)  # noqa: E731
+    p0 = np.zeros(16)
+    p0[0] = 0.9
+    p0[3] = p0[12] = 0.05
+    ts = np.linspace(0.0, 2.0, 31)
+    seqs = [(1,), (1, 1), (0, 1, 1, 0)]
+    proj = seq_prob_projector(seqs, 2, 4)
+    kwargs = dict(rtol=1e-11, atol=1e-12, chunk_size=7, method="dop853")
+
+    full = solve(rhs, p0, ts, **kwargs)
+    obs, info = solve(rhs, p0, ts, project=proj, return_info=True,
+                      **kwargs)
+    assert obs.shape == (31, 3)
+    np.testing.assert_allclose(info["y_final"], full[-1], rtol=1e-12)
+    for j, s in enumerate(seqs):
+        want = [seq_prob(p.reshape([2] * 4), s)[0] for p in full]
+        np.testing.assert_allclose(obs[:, j], want, rtol=1e-9,
+                                   atol=1e-15)
+
+    # Crash after two chunks, then resume: identical observables.
+    from chemical_kinetics_and_program_execution_tpu.ode import (
+        integrate as integ,
+    )
+
+    ckpt = str(tmp_path / "proj.npy")
+    orig_stepper = integ.odeint_dop853_dense
+    calls = {"n": 0}
+
+    def crashing_stepper(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise KeyboardInterrupt
+        return orig_stepper(*a, **k)
+
+    integ.odeint_dop853_dense = crashing_stepper
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            solve(rhs, p0, ts, project=proj, checkpoint_path=ckpt,
+                  **kwargs)
+    finally:
+        integ.odeint_dop853_dense = orig_stepper
+    assert (tmp_path / "proj.npy.y.npy").exists()  # full-state sidecar
+    resumed = solve(rhs, p0, ts, project=proj, checkpoint_path=ckpt,
+                    **kwargs)
+    np.testing.assert_allclose(resumed, obs, rtol=1e-9, atol=1e-15)
+    assert not (tmp_path / "proj.npy.y.npy").exists()
