@@ -98,3 +98,32 @@ def test_ex4_cl_k_convergence():
         assert got6 == pytest.approx(got5, rel=0.05, abs=1e-9), (
             f"p({name}): cl_k=6 {got6!r} vs cl_k=5 {got5!r}"
         )
+
+
+def test_ex4var2_cl_k_convergence():
+    """Beyond-reference: ex4var2 observables converge in cl_k.
+
+    cl_k=6 is a 10^6-dim exact solve (10x the reference's largest
+    workload, `examples/ex4var2_chemical_turing.py --cl-k 6`). Closure
+    error stays small even with the evaluator chemistry's longer
+    correlations: measured max deviation 0.34% (p(OIOIO)).
+    """
+    from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
+
+    path5 = os.path.join(ART_DIR, "ex4var2_chemical_turing_k5.npz")
+    path6 = os.path.join(ART_DIR, "ex4var2_chemical_turing_k6.npz")
+    if not (os.path.exists(path5) and os.path.exists(path6)):
+        pytest.skip("cl_k=5/6 artifacts not both produced yet")
+    p5 = np.load(path5)["ode_ys"][-1].reshape([10] * 5)
+    p6 = np.load(path6)["ode_ys"][-1].reshape([10] * 6)
+    seqs = {
+        "A": (0,), "B": (1,), "C": (2,), "D": (3,),
+        "IOID": (4, 5, 4, 3), "OIOIO": (5, 4, 5, 4, 5),
+        "IIII": (4, 4, 4, 4), "P": (6,), "X": (7,), "E": (9,),
+    }
+    for name, seq in seqs.items():
+        got5 = float(seq_prob(p5, seq)[0])
+        got6 = float(seq_prob(p6, seq)[0])
+        assert got6 == pytest.approx(got5, rel=0.02, abs=1e-8), (
+            f"p({name}): cl_k=6 {got6!r} vs cl_k=5 {got5!r}"
+        )
