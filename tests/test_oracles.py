@@ -127,3 +127,24 @@ def test_ex4var2_cl_k_convergence():
         assert got6 == pytest.approx(got5, rel=0.02, abs=1e-8), (
             f"p({name}): cl_k=6 {got6!r} vs cl_k=5 {got5!r}"
         )
+
+
+def test_ex4_cl_k7_observables_match_oracles():
+    """Beyond-reference: ex4 at cl_k=7 (4,782,969-dim state, 81x the
+    reference's largest ex4 run) solved in on-device observables mode
+    (`--cl-k 7 --observables-only`, ops/observables projection). Final
+    observables must agree with the reference's committed cl_k=5
+    oracles to the Markov-closure error."""
+    path = os.path.join(ART_DIR, "ex4_chemical_turing_a_k7_obs.npz")
+    if not os.path.exists(path):
+        pytest.skip("cl_k=7 observables artifact not produced yet")
+    obs = np.load(path)["ode_ys"]
+    assert obs.shape[1] == 12  # 8 sequence curves + 4 cursor symbols
+    labels = ["OAOOO", "OIBOO", "OIBIO", "OIOCO", "OIOCI", "OIOID",
+              "P", "X"]
+    for j, name in enumerate(labels):
+        got = float(obs[-1, j])
+        want = ORACLE_A[name]
+        assert got == pytest.approx(want, rel=0.05, abs=1e-10), (
+            f"p({name}): cl_k=7 {got!r} vs cl_k=5 oracle {want!r}"
+        )
