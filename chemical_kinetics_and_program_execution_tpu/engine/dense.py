@@ -56,6 +56,11 @@ from ..markov import (
 )
 from . import dsl, enumerate as enum_mod
 
+# State size above which lane-hostile emissions (trailing axis < one
+# 128-lane tile) switch from 3-D sub-slice adds to flat masked rolls —
+# see the layout guard in `_apply_group.emit`.
+_ROLL_EMIT_MIN_STATE = 1_000_000
+
 
 @dataclasses.dataclass(frozen=True)
 class SigPlan:
@@ -267,6 +272,20 @@ def _apply_group(dy, l0, changed, members, w_vec, r_le, r_re,
         # Unique (orig, adj) run ranks: members merged by _group_plans
         # share their whole emission, so one slice moves their sum.
         pairs = sorted({_emit_sub_ranks(m, s0, k, a) for m in members})
+        if a**k >= _ROLL_EMIT_MIN_STATE and lo < 128:
+            # Large-state layout guard: the 3-D sub-slice form below
+            # materialises [hi, A^run, lo] temporaries whose trailing
+            # axis is (8,128)-tile padded — at lo ∈ {1, a} that is a
+            # ~14x HBM expansion per emission, which is what broke the
+            # ex4 cl_k=7 stepper (16 GB OOM, overlays-dominated). Emit
+            # with flat masked rolls instead: the run digits of each
+            # support are selected by an iota comparison and moved by a
+            # constant rank offset — all 1-D [A^k] ops, no padding.
+            dig = (jax.lax.iota(jnp.int32, a**k) // lo) % (a**run)
+            for o_s, a_s in pairs:
+                sub = jnp.where(dig == o_s, t, jnp.zeros((), dtype))
+                dy = dy - sub + jnp.roll(sub, (a_s - o_s) * lo)
+            return dy
         o_subs = np.array([x[0] for x in pairs])
         a_subs = np.array([x[1] for x in pairs])
         t3 = t.reshape(hi, a**run, lo)

@@ -243,3 +243,24 @@ def test_get_dy_dt_validates_sizes():
     fn = markov_tapes.get_dy_dt(tag="ex1-radioactive-decay", size_a=2, cl_k=3)
     with pytest.raises(ValueError, match="should have size"):
         fn(np.zeros(7), 0.0)
+
+
+def test_dense_roll_emit_matches_subslice_emit(monkeypatch):
+    """The large-state masked-roll emission (layout guard for states
+    >= _ROLL_EMIT_MIN_STATE where the 3-D sub-slice form tile-pads up
+    to 14x) must be bit-equivalent to the sub-slice form."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+
+    rng = np.random.RandomState(7)
+    for tag, cl_k in [("ex4-chemical-turing", 4),
+                      ("ex2-ferromagnetic-chain", 5),
+                      ("ex5-msrtf-machine", 4)]:
+        prog = dense.compile_dense(tag, cl_k)
+        fn_sub = dense.make_dense_dy_dt(prog)
+        p = _random_spd(rng, prog.state_size)
+        want = np.asarray(fn_sub(p))
+        monkeypatch.setattr(dense, "_ROLL_EMIT_MIN_STATE", 1)
+        fn_roll = dense.make_dense_dy_dt(prog)
+        got = np.asarray(fn_roll(p))
+        monkeypatch.undo()
+        np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-16)
