@@ -74,8 +74,9 @@ def test_ex4_p_final_oracles(scenario, oracle):
         )
 
 
-def test_ex4_cl_k_convergence():
-    """Beyond-reference: ex4 scenario-a observables converge in cl_k.
+@pytest.mark.parametrize("scenario", ["a", "b"])
+def test_ex4_cl_k_convergence(scenario):
+    """Beyond-reference: ex4 observables converge in cl_k.
 
     The Markov-window closure is an approximation in cl_k (SURVEY §0);
     the reference only ever runs ex4 at cl_k=5. With the cl_k=6 artifact
@@ -86,8 +87,10 @@ def test_ex4_cl_k_convergence():
     """
     from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
 
-    path5 = os.path.join(ART_DIR, "ex4_chemical_turing_a_k5.npz")
-    path6 = os.path.join(ART_DIR, "ex4_chemical_turing_a_k6.npz")
+    path5 = os.path.join(ART_DIR,
+                         f"ex4_chemical_turing_{scenario}_k5.npz")
+    path6 = os.path.join(ART_DIR,
+                         f"ex4_chemical_turing_{scenario}_k6.npz")
     if not (os.path.exists(path5) and os.path.exists(path6)):
         pytest.skip("cl_k=5/6 artifacts not both produced yet")
     p5 = np.load(path5)["ode_ys"][-1].reshape([9] * 5)
