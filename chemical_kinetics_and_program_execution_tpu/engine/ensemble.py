@@ -1006,8 +1006,13 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
         return (pt, dti, top_lw, (shift_acc + roll) % L), None
 
     keys = jax.random.split(key, num_steps)
+    # The zero is derived from a data input so its manual-axes varying
+    # type matches the loop-updated value under shard_map (island-mode
+    # sharding folds the device index into `key`, making every
+    # key-derived value device-varying).
+    shift_acc0 = jnp.int32(0) * pt_t[0, 0].astype(jnp.int32)
     (pt_t, dt_t, logw, shift_acc), _ = jax.lax.scan(
-        step, (pt_t, dt_t, logw, jnp.int32(0)), keys)
+        step, (pt_t, dt_t, logw, shift_acc0), keys)
     # Undo the accumulated rotation so absolute tape positions match the
     # unrolled formulation, and normalise the weights once.
     ptape = jnp.roll(pt_t, -shift_acc, axis=0).T.astype(in_dtype)

@@ -197,3 +197,58 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
     return jax.jit(
         jax.vmap(fn), in_shardings=sharding, out_shardings=sharding
     )
+
+
+def make_sharded_frontier(dtable, mesh: jax.sharding.Mesh,
+                          num_steps: int, top_k_local: int):
+    """Island-mode sharded weighted frontier (distributed beam search).
+
+    The frontier's member axis splits over every mesh device; each
+    device runs an independent ``top_k_local`` beam
+    (`ensemble.run_weighted_frontier`) seeded by folding its mesh index
+    into the shared key. There is NO cross-island re-rank: a global
+    top-k would need an all-gather of all candidate weights every step,
+    serialising the beam on ICI latency, while independent islands are
+    embarrassingly parallel and — like ensembled beam searches — give a
+    lower-variance mixture estimator (each island renormalises to mass
+    1; weight the islands uniformly when combining statistics, e.g. via
+    `ensemble.weighted_window_counts` per island averaged).
+
+    Returns ``fn(key, (ptape, dtape), logw) -> ((ptape, dtape), logw)``
+    over global arrays whose leading axis is ``n_devices *
+    top_k_local``.
+    """
+    from ..engine import ensemble as ensemble_mod
+
+    axes = tuple(mesh.shape.keys())
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def local(key, pt, dtp, lw):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        (p, d), w = ensemble_mod.run_weighted_frontier(
+            k, (pt, dtp), lw, dtable, num_steps, top_k_local
+        )
+        return p, d, w
+
+    spec = P(axes)
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec, spec, spec),
+        out_specs=(spec, spec, spec),
+    )
+
+    @jax.jit
+    def fn(key, tapes, logw):
+        pt, dtp = tapes
+        if pt.shape[0] != n_dev * top_k_local:
+            raise ValueError(
+                f"frontier size {pt.shape[0]} != n_devices*top_k_local "
+                f"= {n_dev * top_k_local}"
+            )
+        p, d, w = mapped(key, pt, dtp, logw)
+        return (p, d), w
+
+    return fn

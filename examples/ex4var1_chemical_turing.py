@@ -25,20 +25,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="jax", choices=["jax", "scipy"])
     ap.add_argument("--cl-k", type=int, default=5)
+    # Beyond-reference runs (--cl-k 6) keep the sample grid small:
+    # off-chip sample transfer dominates at that state size.
+    ap.add_argument("--n-samples", type=int, default=2001)
+    ap.add_argument("--chunk-size", type=int, default=100)
+    ap.add_argument("--tol", type=float, default=1e-13)
     args = ap.parse_args()
     cl_k = args.cl_k
 
     p0 = chemical_turing_p0(
         cl_k, cursor_fraction=0.001, powered_fraction=0.05, random01=True
     )
-    ode_ts = np.linspace(0, 2000.0, 2001)
+    ode_ts = np.linspace(0, 2000.0, args.n_samples)
     ode_ys = cached(
         f"ex4var1_chemical_turing_k{cl_k}.npz",
         lambda: markov_tapes.ode_integrate_ivp(
             tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
             backend=args.backend,
-            ivp_kwargs=dict(rtol=1e-13, atol=1e-13, method="DOP853",
-                            chunk_size=100, progress=True),
+            ivp_kwargs=dict(rtol=args.tol, atol=args.tol,
+                            method="DOP853",
+                            chunk_size=args.chunk_size, progress=True),
         ),
     )
 
@@ -53,7 +59,8 @@ def main():
     pl.plot([7], ":b", "p(X)")
     c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
     ax.plot(ode_ts[1:], log10(c_tot[1:]), ":m", label="{total cursor}")
-    finish(fig, ax, "ex4var1_chemical_turing.pdf")
+    suffix = "" if cl_k == 5 else f"_k{cl_k}"
+    finish(fig, ax, f"ex4var1_chemical_turing{suffix}.pdf")
 
     # Markov-entropy trace (`ex4var1_chemical_turing.py:142-154`).
     entropies = np.array([
@@ -64,7 +71,7 @@ def main():
           f"S_delta: {entropies[-1] - entropies[0]}")
     fig_s, ax_s = new_fig()
     ax_s.plot(ode_ts, entropies, "-k")
-    finish(fig_s, ax_s, "ex4var1_chemical_turing_s.pdf",
+    finish(fig_s, ax_s, f"ex4var1_chemical_turing{suffix}_s.pdf",
            ylabel="Markov entropy")
 
 

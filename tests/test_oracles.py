@@ -151,3 +151,33 @@ def test_ex4_cl_k7_observables_match_oracles():
         assert got == pytest.approx(want, rel=0.05, abs=1e-10), (
             f"p({name}): cl_k=7 {got!r} vs cl_k=5 oracle {want!r}"
         )
+
+
+def test_ex4var1_cl_k_convergence_and_entropy_production():
+    """Beyond-reference: ex4var1 observables AND the entropy production
+    ΔS converge in cl_k. The absolute Markov entropy is
+    closure-dependent (longer windows see more correlation), but the
+    *production* over the solve is physical: measured ΔS agrees to ~5
+    digits between cl_k=5 and cl_k=6."""
+    from chemical_kinetics_and_program_execution_tpu.markov import (
+        markov_entropy,
+        seq_prob,
+    )
+
+    path5 = os.path.join(ART_DIR, "ex4var1_chemical_turing_k5.npz")
+    path6 = os.path.join(ART_DIR, "ex4var1_chemical_turing_k6.npz")
+    if not (os.path.exists(path5) and os.path.exists(path6)):
+        pytest.skip("cl_k=5/6 artifacts not both produced yet")
+    t5 = np.load(path5)["ode_ys"]
+    t6 = np.load(path6)["ode_ys"]
+    p5 = t5[-1].reshape([9] * 5)
+    p6 = t6[-1].reshape([9] * 6)
+    for name, seq in [("IOID", (4, 5, 4, 3)), ("P", (6,)), ("X", (7,))]:
+        got5 = float(seq_prob(p5, seq)[0])
+        got6 = float(seq_prob(p6, seq)[0])
+        assert got6 == pytest.approx(got5, rel=0.01), (
+            f"p({name}): cl_k=6 {got6!r} vs cl_k=5 {got5!r}"
+        )
+    ds5 = markov_entropy(p5) - markov_entropy(t5[0].reshape([9] * 5))
+    ds6 = markov_entropy(p6) - markov_entropy(t6[0].reshape([9] * 6))
+    assert ds6 == pytest.approx(ds5, rel=1e-3)

@@ -116,3 +116,51 @@ def test_sharded_event_axis_only(compiled):
     got = np.asarray(sharded(p[None]))[0]
     np.testing.assert_allclose(got, np.asarray(single(p)),
                                rtol=1e-12, atol=1e-15)
+
+
+def test_island_frontier_matches_per_island_runs():
+    """Island-mode sharded beam: every island must reproduce exactly
+    what a standalone `run_weighted_frontier` produces with that
+    island's folded key — sharding changes the schedule, not the
+    math."""
+    import math
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_frontier,
+    )
+
+    mesh = make_mesh(n_batch=2, n_event=4)
+    dtab = ensemble.device_table(
+        ensemble.compile_transition_table("ex2-ferromagnetic-chain"))
+    k_loc, L, steps = 16, 32, 8
+    n_dev = 8
+    K = n_dev * k_loc
+    key = jax.random.PRNGKey(5)
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(6), np.full(8, 0.125), 2, 3, K, L)
+    import jax.numpy as jnp
+    ptape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(k_loc))
+
+    fn = make_sharded_frontier(dtab, mesh, steps, k_loc)
+    (pt_g, dt_g), lw_g = fn(key, (ptape, dtape), logw)
+
+    # Per-island weights renormalise to 1.
+    w = np.exp(np.asarray(lw_g)).reshape(n_dev, k_loc)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-9)
+
+    for island in (0, 3, 7):
+        sl = slice(island * k_loc, (island + 1) * k_loc)
+        k_i = jax.random.fold_in(key, island)
+        (p_i, d_i), lw_i = ensemble.run_weighted_frontier(
+            k_i, (ptape[sl], dtape[sl]), logw[sl], dtab, steps, k_loc)
+        np.testing.assert_array_equal(np.asarray(dt_g)[sl],
+                                      np.asarray(d_i))
+        np.testing.assert_allclose(np.asarray(lw_g)[sl],
+                                   np.asarray(lw_i), rtol=1e-12)
