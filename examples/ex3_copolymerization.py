@@ -27,26 +27,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="jax", choices=["jax", "scipy"])
     ap.add_argument("--cl-k", type=int, default=6)
+    # Beyond-reference runs (--cl-k 8: 65,536-dim) keep the sample
+    # grid small and may select a single variant.
+    ap.add_argument("--n-samples", type=int, default=1001)
+    ap.add_argument("--chunk-size", type=int, default=None)
+    ap.add_argument("--only", default=None,
+                    choices=["base", "var1", "var2"])
     args = ap.parse_args()
     cl_k = args.cl_k
 
     p0 = copolymerization_p0(cl_k)
-    delta, _ = markov_tapes.get_ctm_eigenvalue1_eigenspace(p0)
-    if delta > 1e-10:
-        raise ValueError("Impossible p0.")
+    if SIZE_A**cl_k <= 20_000:
+        # The eigen-gate's context transfer matrix is [A^k, A^k] on the
+        # host — 34 GB at cl_k=8, so it is bounded by state size.
+        delta, _ = markov_tapes.get_ctm_eigenvalue1_eigenspace(p0)
+        if delta > 1e-10:
+            raise ValueError("Impossible p0.")
 
     kwargs = dict(size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
                   backend=args.backend,
-                  odeint_kwargs=dict(rtol=1e-9, atol=1e-9))
-    ode_ts = np.linspace(0, 1000, 1001)
-    ode_ts2 = np.linspace(0, 200, 1001)
+                  odeint_kwargs=dict(rtol=1e-9, atol=1e-9,
+                                     chunk_size=args.chunk_size,
+                                     progress=args.chunk_size
+                                     is not None))
+    ode_ts = np.linspace(0, 1000, args.n_samples)
+    ode_ts2 = np.linspace(0, 200, args.n_samples)
 
     runs = (
         ("", "ex3-copolymerization", ode_ts),
         ("_var1", "ex3var1-copolymerization", ode_ts),
         ("_var2", "ex3var2-copolymerization", ode_ts2),
     )
+    ksuf = "" if cl_k == 6 else f"_k{cl_k}"
     for suffix, tag, ts in runs:
+        if args.only and suffix != {"base": "", "var1": "_var1",
+                                    "var2": "_var2"}[args.only]:
+            continue
         ys = cached(
             f"ex3{suffix}_k{cl_k}.npz",
             lambda tag=tag, ts=ts: markov_tapes.ode_integrate(
@@ -61,7 +77,7 @@ def main():
         pl.plot([0, 2, 1, 2, 0], "-r", "p(OMAMO)")
         pl.plot([1, 3, 1, 2], "-b", "p(ANAM)")
         pl.plot([1, 3, 1, 3], "--b", "p(ANAN)", linewidth=3)
-        finish(fig, ax, f"ex3_copolymerization{suffix}.pdf")
+        finish(fig, ax, f"ex3_copolymerization{suffix}{ksuf}.pdf")
 
 
 if __name__ == "__main__":

