@@ -935,6 +935,11 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
     """
     ptape, dtape = tapes
     K, L = ptape.shape
+    if top_k != K:
+        raise ValueError(
+            f"top_k={top_k} must equal the frontier width K={K} (the "
+            "frontier is fixed-width; children replace parents 1:1)"
+        )
     M = dtable.out_cum.shape[1]
     n_p = dtable.p_offs.shape[0]
     n_d = dtable.d_offs.shape[0]

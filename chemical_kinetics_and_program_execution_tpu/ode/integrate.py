@@ -115,14 +115,24 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
             if os.path.exists(checkpoint_path) and os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = json.load(f)
+                y_resume = None
+                if meta.get("key") == key and project is not None \
+                        and os.path.exists(y_path):
+                    # Validate that the state sidecar matches this meta
+                    # (see the write-side comment on atomicity).
+                    y_cand = np.load(y_path)
+                    if (meta.get("y_next") == meta.get("next")
+                            and float(y_cand.sum())
+                            == meta.get("y_sum")):
+                        y_resume = y_cand
                 if meta.get("key") == key and (
-                        project is None or os.path.exists(y_path)):
+                        project is None or y_resume is not None):
                     mm = np.lib.format.open_memmap(checkpoint_path,
                                                    mode="r+")
                     start = int(meta["next"])
                     acc = int(meta.get("num_accepted", 0))
                     rej = int(meta.get("num_rejected", 0))
-                    y = (np.load(y_path) if project is not None
+                    y = (y_resume if project is not None
                          else np.array(mm[start - 1]))
                     if progress:
                         print(f"[ckpe.ode] resuming at sample {start}"
@@ -176,15 +186,24 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
             if mm is not None:
                 mm[start:stop] = rows
                 mm.flush()
+                meta = {"key": key, "next": stop,
+                        "num_accepted": acc, "num_rejected": rej}
                 if project is not None:
+                    # The two os.replace calls below are not jointly
+                    # atomic, so the meta records which sample the
+                    # sidecar state corresponds to ("y_next") plus a
+                    # checksum; resume validates both (a crash between
+                    # the replaces then restarts the solve instead of
+                    # silently resuming one chunk ahead).
+                    y_host = np.asarray(y, dtype=np.float64)
+                    meta["y_next"] = stop
+                    meta["y_sum"] = float(y_host.sum())
                     tmp_y = y_path + ".tmp"
-                    np.save(tmp_y, np.asarray(y))
+                    np.save(tmp_y, y_host)
                     os.replace(tmp_y + ".npy", y_path)
                 tmp = meta_path + ".tmp"
                 with open(tmp, "w") as f:
-                    json.dump({"key": key, "next": stop,
-                               "num_accepted": acc,
-                               "num_rejected": rej}, f)
+                    json.dump(meta, f)
                 os.replace(tmp, meta_path)
             else:
                 ys_parts.append(rows)

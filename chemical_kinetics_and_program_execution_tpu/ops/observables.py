@@ -29,7 +29,9 @@ def seq_prob_projector(seqs, size_a: int, cl_k: int):
     plan = []
     for seq in seqs:
         length = len(seq)
-        if not 1 <= length <= cl_k:
+        if length < 1:
+            raise ValueError(f"empty sequence {seq!r}")
+        if length > cl_k:
             raise ValueError(
                 f"sequence {seq!r} longer than cl_k={cl_k}: the "
                 "Markov-chain extension is not linear in p"

@@ -45,6 +45,25 @@ def cached(filename: str, compute, key: str = "ode_ys") -> np.ndarray:
     return value
 
 
+def sample_grid(filename: str, t0: float, t_max: float, n_samples: int,
+                key: str = "ode_ys") -> np.ndarray:
+    """Sample grid for a (possibly cached) solve.
+
+    The .npz caches are keyed by filename alone (the reference's
+    idempotence pattern), so rerunning a script with a different
+    ``--n-samples`` than the committed artifact would misalign ``ts``
+    with the cached rows. When a cache exists, its grid wins.
+    """
+    path = out_path(filename)
+    if os.access(path, os.R_OK):
+        n = int(np.load(path)[key].shape[0])
+        if n != n_samples:
+            print(f"[examples] {filename}: cached trajectory has {n} "
+                  f"samples; using its grid", flush=True)
+            n_samples = n
+    return np.linspace(t0, t_max, n_samples)
+
+
 def new_fig(figsize=(16, 8), grid=True):
     fig = pyplot.figure(figsize=figsize)
     ax = fig.gca()

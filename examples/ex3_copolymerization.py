@@ -14,7 +14,7 @@ import argparse
 import numpy as np
 
 import _common
-from _common import SeqProbPlotter, cached, finish, new_fig
+from _common import SeqProbPlotter, cached, finish, new_fig, sample_grid
 from chemical_kinetics_and_program_execution_tpu import markov_tapes
 from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
     copolymerization_p0,
@@ -44,27 +44,31 @@ def main():
         if delta > 1e-10:
             raise ValueError("Impossible p0.")
 
+    odeint_kwargs = dict(rtol=1e-9, atol=1e-9)
+    if args.backend == "jax":
+        # Chunking/progress are jax-solver options; the scipy backend
+        # forwards odeint_kwargs verbatim to scipy.integrate.odeint.
+        odeint_kwargs.update(chunk_size=args.chunk_size,
+                             progress=args.chunk_size is not None)
     kwargs = dict(size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
                   backend=args.backend,
-                  odeint_kwargs=dict(rtol=1e-9, atol=1e-9,
-                                     chunk_size=args.chunk_size,
-                                     progress=args.chunk_size
-                                     is not None))
-    ode_ts = np.linspace(0, 1000, args.n_samples)
-    ode_ts2 = np.linspace(0, 200, args.n_samples)
+                  odeint_kwargs=odeint_kwargs)
+    t_maxes = {"": 1000.0, "_var1": 1000.0, "_var2": 200.0}
 
     runs = (
-        ("", "ex3-copolymerization", ode_ts),
-        ("_var1", "ex3var1-copolymerization", ode_ts),
-        ("_var2", "ex3var2-copolymerization", ode_ts2),
+        ("", "ex3-copolymerization"),
+        ("_var1", "ex3var1-copolymerization"),
+        ("_var2", "ex3var2-copolymerization"),
     )
     ksuf = "" if cl_k == 6 else f"_k{cl_k}"
-    for suffix, tag, ts in runs:
+    for suffix, tag in runs:
         if args.only and suffix != {"base": "", "var1": "_var1",
                                     "var2": "_var2"}[args.only]:
             continue
+        cache_name = f"ex3{suffix}_k{cl_k}.npz"
+        ts = sample_grid(cache_name, 0, t_maxes[suffix], args.n_samples)
         ys = cached(
-            f"ex3{suffix}_k{cl_k}.npz",
+            cache_name,
             lambda tag=tag, ts=ts: markov_tapes.ode_integrate(
                 tag=tag, ts=ts, **kwargs),
         )

@@ -15,7 +15,7 @@ import argparse
 import numpy as np
 
 import _common
-from _common import SeqProbPlotter, cached, finish, log10, new_fig
+from _common import SeqProbPlotter, cached, finish, log10, new_fig, sample_grid
 from chemical_kinetics_and_program_execution_tpu import markov_tapes
 from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
     chemical_turing_p0,
@@ -44,7 +44,6 @@ def main():
     args = ap.parse_args()
     cl_k = args.cl_k
 
-    ode_ts = np.linspace(0, args.t_max, args.n_samples)
     scenarios = (
         ("a", chemical_turing_p0(cl_k, powered_fraction=0.04)),
         ("b", chemical_turing_p0(cl_k, powered_fraction=0.01)),  # starved
@@ -64,6 +63,9 @@ def main():
     cursors = [[0], [1], [2], [3]]
     for name, p0 in scenarios:
         suffix = "" if cl_k == 5 else f"_k{cl_k}"
+        obs_part = "_obs" if args.observables_only else ""
+        cache_name = f"ex4_chemical_turing_{name}_k{cl_k}{obs_part}.npz"
+        ode_ts = sample_grid(cache_name, 0, args.t_max, args.n_samples)
         solver_kwargs = dict(rtol=args.tol, atol=args.tol,
                              method="DOP853",
                              # bounded device-program chunks: long
@@ -82,7 +84,7 @@ def main():
             seqs = [s for s, _, _ in curves] + cursors
             proj = seq_prob_projector(seqs, SIZE_A, cl_k)
             obs = cached(
-                f"ex4_chemical_turing_{name}_k{cl_k}_obs.npz",
+                cache_name,
                 lambda p0=p0, proj=proj: markov_tapes.ode_integrate_ivp(
                     tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
                     ts=ode_ts, backend=args.backend,
@@ -95,7 +97,7 @@ def main():
             c_tot = obs[:, len(curves):].sum(axis=1)
         else:
             ode_ys = cached(
-                f"ex4_chemical_turing_{name}_k{cl_k}.npz",
+                cache_name,
                 lambda p0=p0: markov_tapes.ode_integrate_ivp(
                     tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
                     ts=ode_ts, backend=args.backend,

@@ -11,7 +11,7 @@ import argparse
 import numpy as np
 
 import _common
-from _common import SeqProbPlotter, cached, finish, log10, new_fig
+from _common import SeqProbPlotter, cached, finish, log10, new_fig, sample_grid
 from chemical_kinetics_and_program_execution_tpu import markov_tapes
 from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
     chemical_turing_v2_p0,
@@ -40,9 +40,10 @@ def main():
         if delta > 1e-6:
             raise ValueError("Impossible p0.")
 
-    ode_ts = np.linspace(0, 10000.0, args.n_samples)
+    cache_name = f"ex4var2_chemical_turing_k{cl_k}.npz"
+    ode_ts = sample_grid(cache_name, 0, 10000.0, args.n_samples)
     ode_ys = cached(
-        f"ex4var2_chemical_turing_k{cl_k}.npz",
+        cache_name,
         lambda: markov_tapes.ode_integrate_ivp(
             tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
             backend=args.backend,

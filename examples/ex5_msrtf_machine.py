@@ -9,7 +9,7 @@ import argparse
 import numpy as np
 
 import _common
-from _common import SeqProbPlotter, cached, finish, new_fig
+from _common import SeqProbPlotter, cached, finish, new_fig, sample_grid
 from chemical_kinetics_and_program_execution_tpu import markov_tapes
 from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
     msrtf_p0,
@@ -31,9 +31,10 @@ def run(tag, filename_stem, t_max, backend="jax", cl_k=5,
         if delta > 1e-10:
             raise ValueError("Impossible p0.")
 
-    ode_ts = np.linspace(0, t_max, n_samples)
+    cache_name = f"{filename_stem}_k{cl_k}.npz"
+    ode_ts = sample_grid(cache_name, 0, t_max, n_samples)
     ode_ys = cached(
-        f"{filename_stem}_k{cl_k}.npz",
+        cache_name,
         lambda: markov_tapes.ode_integrate_ivp(
             tag=tag, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
             backend=backend,
@@ -55,7 +56,7 @@ def run(tag, filename_stem, t_max, backend="jax", cl_k=5,
     suffix = "" if cl_k == 5 else f"_k{cl_k}"
     finish(fig, ax, f"{filename_stem}{suffix}.pdf", ylabel="probability")
 
-    if print_window_extrema:
+    if print_window_extrema and cl_k >= 4:
         # Report the least/most likely length-4 windows at t_final
         # (`ex5var1_msrtf_machine.py:101-106`, with the loop-shadowing
         # quirk noted in SURVEY §7.4 fixed: report actual argmin/argmax).

@@ -26,10 +26,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from chemical_kinetics_and_program_execution_tpu.engine import ensemble
-from chemical_kinetics_and_program_execution_tpu.engine.ensemble import (
-    _Reveal,
-)
-
 dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
 B, L = 16384, 4096
 E = L // 16
