@@ -307,3 +307,28 @@ def test_weighted_frontier_deterministic_rule_keeps_uniform_weights():
     # The S symbol (index 1) starts machines: data tape must have
     # changed somewhere across the ensemble.
     assert int(jnp.sum(jnp.abs(dt2))) > 0
+
+
+def test_frontier_write_decode_paths_agree():
+    """The packed-word write decode and the gather fallback must be
+    bit-identical (the fallback serves spec tables too large to pack)."""
+    import dataclasses
+    import math
+
+    dtab = ensemble.device_table(
+        ensemble.compile_transition_table("ex2-ferromagnetic-chain"))
+    assert dtab.n_wr_words > 0  # packed path active for ex2
+    dtab_gather = dataclasses.replace(dtab, wr_words=None, n_wr_words=0)
+    K, L, steps = 64, 32, 12
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(0), np.full(8, 0.125), 2, 3, K, L)
+    ptape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(K))
+    outs = []
+    for tab in (dtab, dtab_gather):
+        (pt, dt), lw = ensemble.run_weighted_frontier(
+            jax.random.PRNGKey(1), (ptape, dtape), logw, tab, steps, K)
+        outs.append((np.asarray(pt), np.asarray(dt), np.asarray(lw)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-13)
