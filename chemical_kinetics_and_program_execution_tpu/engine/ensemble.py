@@ -457,7 +457,28 @@ def _unpack_field(words, widx, shift_amt, bits):
     return v & ((1 << bits) - 1)
 
 
-def _machine_specs_planes(dm: DeviceMachine, cells, uniforms):
+def _choose_sampling_dist(probs, tau: float):
+    """Static per-node sampling distribution q ∝ p^tau (support of p) and
+    per-branch importance increments log p − log q.
+
+    tau = 1 recovers q = p (increments identically 0: sampling the true
+    outcome distribution needs no weight correction); tau = 0 explores
+    every nonzero-probability branch uniformly, the closest sampled
+    analogue of the exact engine's branch-everything enumeration.
+    """
+    p = np.asarray(probs, dtype=np.float64)
+    q = np.where(p > 0, np.power(np.maximum(p, 1e-300), tau), 0.0)
+    q = q / q.sum()
+    delta = np.where(
+        p > 0,
+        np.log(np.maximum(p, 1e-300)) - np.log(np.maximum(q, 1e-300)),
+        0.0,
+    )
+    return q, delta
+
+
+def _machine_specs_planes(dm: DeviceMachine, cells, uniforms, *,
+                          tau: float = 1.0, want_logp: bool = False):
     """Vectorized FSM walk over per-cell planes -> write spec.
 
     ``cells`` is a sequence of n_cells arrays of identical shape (one
@@ -466,35 +487,51 @@ def _machine_specs_planes(dm: DeviceMachine, cells, uniforms):
     chosen branch, which is the inverse-CDF of the joint outcome
     distribution in decision order — the exact order the table's
     cumulative rows use).
+
+    With ``tau`` != 1 the choose branches are sampled from the tempered
+    distribution q ∝ p^tau instead of p; with ``want_logp`` the walk
+    additionally returns the importance log-weight increment
+    log p(path) − log q(path) of the sampled decision path (a float32
+    plane; identically zero at tau=1). Both knobs serve the weighted
+    frontier (`run_weighted_frontier_blocked`); the ensemble hot path
+    uses the defaults, where this function is unchanged.
     """
     bits = dm.bits
     fields = 31 // bits
     sdt = jnp.int8 if dm.n_states <= 127 else jnp.int16
     state = jnp.full(cells[0].shape, dm.root, sdt)
     spec = jnp.zeros(cells[0].shape, jnp.int8)
+    logp = jnp.zeros(cells[0].shape, jnp.float32) if want_logp else None
     u = uniforms
     for node in dm.nodes:
         mask = state == node.node_id
         if isinstance(node, _Reveal):
             b = cells[node.cell].astype(jnp.int32)
         else:
-            cum = np.cumsum(np.asarray(node.probs))
+            q, delta = _choose_sampling_dist(node.probs, tau)
+            cum = np.cumsum(q)
             b = jnp.zeros(state.shape, jnp.int32)
             lo = jnp.zeros_like(u)
-            width = jnp.full_like(u, max(node.probs[0], 1e-30))
-            for j in range(1, len(node.probs)):
+            width = jnp.full_like(u, max(q[0], 1e-30))
+            dsel = (jnp.full(state.shape, np.float32(delta[0]), jnp.float32)
+                    if want_logp else None)
+            for j in range(1, len(q)):
                 sel = u >= cum[j - 1]
                 b = jnp.where(sel, jnp.int32(j), b)
                 lo = jnp.where(sel, cum[j - 1], lo)
-                width = jnp.where(sel, max(node.probs[j], 1e-30), width)
+                width = jnp.where(sel, max(q[j], 1e-30), width)
+                if want_logp:
+                    dsel = jnp.where(sel, np.float32(delta[j]), dsel)
             u = jnp.where(mask, (u - lo) / width, u)
+            if want_logp:
+                logp = jnp.where(mask, logp + dsel, logp)
         shift_amt = bits * (b % fields)
         widx = b // fields
         child = _unpack_field(node.child_words, widx, shift_amt, bits)
         nspec = _unpack_field(node.spec_words, widx, shift_amt, bits)
         state = jnp.where(mask, child.astype(sdt), state)
         spec = jnp.where(mask, nspec.astype(jnp.int8), spec)
-    return spec
+    return (spec, logp) if want_logp else spec
 
 
 def _machine_writes_planes(dm: DeviceMachine, spec, cells):
@@ -788,10 +825,14 @@ def _plane_coords(dm: DeviceMachine, stride):
 
 
 def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
-                           uniforms):
+                           uniforms, *, tau: float = 1.0,
+                           want_logp: bool = False):
     """One stratified round on plane-stored tapes; shift in [0, stride).
 
-    Returns the updated (p_planes, d_planes) tuples.
+    Returns the updated (p_planes, d_planes) tuples; with ``want_logp``
+    additionally the per-member importance log-weight increment (the sum
+    of log p − log q over the round's sampled choose branches, float32
+    [B]) — see :func:`_machine_specs_planes`.
     """
     stride = len(p_planes)
     coords = _plane_coords(dm, stride)
@@ -820,11 +861,18 @@ def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
 
     cells = jax.lax.switch(
         shift, [read_branch(s) for s in range(stride)], p_planes, d_planes)
-    spec = _machine_specs_planes(dm, cells, uniforms)
+    if want_logp:
+        spec, logp = _machine_specs_planes(dm, cells, uniforms, tau=tau,
+                                           want_logp=True)
+    else:
+        spec = _machine_specs_planes(dm, cells, uniforms, tau=tau)
     new = _machine_writes_planes(dm, spec, list(cells))
-    return jax.lax.switch(
+    p_planes, d_planes = jax.lax.switch(
         shift, [write_branch(s) for s in range(stride)],
         p_planes, d_planes, tuple(new))
+    if want_logp:
+        return p_planes, d_planes, logp.sum(axis=1)
+    return p_planes, d_planes
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -919,9 +967,115 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
     return (ptape, dtape), (applied, times)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+# --- Merge-by-key: collapse duplicate frontier configurations ----------------
+#
+# Beam/frontier members are *paths* through the reaction multiverse;
+# distinct paths routinely reconverge to the same tape configuration.
+# Without merging, duplicates occupy multiple slots and silently shrink
+# the effective frontier width (the same redundancy that stage-2
+# signature dedup removes in the exact engine, `compile.py`). Members
+# are keyed by a 64-bit content hash of both tapes; collisions
+# (~K²/2⁶⁴ per merge, ≈5e-6 at K=1e7) would merge two distinct
+# configurations — negligible against the beam's own pruning bias.
+
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _content_hash(columns):
+    """64-bit FNV-1a-style hash over per-member symbol columns.
+
+    ``columns`` is an iterable of same-shape int arrays (one tape cell
+    each, member-aligned); the fold order is part of the key and must be
+    identical for members to compare equal.
+    """
+    h = None
+    for col in columns:
+        v = col.astype(jnp.uint64) + jnp.uint64(1)
+        h = (jnp.full(col.shape, _FNV_OFFSET) if h is None else h)
+        h = (h ^ v) * _FNV_PRIME
+    return h
+
+
+def _merge_stats(h, lw):
+    """Groups members by content hash and logsumexp-merges weights.
+
+    Returns (seg_of_member [K] segment id per ORIGINAL member index,
+    merged_lw [K] per-segment log-weight (-inf past n_unique),
+    rep [K] one original member index per segment, n_unique).
+    """
+    K = h.shape[0]
+    order = jnp.argsort(h)
+    hs = h[order]
+    lws = lw[order]
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+    seg = jnp.cumsum(starts) - 1  # segment id per sorted position
+    seg_max = jax.ops.segment_max(lws, seg, num_segments=K)
+    finite = jnp.isfinite(seg_max)
+    safe_max = jnp.where(finite, seg_max, 0.0)
+    shifted = jnp.where(jnp.isfinite(lws), jnp.exp(lws - safe_max[seg]), 0.0)
+    seg_sum = jax.ops.segment_sum(shifted, seg, num_segments=K)
+    merged_lw = jnp.where(
+        finite, safe_max + jnp.log(jnp.maximum(seg_sum, 1e-300)), -jnp.inf)
+    rep = jax.ops.segment_min(order, seg, num_segments=K)
+    seg_of_member = jnp.zeros((K,), seg.dtype).at[order].set(seg)
+    return seg_of_member, merged_lw, rep, starts.sum()
+
+
+def _merge_weights_inplace(h, lw):
+    """Weight-only merge for the per-step beam: each duplicate group's
+    total weight moves to one representative slot; the other slots drop
+    to -inf, so the next top-k ranking backfills them with genuinely
+    distinct children instead of redundant copies. No tape data moves.
+    """
+    K = h.shape[0]
+    seg_of_member, merged_lw, rep, _ = _merge_stats(h, lw)
+    # rep rows past n_unique hold the segment_min identity (INT_MAX);
+    # routing them (and empty-weight groups) to index K drops them.
+    is_rep = jnp.zeros((K,), bool).at[jnp.where(
+        jnp.isfinite(merged_lw), rep, K)].set(True, mode="drop")
+    return jnp.where(is_rep, merged_lw[seg_of_member], -jnp.inf)
+
+
+def _merge_resample(key, h, lw):
+    """Merge duplicates, then reallocate all K slots across the unique
+    configurations by systematic resampling proportional to merged
+    weight, splitting each configuration's weight over its slots.
+
+    Weight-preserving: a configuration given m ≥ 1 slots carries exactly
+    its merged weight (m slots of w/m); configurations with merged
+    weight ≥ 1/K always survive (systematic resampling guarantees
+    m ≥ ⌊K·w⌋). This is the frontier's top-k pruning: freed duplicate
+    slots flow to the heaviest configurations (whose future branch
+    outcomes then get proportionally more exploration), and
+    configurations far below 1/K weight lose their slot.
+
+    Returns (parent [K] member index per new slot, new_lw [K]).
+    """
+    K = h.shape[0]
+    _, merged_lw, rep, _ = _merge_stats(h, lw)
+    lse = jax.scipy.special.logsumexp(merged_lw)
+    w = jnp.exp(merged_lw - lse)  # [K] padded zeros past n_unique
+    cum = jnp.cumsum(w)
+    cum = cum / cum[-1]
+    u = jnp.clip(jax.random.uniform(key, (), jnp.float64),
+                 1e-12, 1.0 - 1e-12)
+    f = jnp.floor(K * cum - u)
+    m = (f - jnp.concatenate([jnp.full((1,), -1.0), f[:-1]])).astype(
+        jnp.int32)  # multiplicities, sum == K
+    pseg = jnp.searchsorted(jnp.cumsum(m), jnp.arange(K), side="right")
+    pseg = jnp.minimum(pseg, K - 1)
+    parent = rep[pseg]
+    new_lw = merged_lw[pseg] - jnp.log(jnp.maximum(m[pseg], 1))
+    return parent, new_lw
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
-                          num_steps: int, top_k: int):
+                          num_steps: int, top_k: int,
+                          merge_every: int = 0):
     """Weighted-frontier mode with top-k pruning (BASELINE config 5).
 
     Tracks K weighted tape configurations as an explicit frontier over
@@ -955,6 +1109,13 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
       dtable: compiled device table.
       num_steps: static; each step advances time by 1/L.
       top_k: static; must equal K (the frontier width is fixed).
+      merge_every: static; if > 0, every merge_every steps duplicate
+        configurations are merged by content key (logsumexp of their
+        weights into one representative slot, the rest dropped to -inf)
+        so the next top-k ranking backfills the freed slots with
+        genuinely distinct children — restoring the effective beam
+        width. Only meaningful for branching tables (M > 1; a
+        deterministic beam has no ranking to backfill through).
 
     Returns:
       ((ptape, dtape), logw) after num_steps; exp(logw) sums to 1.
@@ -965,6 +1126,11 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
         raise ValueError(
             f"top_k={top_k} must equal the frontier width K={K} (the "
             "frontier is fixed-width; children replace parents 1:1)"
+        )
+    if dtable.size_a > 127:
+        raise ValueError(
+            f"size_a={dtable.size_a} exceeds the frontier's int8 tape "
+            "layout (symbols must fit int8)"
         )
     M = dtable.out_cum.shape[1]
     n_p = dtable.p_offs.shape[0]
@@ -1027,7 +1193,8 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
                  for c in range(n_d)]
         return jnp.stack(new_p), jnp.stack(new_d)
 
-    def step(carry, k):
+    def step(carry, xs):
+        k, i = xs
         pt, dti, lw, shift_acc = carry  # pt/dti [L, K] int8
         site = jax.random.randint(k, (), 0, L, dtype=jnp.int32)
         roll = -(site + lo)
@@ -1065,6 +1232,16 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
         pt = pt.at[pc:pc + n_p].set(new_cells_p)
         dti = dti.at[dc:dc + n_d].set(new_cells_d)
 
+        if merge_every and M > 1:
+            def merged(lw_in):
+                hh = _content_hash(
+                    [pt[j] for j in range(L)] + [dti[j] for j in range(L)])
+                return _merge_weights_inplace(hh, lw_in)
+
+            top_lw = jax.lax.cond(
+                i % merge_every == merge_every - 1, merged,
+                lambda lw_in: lw_in, top_lw)
+
         # Normalisation is deferred: the max-shift above keeps
         # magnitudes bounded; one logsumexp runs after the scan.
         return (pt, dti, top_lw, (shift_acc + roll) % L), None
@@ -1076,13 +1253,125 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
     # key-derived value device-varying).
     shift_acc0 = jnp.int32(0) * pt_t[0, 0].astype(jnp.int32)
     (pt_t, dt_t, logw, shift_acc), _ = jax.lax.scan(
-        step, (pt_t, dt_t, logw, shift_acc0), keys)
+        step, (pt_t, dt_t, logw, shift_acc0),
+        (keys, jnp.arange(num_steps)))
     # Undo the accumulated rotation so absolute tape positions match the
     # unrolled formulation, and normalise the weights once.
     ptape = jnp.roll(pt_t, -shift_acc, axis=0).T.astype(in_dtype)
     dtape = jnp.roll(dt_t, -shift_acc, axis=0).T.astype(in_dtype)
     logw = logw - jax.scipy.special.logsumexp(logw)
     return (ptape, dtape), logw
+
+
+@partial(jax.jit, static_argnums=(4,), static_argnames=("tau",))
+def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
+                                  plan: tuple, *, tau: float = 1.0):
+    """Blocked weighted frontier: stratified multi-site rounds between
+    re-ranks, with merge-by-key and weight-proportional slot resampling.
+
+    The per-step frontier (:func:`run_weighted_frontier`) pays one
+    global top-k sort plus a full parent gather per tape transition.
+    This mode amortises all selection work over whole blocks of
+    transitions, using the same stratified-lattice rounds as the
+    2.4e9-transitions/s ensemble engine (`_apply_plane_round_fsm`):
+
+    * Each **round** fires the rule at E well-separated lattice sites
+      per member (disjoint read/write windows — dense plane access, no
+      gathers). At every choose the member samples ONE branch from the
+      tempered distribution q ∝ p^tau and multiplies its weight by the
+      importance ratio p/q (``tau=1``: sample the true outcome law,
+      weights untouched; ``tau→0``: near-uniform branch exploration,
+      closest to the exact engine's branch-everything semantics). The
+      weighted empirical measure Σ w·δ(tape) is unbiased for the
+      multiverse distribution at every tau — the knob trades variance
+      between head (tau=1) and tail (tau<1) of the branch tree.
+    * Each **block** (``rounds`` rounds) ends with merge-by-key +
+      systematic resampling (`_merge_resample`): duplicate
+      configurations logsumexp-merge into one slot, and all K slots are
+      re-dealt proportionally to merged weight (weight split over
+      copies). Heavy configurations get more slots — i.e. more
+      independent branch exploration — and configurations far below
+      1/K weight are pruned. One sort + one tape gather per
+      ``rounds × E`` transitions instead of per transition.
+
+    Compared to the per-step beam the estimator is stochastic rather
+    than exhaustive-per-site, but it is *unbiased* (the beam is not),
+    and `tests/test_ensemble.py` checks both track the exact SPD.
+
+    Args:
+      key: PRNG key.
+      tapes: (ptape [K, L] int, dtape [K, L] int) initial frontier.
+      logw: [K] float64 log-weights.
+      dm: compiled :class:`DeviceMachine` (the FSM form; rules that
+        only compile to a :class:`DeviceTable` use the per-step path).
+      plan: static (num_blocks, rounds_per_block, events_per_round);
+        events_per_round must divide L with L/events > 2·span.
+      tau: static branch-sampling temperature in (0, 1].
+
+    Returns:
+      ((ptape, dtape), logw, n_unique [num_blocks]) — exp(logw) sums
+      to 1; n_unique counts distinct configurations at each merge.
+    """
+    num_blocks, rounds, events = plan
+    if not isinstance(dm, DeviceMachine):
+        raise TypeError(
+            "run_weighted_frontier_blocked needs a DeviceMachine "
+            "(compile_decision_machine); table-only rules use "
+            "run_weighted_frontier"
+        )
+    ptape, dtape = tapes
+    K, L = ptape.shape
+    if L % events:
+        raise ValueError(f"events_per_round={events} must divide L={L}")
+    stride = L // events
+    if stride <= 2 * dm.span:
+        raise ValueError(
+            f"stride {stride} too small for window span {dm.span}; "
+            "lower events_per_round"
+        )
+    if stride > _MAX_PLANE_STRIDE:
+        raise ValueError(
+            f"stride {stride} exceeds _MAX_PLANE_STRIDE="
+            f"{_MAX_PLANE_STRIDE}; raise events_per_round"
+        )
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau={tau} must be in (0, 1]")
+    in_dtype = ptape.dtype
+
+    pp = _tape_to_planes(ptape.astype(jnp.int8), stride)
+    dd = _tape_to_planes(dtape.astype(jnp.int8), stride)
+    lw = logw.astype(jnp.float64)
+
+    def round_step(carry, k):
+        pp, dd, lw = carry
+        k1, k2 = jax.random.split(k)
+        shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
+        uniforms = jax.random.uniform(k2, (K, events), dtype=jnp.float32)
+        pp, dd, dlp = _apply_plane_round_fsm(
+            dm, pp, dd, shift, uniforms, tau=tau, want_logp=True)
+        return (pp, dd, lw + dlp.astype(lw.dtype)), None
+
+    def block_step(carry, kb):
+        pp, dd, lw = carry
+        kr, km = jax.random.split(kb)
+        (pp, dd, lw), _ = jax.lax.scan(
+            round_step, (pp, dd, lw), jax.random.split(kr, rounds))
+        cols = [pl[:, e] for pl in pp for e in range(events)] + \
+               [pl[:, e] for pl in dd for e in range(events)]
+        h = _content_hash(cols)
+        _, _, _, n_unique = _merge_stats(h, lw)
+        parent, new_lw = _merge_resample(km, h, lw)
+        pp = tuple(pl[parent] for pl in pp)
+        dd = tuple(pl[parent] for pl in dd)
+        new_lw = new_lw - jnp.max(new_lw)
+        return (pp, dd, new_lw), n_unique
+
+    (pp, dd, lw), n_unique = jax.lax.scan(
+        block_step, (pp, dd, lw), jax.random.split(key, num_blocks))
+    ptape = _planes_to_tape(pp).astype(in_dtype)
+    dtape = _planes_to_tape(dd).astype(in_dtype)
+    lw = lw - jax.scipy.special.logsumexp(lw)
+    return (ptape, dtape), lw, n_unique
 
 
 def weighted_window_counts(tape, weights, size_a: int, cl_k: int):

@@ -20,14 +20,22 @@ import numpy as np
 
 from .dop853 import odeint_dop853, odeint_dop853_dense
 from .dopri5 import odeint_dopri5
+from .kvaerno3 import odeint_kvaerno3
 
 # "dop853" uses the dense-output stepper (steps decoupled from the
 # sample grid); "dop853-step" clamps steps to sample times (the simpler
-# variant, kept selectable for cross-checks).
+# variant, kept selectable for cross-checks). "kvaerno3" is the
+# on-device stiff option (L-stable ESDIRK with Newton–Krylov stages);
+# scipy's stiff method names map onto it so `method="LSODA"`-style
+# callers land on the right stepper class.
 _STEPPERS = {
     "dopri5": "odeint_dopri5",
     "dop853": "odeint_dop853_dense",
     "dop853-step": "odeint_dop853",
+    "kvaerno3": "odeint_kvaerno3",
+    "lsoda": "odeint_kvaerno3",
+    "radau": "odeint_kvaerno3",
+    "bdf": "odeint_kvaerno3",
 }
 
 
@@ -119,11 +127,13 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                 if meta.get("key") == key and project is not None \
                         and os.path.exists(y_path):
                     # Validate that the state sidecar matches this meta
-                    # (see the write-side comment on atomicity).
+                    # (see the write-side comment on atomicity). A
+                    # content hash, not a float sum: SPD states conserve
+                    # sum(y)≈1, so sums can collide across chunks.
                     y_cand = np.load(y_path)
                     if (meta.get("y_next") == meta.get("next")
-                            and float(y_cand.sum())
-                            == meta.get("y_sum")):
+                            and hashlib.sha1(y_cand.tobytes()).hexdigest()
+                            == meta.get("y_sha1")):
                         y_resume = y_cand
                 if meta.get("key") == key and (
                         project is None or y_resume is not None):
@@ -197,7 +207,8 @@ def solve(fn_dy_dt, y0, ts, *, rtol=1e-9, atol=1e-9, backend="jax",
                     # silently resuming one chunk ahead).
                     y_host = np.asarray(y, dtype=np.float64)
                     meta["y_next"] = stop
-                    meta["y_sum"] = float(y_host.sum())
+                    meta["y_sha1"] = hashlib.sha1(
+                        y_host.tobytes()).hexdigest()
                     tmp_y = y_path + ".tmp"
                     np.save(tmp_y, y_host)
                     os.replace(tmp_y + ".npy", y_path)

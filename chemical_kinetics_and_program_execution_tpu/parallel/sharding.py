@@ -183,20 +183,47 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
     reductions to all-reduces — no hand-written collectives needed. This
     is the path to state sizes beyond one device's HBM (ex4var2:
     A=10, k=5 -> 100,000-dim state).
+
+    Non-divisible geometries (e.g. ex5's 3125-dim state on 8 devices)
+    are padded to the next shardable size: the jitted program's in/out
+    arrays carry ``ceil(S/n)*n`` columns (zero tail), so the state axis
+    ALWAYS shards — never a silent replication fallback. The returned
+    callable accepts and returns the exact ``[B, S]`` shape (padding and
+    slicing at the boundary); callers that want to keep the carry
+    device-resident in the padded layout can pass ``[B, padded_size]``
+    directly (the ``padded_size`` attribute on the returned function).
     """
     from ..engine import dense as dense_mod
 
     fn = dense_mod.make_dense_dy_dt(prog, dtype=dtype, jit=False)
     n_state = mesh.shape["ev"]
-    if prog.state_size % n_state:
-        # pjit shardings require divisibility; replicate the state axis
-        # (batch stays data-parallel) rather than fail.
-        sharding = jax.sharding.NamedSharding(mesh, P("batch"))
-    else:
-        sharding = jax.sharding.NamedSharding(mesh, P("batch", "ev"))
-    return jax.jit(
-        jax.vmap(fn), in_shardings=sharding, out_shardings=sharding
-    )
+    S = prog.state_size
+    s_pad = -(-S // n_state) * n_state
+    sharding = jax.sharding.NamedSharding(mesh, P("batch", "ev"))
+    if s_pad == S:
+        return jax.jit(
+            jax.vmap(fn), in_shardings=sharding, out_shardings=sharding
+        )
+
+    @partial(jax.jit, in_shardings=sharding, out_shardings=sharding)
+    def padded(p_pad):
+        dy = jax.vmap(fn)(p_pad[:, :S])
+        return jnp.pad(dy, ((0, 0), (0, s_pad - S)))
+
+    def wrapper(p_batch):
+        p_batch = jnp.asarray(p_batch)
+        if p_batch.shape[-1] == s_pad:
+            return padded(p_batch)
+        if p_batch.shape[-1] != S:
+            raise ValueError(
+                f"state axis {p_batch.shape[-1]} matches neither "
+                f"state_size={S} nor padded_size={s_pad}"
+            )
+        return padded(
+            jnp.pad(p_batch, ((0, 0), (0, s_pad - S))))[:, :S]
+
+    wrapper.padded_size = s_pad
+    return wrapper
 
 
 def make_sharded_frontier(dtable, mesh: jax.sharding.Mesh,

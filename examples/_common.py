@@ -35,13 +35,20 @@ def out_path(name: str) -> str:
     return os.path.join(OUT_DIR, name)
 
 
-def cached(filename: str, compute, key: str = "ode_ys") -> np.ndarray:
-    """Idempotent .npz cache: recompute only if the file is absent."""
+def cached(filename: str, compute, key: str = "ode_ys",
+           ts: np.ndarray | None = None) -> np.ndarray:
+    """Idempotent .npz cache: recompute only if the file is absent.
+
+    ``ts`` (when given) is stored alongside the trajectory so a later
+    `sample_grid` call can reconcile the full time axis, not just the
+    sample count.
+    """
     path = out_path(filename)
     if os.access(path, os.R_OK):
         return np.load(path)[key]
     value = compute()
-    np.savez_compressed(path, **{key: value})
+    extra = {} if ts is None else {"ts": np.asarray(ts)}
+    np.savez_compressed(path, **{key: value}, **extra)
     return value
 
 
@@ -50,13 +57,25 @@ def sample_grid(filename: str, t0: float, t_max: float, n_samples: int,
     """Sample grid for a (possibly cached) solve.
 
     The .npz caches are keyed by filename alone (the reference's
-    idempotence pattern), so rerunning a script with a different
-    ``--n-samples`` than the committed artifact would misalign ``ts``
-    with the cached rows. When a cache exists, its grid wins.
+    idempotence pattern), so rerunning a script with different grid
+    flags than the committed artifact would misalign ``ts`` with the
+    cached rows. When a cache exists, its grid wins outright: caches
+    that stored their time axis (``ts`` key) return it verbatim —
+    covering a changed ``--t-max`` too — and older count-only caches
+    fall back to reconciling the sample count.
     """
     path = out_path(filename)
     if os.access(path, os.R_OK):
-        n = int(np.load(path)[key].shape[0])
+        data = np.load(path)
+        if "ts" in data:
+            ts = np.asarray(data["ts"])
+            if (len(ts) != n_samples or ts[0] != t0
+                    or ts[-1] != t_max):
+                print(f"[examples] {filename}: using the cached time "
+                      f"grid ({len(ts)} samples, t∈[{ts[0]:g},"
+                      f"{ts[-1]:g}])", flush=True)
+            return ts
+        n = int(data[key].shape[0])
         if n != n_samples:
             print(f"[examples] {filename}: cached trajectory has {n} "
                   f"samples; using its grid", flush=True)

@@ -71,6 +71,7 @@ def main():
             cache_name,
             lambda tag=tag, ts=ts: markov_tapes.ode_integrate(
                 tag=tag, ts=ts, **kwargs),
+            ts=ts,
         )
         fig, ax = new_fig()
         pl = SeqProbPlotter(ax, ys, ts, SIZE_A, cl_k)

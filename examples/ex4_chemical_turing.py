@@ -90,6 +90,7 @@ def main():
                     ts=ode_ts, backend=args.backend,
                     ivp_kwargs=dict(project=proj, **solver_kwargs),
                 ),
+                ts=ode_ts,
             )
             for j, (_, style, label) in enumerate(curves):
                 ax.plot(ode_ts[1:], log10(obs[1:, j]), style, label=label)
@@ -103,6 +104,7 @@ def main():
                     ts=ode_ts, backend=args.backend,
                     ivp_kwargs=solver_kwargs,
                 ),
+                ts=ode_ts,
             )
             pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k)
             for seq, style, label in curves:

@@ -47,6 +47,7 @@ def main():
                             method="DOP853",
                             chunk_size=args.chunk_size, progress=True),
         ),
+        ts=ode_ts,
     )
 
     fig, ax = new_fig()

@@ -50,6 +50,7 @@ def main():
             ivp_kwargs=dict(rtol=1e-11, atol=1e-11, method="DOP853",
                             chunk_size=args.chunk_size, progress=True),
         ),
+        ts=ode_ts,
     )
 
     fig, ax = new_fig()

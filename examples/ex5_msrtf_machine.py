@@ -41,6 +41,7 @@ def run(tag, filename_stem, t_max, backend="jax", cl_k=5,
             ivp_kwargs=dict(rtol=1e-13, atol=1e-13, method="DOP853",
                             chunk_size=chunk_size, progress=True),
         ),
+        ts=ode_ts,
     )
     fig, ax = new_fig()
     pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k, logy=False)

@@ -332,3 +332,196 @@ def test_frontier_write_decode_paths_agree():
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-13)
+
+
+# --- Blocked weighted frontier (multi-site rounds + merge-by-key) -----------
+
+
+def test_merge_stats_and_resample_core():
+    """Unit check of the merge machinery on a hand-built frontier."""
+    import math
+
+    h = jnp.asarray([7, 3, 7, 5], dtype=jnp.uint64)
+    lw = jnp.log(jnp.asarray([0.1, 0.3, 0.2, 0.4]))
+    seg_of, merged_lw, rep, n_unique = ensemble._merge_stats(h, lw)
+    assert int(n_unique) == 3
+    merged = np.exp(np.asarray(merged_lw))
+    # Sorted-key segment order: 3 -> 0.3, 5 -> 0.4, 7 -> 0.1+0.2.
+    np.testing.assert_allclose(merged[:3], [0.3, 0.4, 0.3], rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(rep)[:3], [1, 3, 0])
+    # Members 0 and 2 share segment 2 (key 7).
+    seg = np.asarray(seg_of)
+    assert seg[0] == seg[2] == 2 and seg[1] == 0 and seg[3] == 1
+
+    parent, new_lw = ensemble._merge_resample(jax.random.PRNGKey(0), h, lw)
+    parent, new_lw = np.asarray(parent), np.asarray(new_lw)
+    # Weight-preserving: total mass 1; every slot points at a valid rep.
+    np.testing.assert_allclose(np.exp(new_lw).sum(), 1.0, rtol=1e-8)
+    assert set(parent) <= {0, 1, 3}
+    # Per-configuration mass is preserved exactly for surviving configs.
+    for rep_idx, w_cfg in ((1, 0.3), (3, 0.4), (0, 0.3)):
+        mass = np.exp(new_lw)[parent == rep_idx].sum()
+        if mass > 0:
+            np.testing.assert_allclose(mass, w_cfg, rtol=1e-8)
+
+
+def test_merge_weights_inplace_moves_mass_to_one_rep():
+    h = jnp.asarray([9, 9, 9, 2], dtype=jnp.uint64)
+    lw = jnp.log(jnp.asarray([0.25, 0.25, 0.25, 0.25]))
+    new_lw = np.asarray(ensemble._merge_weights_inplace(h, lw))
+    finite = np.isfinite(new_lw)
+    assert finite.sum() == 2  # one rep per distinct key
+    np.testing.assert_allclose(np.exp(new_lw[finite]).sum(), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(sorted(np.exp(new_lw[finite])), [0.25, 0.75],
+                               rtol=1e-12)
+
+
+def test_content_hash_distinguishes_and_matches():
+    a = jnp.asarray([[0, 1, 2], [0, 1, 2], [2, 1, 0]], jnp.int8)
+    h = np.asarray(ensemble._content_hash([a[:, j] for j in range(3)]))
+    assert h[0] == h[1] and h[0] != h[2]
+
+
+def test_blocked_frontier_merges_duplicate_configurations():
+    """K slots holding 2 distinct tapes x 32 copies: a deterministic rule
+    keeps them duplicated, so the first merge must find exactly 2 unique
+    configurations and re-deal uniform slot weights (0.5 / 32 each)."""
+    import math
+
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    K, L = 64, 32
+    base = jax.random.randint(jax.random.PRNGKey(5), (2, L), 0, 3,
+                              dtype=jnp.int32)
+    pt = jnp.tile(base, (K // 2, 1))
+    dt = jnp.zeros((K, L), jnp.int32)
+    lw = jnp.full((K,), -math.log(K), jnp.float64)
+    (pt2, dt2), lw2, nu = ensemble.run_weighted_frontier_blocked(
+        jax.random.PRNGKey(2), (pt, dt), lw, dm, (1, 1, 2))
+    assert int(np.asarray(nu)[0]) == 2
+    np.testing.assert_allclose(np.exp(np.asarray(lw2)), 1.0 / K, rtol=1e-9)
+
+
+def test_blocked_frontier_deterministic_rule_uniform_weights():
+    """tau=1 sampling of a deterministic rule (every choose-free path has
+    p=1): importance increments are identically zero, so distinct tapes
+    keep exactly uniform weights through rounds and merges."""
+    import math
+
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    K, L = 64, 32
+    pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
+                            dtype=jnp.int32)
+    dt = jnp.zeros((K, L), jnp.int32)
+    lw = jnp.full((K,), -math.log(K), jnp.float64)
+    (pt2, dt2), lw2, nu = ensemble.run_weighted_frontier_blocked(
+        jax.random.PRNGKey(1), (pt, dt), lw, dm, (3, 4, 2))
+    assert (np.asarray(nu) == K).all()  # random tapes stay distinct
+    np.testing.assert_allclose(np.asarray(lw2), -math.log(K), rtol=1e-9)
+    assert int(jnp.sum(jnp.abs(dt2))) > 0  # machines executed
+    assert pt2.dtype == pt.dtype
+
+
+@pytest.mark.parametrize("tau", [1.0, 0.5])
+def test_blocked_frontier_tracks_exact_spd(tau):
+    """The blocked frontier's weighted window statistics must track the
+    exact SPD ODE as well as the per-step beam does (same 0.04 budget as
+    test_weighted_frontier_tracks_exact_spd), at any sampling
+    temperature — the tempered estimator is unbiased for every tau."""
+    import math
+
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
+
+    cl_k = 3
+    p0 = ferromagnet_p0(cl_k, p_pair=0.05, corrected=True).ravel()
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    K, L = 256, 128
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(2), p0, 2, cl_k, K, L)
+    ptape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(K))
+    # t = 2.0: dt_round = -log1p(-E/L) per round; pick E=8, rounds such
+    # that blocks*rounds*dt ~= 2.0.
+    E = 8
+    dt_round = -math.log1p(-E / L)
+    rounds = 4
+    blocks = max(1, round(2.0 / (dt_round * rounds)))
+    (_, dtape2), lw, nu = ensemble.run_weighted_frontier_blocked(
+        jax.random.PRNGKey(3), (ptape, dtape), logw, dm,
+        (blocks, rounds, E), tau=tau)
+    w = np.exp(np.asarray(lw))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+    ess = 1.0 / np.sum((w / w.sum()) ** 2)
+    assert ess > K / 10
+
+    p_emp = np.asarray(ensemble.weighted_window_counts(dtape2, w, 2, cl_k))
+    fn = make_dy_dt(compile_problem("ex2-ferromagnetic-chain", cl_k))
+    t_end = blocks * rounds * dt_round
+    ys = solve(lambda y, t: fn(y), p0, np.linspace(0, t_end, 3),
+               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(p_emp, ys[-1], atol=0.04)
+
+
+def test_per_step_frontier_merge_every_tightens_tracking():
+    """merge_every > 0 restores effective beam width: duplicate slots
+    drop to -inf and the next top-k backfills them with distinct
+    children. The merged beam must stay at least as close to the exact
+    SPD as the plain beam (allowing a small stochastic margin), and its
+    weights must remain normalised."""
+    import math
+
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
+
+    cl_k = 3
+    p0 = ferromagnet_p0(cl_k, p_pair=0.05, corrected=True).ravel()
+    dtab = ensemble.device_table(
+        ensemble.compile_transition_table("ex2-ferromagnetic-chain"))
+    K, L = 128, 64
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(2), p0, 2, cl_k, K, L)
+    ptape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(K))
+    steps = 2 * L
+
+    fn = make_dy_dt(compile_problem("ex2-ferromagnetic-chain", cl_k))
+    ys = solve(lambda y, t: fn(y), p0, np.linspace(0, steps / L, 3),
+               rtol=1e-8, atol=1e-10)
+
+    errs = {}
+    for me in (0, 4):
+        (_, dt2), lw = ensemble.run_weighted_frontier(
+            jax.random.PRNGKey(3), (ptape, dtape), logw, dtab, steps, K, me)
+        w = np.exp(np.asarray(lw))
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+        p_emp = np.asarray(ensemble.weighted_window_counts(dt2, w, 2, cl_k))
+        errs[me] = np.abs(p_emp - np.asarray(ys[-1])).max()
+    assert errs[4] <= errs[0] + 0.01
+    assert errs[4] < 0.05
+
+
+def test_frontier_rejects_wide_alphabet():
+    import dataclasses
+    import math
+
+    dtab = ensemble.device_table(
+        ensemble.compile_transition_table("ex2-ferromagnetic-chain"))
+    wide = dataclasses.replace(dtab, size_a=200)
+    K, L = 8, 32
+    pt = jnp.zeros((K, L), jnp.int32)
+    lw = jnp.full((K,), -math.log(K))
+    with pytest.raises(ValueError, match="int8"):
+        ensemble.run_weighted_frontier(
+            jax.random.PRNGKey(0), (pt, pt), lw, wide, 2, K)

@@ -164,3 +164,43 @@ def test_island_frontier_matches_per_island_runs():
                                       np.asarray(d_i))
         np.testing.assert_allclose(np.asarray(lw_g)[sl],
                                    np.asarray(lw_i), rtol=1e-12)
+
+
+def test_dense_state_sharding_non_divisible_pads_and_shards():
+    """ex5's 3125-dim state does not divide 8 devices: the sharded dense
+    RHS must pad to 3128 and actually shard the state axis (never the
+    old silent replication fallback), and agree with the single-device
+    kernel."""
+    import jax
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_dense_dy_dt,
+    )
+
+    prog = dense.compile_dense("ex5-msrtf-machine", 5)
+    assert prog.state_size % 8 != 0
+    mesh = make_mesh(n_batch=1, n_event=8)
+    sharded = make_sharded_dense_dy_dt(prog, mesh)
+    assert sharded.padded_size == -(-prog.state_size // 8) * 8
+
+    rng = np.random.RandomState(0)
+    p = rng.dirichlet(np.ones(prog.state_size), size=2)
+    got = np.asarray(sharded(p))
+    ref_fn = dense.make_dense_dy_dt(prog)
+    ref = np.stack([np.asarray(ref_fn(row)) for row in p])
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+    # The padded path really shards: the jitted inner function's output
+    # sharding splits the state axis over the "ev" mesh axis.
+    import jax.numpy as jnp
+
+    p_pad = jnp.pad(jnp.asarray(p), ((0, 0), (0, sharded.padded_size
+                                              - prog.state_size)))
+    out_pad = sharded(p_pad)
+    spec = out_pad.sharding.spec
+    assert tuple(spec) == ("batch", "ev")
