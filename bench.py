@@ -189,8 +189,55 @@ def bench_ssa():
                     "events_per_s": f"{B * E / dt:.3e}"}
 
 
-def bench_frontier():
-    """Weighted top-k frontier throughput (branch-steps/s at K=10^6)."""
+def bench_frontier(tag="ex5-msrtf-machine", K=None):
+    """Weighted frontier throughput (branch-steps/s), blocked mode.
+
+    Stratified multi-site rounds between merge/re-rank blocks
+    (`ensemble.run_weighted_frontier_blocked`): every member fires the
+    rule at E lattice sites per round with sampled branching +
+    importance weights; each block ends with merge-by-key + systematic
+    slot resampling. One selection pass per rounds*E transitions
+    instead of the per-step beam's sort-per-transition.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    dm = ensemble.compile_decision_machine(tag)
+    if K is None:
+        K = int(os.environ.get("CKPE_BENCH_FRONTIER_K", "1000000"))
+    L, blocks, rounds, events = 32, 10, 8, 2
+    plan = (blocks, rounds, events)
+    pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
+                            dtype=jnp.int32)
+    dtp = jnp.zeros((K, L), jnp.int32)
+    lw = jnp.full((K,), -np.log(K), jnp.float64)
+    (pt, dtp), lw, nu = ensemble.run_weighted_frontier_blocked(
+        jax.random.PRNGKey(1), (pt, dtp), lw, dm, plan)
+    float(jnp.sum(lw))  # sync
+    n_rep = 3
+    rates = []
+    for i in range(n_rep):
+        t0 = time.time()
+        (pt, dtp), lw, nu = ensemble.run_weighted_frontier_blocked(
+            jax.random.PRNGKey(2 + i), (pt, dtp), lw, dm, plan)
+        float(jnp.sum(pt.astype(jnp.int64))) + float(jnp.sum(lw))
+        dt = time.time() - t0
+        rates.append(K * blocks * rounds * events / dt)
+    rates.sort()
+    return rates[n_rep // 2], {
+        "tag": tag, "K": K, "plan": plan,
+        "n_unique_last": int(np.asarray(nu)[-1]),
+        "rates": [f"{r:.3e}" for r in rates],
+    }
+
+
+def bench_frontier_per_step():
+    """The per-step exact-branch beam (reference formulation for the
+    blocked mode's parity tests): one global top-k + parent gather per
+    transition."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -215,6 +262,44 @@ def bench_frontier():
     dt = time.time() - t0
     return K * steps / dt, {"K": K, "steps": steps,
                             "ms_per_step": round(dt / steps * 1e3, 1)}
+
+
+def bench_branching_ensemble():
+    """Ensemble rate for a rule WITH choose nodes (ex4 chemical Turing:
+    nested chooses, rate tables) — the uniform renormalisation /
+    branch-sampling path of the decision machine in anger (VERDICT
+    round-1 weak item #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+
+    dm = ensemble.compile_decision_machine("ex4-chemical-turing")
+    assert any(isinstance(n, ensemble._Choose) for n in dm.nodes)
+    B = int(os.environ.get("CKPE_BENCH_EX4_B", "16384"))
+    L = int(os.environ.get("CKPE_BENCH_L", "4096"))
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
+    events = max(1, L // 16)
+    # ex4 alphabet: S(0) A(1) B(2) C(3) D(4) I(5) O(6) P(7) X(8) —
+    # random powered-solution mix on the data tape.
+    key = jax.random.PRNGKey(0)
+    dtape = jax.random.choice(
+        key, jnp.asarray([0, 1, 5, 6, 7], jnp.int32), (B, L),
+        p=jnp.asarray([0.55, 0.05, 0.15, 0.15, 0.10]))
+    ptape = jnp.zeros((B, L), jnp.int32)
+    (pt, dtp), (applied, _) = ensemble.run_ensemble(
+        jax.random.PRNGKey(1), (ptape, dtape), dm, (steps, events))
+    int(jnp.sum(pt.astype(jnp.int64)))
+    t0 = time.time()
+    (pt, dtp), (applied, _) = ensemble.run_ensemble(
+        jax.random.PRNGKey(2), (pt, dtp), dm, (steps, events))
+    int(jnp.sum(pt.astype(jnp.int64)) + jnp.sum(dtp.astype(jnp.int64)))
+    dt = time.time() - t0
+    import numpy as np
+    transitions = int(np.asarray(applied).sum())
+    return transitions / dt, {
+        "B": B, "L": L, "steps": steps,
+        "machine": f"{dm.tag}: {len(dm.nodes)} nodes"}
 
 
 def main():
@@ -245,11 +330,26 @@ def main():
     except Exception as e:
         print(f"# config5 bench skipped: {e}", file=sys.stderr)
     try:
-        fr, finfo = bench_frontier()
-        print(f"# frontier: {fr:.3e} branch-steps/s {finfo}",
-              file=sys.stderr)
+        br, binfo = bench_branching_ensemble()
+        print(f"# ensemble (branching rule, ex4): {br:.3e} transitions/s "
+              f"{binfo}", file=sys.stderr)
     except Exception as e:
-        print(f"# frontier bench skipped: {e}", file=sys.stderr)
+        print(f"# branching ensemble bench skipped: {e}", file=sys.stderr)
+    for tag in ("ex5-msrtf-machine", "ex2-ferromagnetic-chain"):
+        try:
+            fr, finfo = bench_frontier(tag)
+            print(f"# frontier (blocked, {tag}): {fr:.3e} branch-steps/s "
+                  f"{finfo}", file=sys.stderr)
+        except Exception as e:
+            print(f"# frontier bench ({tag}) skipped: {e}",
+                  file=sys.stderr)
+    try:
+        k7 = int(os.environ.get("CKPE_BENCH_FRONTIER_K7", "10000000"))
+        fr, finfo = bench_frontier("ex2-ferromagnetic-chain", K=k7)
+        print(f"# frontier (blocked, 1e7-tape config 5): {fr:.3e} "
+              f"branch-steps/s {finfo}", file=sys.stderr)
+    except Exception as e:
+        print(f"# frontier 1e7 bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

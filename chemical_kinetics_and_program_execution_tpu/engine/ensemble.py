@@ -826,13 +826,20 @@ def _plane_coords(dm: DeviceMachine, stride):
 
 def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
                            uniforms, *, tau: float = 1.0,
-                           want_logp: bool = False):
+                           want_logp: bool = False, site_axis: int = 1):
     """One stratified round on plane-stored tapes; shift in [0, stride).
 
     Returns the updated (p_planes, d_planes) tuples; with ``want_logp``
     additionally the per-member importance log-weight increment (the sum
     of log p − log q over the round's sampled choose branches, float32
     [B]) — see :func:`_machine_specs_planes`.
+
+    ``site_axis`` names the plane axis indexing the lattice sites. The
+    ensemble stores planes as [B, E] (site_axis=1) — E is large there,
+    filling the TPU lane tile. The weighted frontier has few sites per
+    member (E≈2) and stores planes transposed [E, K] (site_axis=0) so
+    the huge member axis rides the 128-lane minor dimension instead —
+    measured 30x on the blocked frontier at K=1e6.
     """
     stride = len(p_planes)
     coords = _plane_coords(dm, stride)
@@ -843,7 +850,7 @@ def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
             for tape, c, extra in coords[phase]:
                 x = (p_planes if tape == 0 else d_planes)[c]
                 if extra:
-                    x = jnp.roll(x, -extra, axis=1)
+                    x = jnp.roll(x, -extra, axis=site_axis)
                 cells.append(x)
             return tuple(cells)
         return body
@@ -854,7 +861,7 @@ def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
             for i, (tape, c, extra) in enumerate(coords[phase]):
                 v = new[i]
                 if extra:
-                    v = jnp.roll(v, extra, axis=1)
+                    v = jnp.roll(v, extra, axis=site_axis)
                 outs[tape][c] = v
             return tuple(outs[0]), tuple(outs[1])
         return body
@@ -871,7 +878,7 @@ def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
         shift, [write_branch(s) for s in range(stride)],
         p_planes, d_planes, tuple(new))
     if want_logp:
-        return p_planes, d_planes, logp.sum(axis=1)
+        return p_planes, d_planes, logp.sum(axis=site_axis)
     return p_planes, d_planes
 
 
@@ -983,45 +990,62 @@ _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def _content_hash(columns):
+def _content_hash(columns, bits: int = 8):
     """64-bit FNV-1a-style hash over per-member symbol columns.
 
     ``columns`` is an iterable of same-shape int arrays (one tape cell
     each, member-aligned); the fold order is part of the key and must be
     identical for members to compare equal.
+
+    ``bits`` bounds the symbol values (2**bits). Cells are first packed
+    ``28//bits`` per int32 word with native shifts, and only the packed
+    words enter the (emulated, ~10x costlier) uint64 multiply fold —
+    e.g. at bits=4 a 64-cell tape pair costs 10 u64 multiplies instead
+    of 64.
     """
-    h = None
-    for col in columns:
-        v = col.astype(jnp.uint64) + jnp.uint64(1)
-        h = (jnp.full(col.shape, _FNV_OFFSET) if h is None else h)
-        h = (h ^ v) * _FNV_PRIME
+    per = max(1, 28 // bits)
+    cols = list(columns)
+    h = jnp.full(cols[0].shape, _FNV_OFFSET)
+    for w0 in range(0, len(cols), per):
+        word = cols[w0].astype(jnp.int32) + 1
+        for c in cols[w0 + 1:w0 + per]:
+            word = (word << bits) | c.astype(jnp.int32)
+        h = (h ^ word.astype(jnp.uint64)) * _FNV_PRIME
     return h
 
 
 def _merge_stats(h, lw):
     """Groups members by content hash and logsumexp-merges weights.
 
-    Returns (seg_of_member [K] segment id per ORIGINAL member index,
-    merged_lw [K] per-segment log-weight (-inf past n_unique),
-    rep [K] one original member index per segment, n_unique).
+    Sort-free: a power-of-two scatter hash table (≥ 2K buckets) elects
+    one winner per bucket (min member index); a member joins the
+    winner's group only when their full 64-bit hashes match, so a bucket
+    collision between distinct configurations can never merge them — it
+    merely postpones that pair's merge (callers salt the hash per block,
+    re-rolling bucket assignments). Chosen over sort-and-segment because
+    TPU sort lowerings compile ~100x slower on this backend (measured:
+    36 s for one 1e5 argsort) while scatters compile in seconds.
+
+    Returns (grp [K] member index of each member's group representative,
+    merged_lw [K] group log-weight at rep positions (-inf elsewhere),
+    is_rep [K] bool, n_groups).
     """
     K = h.shape[0]
-    order = jnp.argsort(h)
-    hs = h[order]
-    lws = lw[order]
-    starts = jnp.concatenate(
-        [jnp.ones((1,), bool), hs[1:] != hs[:-1]])
-    seg = jnp.cumsum(starts) - 1  # segment id per sorted position
-    seg_max = jax.ops.segment_max(lws, seg, num_segments=K)
-    finite = jnp.isfinite(seg_max)
-    safe_max = jnp.where(finite, seg_max, 0.0)
-    shifted = jnp.where(jnp.isfinite(lws), jnp.exp(lws - safe_max[seg]), 0.0)
-    seg_sum = jax.ops.segment_sum(shifted, seg, num_segments=K)
+    n_buckets = 1 << (2 * K - 1).bit_length()
+    idx = jnp.arange(K, dtype=jnp.int32)
+    b = (h & jnp.uint64(n_buckets - 1)).astype(jnp.int32)
+    winner = jnp.full((n_buckets,), K, jnp.int32).at[b].min(idx)
+    cand = winner[b]  # < K: every queried bucket holds at least its owner
+    grp = jnp.where(h[cand] == h, cand, idx)
+    gmax = jnp.full((K,), -jnp.inf, lw.dtype).at[grp].max(lw)
+    safe = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    gsum = jnp.zeros((K,), lw.dtype).at[grp].add(
+        jnp.where(jnp.isfinite(lw), jnp.exp(lw - safe[grp]), 0.0))
     merged_lw = jnp.where(
-        finite, safe_max + jnp.log(jnp.maximum(seg_sum, 1e-300)), -jnp.inf)
-    rep = jax.ops.segment_min(order, seg, num_segments=K)
-    seg_of_member = jnp.zeros((K,), seg.dtype).at[order].set(seg)
-    return seg_of_member, merged_lw, rep, starts.sum()
+        jnp.isfinite(gmax),
+        safe + jnp.log(jnp.maximum(gsum, 1e-300)), -jnp.inf)
+    is_rep = grp == idx
+    return grp, merged_lw, is_rep, is_rep.sum()
 
 
 def _merge_weights_inplace(h, lw):
@@ -1030,13 +1054,8 @@ def _merge_weights_inplace(h, lw):
     to -inf, so the next top-k ranking backfills them with genuinely
     distinct children instead of redundant copies. No tape data moves.
     """
-    K = h.shape[0]
-    seg_of_member, merged_lw, rep, _ = _merge_stats(h, lw)
-    # rep rows past n_unique hold the segment_min identity (INT_MAX);
-    # routing them (and empty-weight groups) to index K drops them.
-    is_rep = jnp.zeros((K,), bool).at[jnp.where(
-        jnp.isfinite(merged_lw), rep, K)].set(True, mode="drop")
-    return jnp.where(is_rep, merged_lw[seg_of_member], -jnp.inf)
+    _, merged_lw, is_rep, _ = _merge_stats(h, lw)
+    return jnp.where(is_rep, merged_lw, -jnp.inf)
 
 
 def _merge_resample(key, h, lw):
@@ -1052,24 +1071,36 @@ def _merge_resample(key, h, lw):
     outcomes then get proportionally more exploration), and
     configurations far below 1/K weight lose their slot.
 
-    Returns (parent [K] member index per new slot, new_lw [K]).
+    Returns (parent [K] member index per new slot, new_lw [K],
+    n_groups).
     """
     K = h.shape[0]
-    _, merged_lw, rep, _ = _merge_stats(h, lw)
+    k_salt, k_u = jax.random.split(key)
+    # Per-call salt re-rolls hash-table bucket assignments (equality is
+    # preserved: xor + odd multiply are bijections mod 2^64), so a
+    # bucket collision only defers a merge by one block.
+    salt = jax.random.bits(k_salt, (), jnp.uint32).astype(jnp.uint64)
+    hh = (h ^ salt) * _FNV_PRIME
+    _, merged_lw, is_rep, n_groups = _merge_stats(hh, lw)
     lse = jax.scipy.special.logsumexp(merged_lw)
-    w = jnp.exp(merged_lw - lse)  # [K] padded zeros past n_unique
+    w = jnp.exp(merged_lw - lse)  # zeros off-rep
     cum = jnp.cumsum(w)
     cum = cum / cum[-1]
-    u = jnp.clip(jax.random.uniform(key, (), jnp.float64),
+    u = jnp.clip(jax.random.uniform(k_u, (), jnp.float64),
                  1e-12, 1.0 - 1e-12)
     f = jnp.floor(K * cum - u)
     m = (f - jnp.concatenate([jnp.full((1,), -1.0), f[:-1]])).astype(
-        jnp.int32)  # multiplicities, sum == K
-    pseg = jnp.searchsorted(jnp.cumsum(m), jnp.arange(K), side="right")
-    pseg = jnp.minimum(pseg, K - 1)
-    parent = rep[pseg]
-    new_lw = merged_lw[pseg] - jnp.log(jnp.maximum(m[pseg], 1))
-    return parent, new_lw
+        jnp.int32)  # multiplicities per member index, sum == K
+    # Slot -> member assignment: member i owns slots
+    # [cumsum(m)[i-1], cumsum(m)[i]). A boundary scatter + cumsum
+    # (equivalent to searchsorted(cumsum(m), arange(K), "right"), which
+    # compiles far slower on the TPU backend).
+    bounds = jnp.cumsum(m)[:-1]
+    parent = jnp.cumsum(
+        jnp.zeros((K,), jnp.int32).at[bounds].add(1, mode="drop"))
+    parent = jnp.minimum(parent, K - 1)
+    new_lw = merged_lw[parent] - jnp.log(jnp.maximum(m[parent], 1))
+    return parent, new_lw, n_groups
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
@@ -1338,17 +1369,33 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
         raise ValueError(f"tau={tau} must be in (0, 1]")
     in_dtype = ptape.dtype
 
-    pp = _tape_to_planes(ptape.astype(jnp.int8), stride)
-    dd = _tape_to_planes(dtape.astype(jnp.int8), stride)
+    # Planes stored TRANSPOSED [E, K]: the frontier has few sites per
+    # member (E = events, typically 2) but millions of members, so the
+    # member axis must ride the 128-lane minor tile. Built via ONE dense
+    # 3-D transpose (plane c = columns c::stride = reshape[K, E, stride]
+    # slice) — per-plane strided slices + tiny transposes lowered ~500x
+    # slower on this backend.
+    def to_planes_t(tape):
+        t3 = tape.astype(jnp.int8).reshape(K, events, stride)
+        t3 = jnp.transpose(t3, (2, 1, 0))  # [stride, E, K]
+        return tuple(t3[c] for c in range(stride))
+
+    def from_planes_t(planes):
+        t3 = jnp.stack(planes, axis=0)  # [stride, E, K]
+        return jnp.transpose(t3, (2, 1, 0)).reshape(K, L)
+
+    pp = to_planes_t(ptape)
+    dd = to_planes_t(dtape)
     lw = logw.astype(jnp.float64)
 
     def round_step(carry, k):
         pp, dd, lw = carry
         k1, k2 = jax.random.split(k)
         shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
-        uniforms = jax.random.uniform(k2, (K, events), dtype=jnp.float32)
+        uniforms = jax.random.uniform(k2, (events, K), dtype=jnp.float32)
         pp, dd, dlp = _apply_plane_round_fsm(
-            dm, pp, dd, shift, uniforms, tau=tau, want_logp=True)
+            dm, pp, dd, shift, uniforms, tau=tau, want_logp=True,
+            site_axis=0)
         return (pp, dd, lw + dlp.astype(lw.dtype)), None
 
     def block_step(carry, kb):
@@ -1356,20 +1403,19 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
         kr, km = jax.random.split(kb)
         (pp, dd, lw), _ = jax.lax.scan(
             round_step, (pp, dd, lw), jax.random.split(kr, rounds))
-        cols = [pl[:, e] for pl in pp for e in range(events)] + \
-               [pl[:, e] for pl in dd for e in range(events)]
-        h = _content_hash(cols)
-        _, _, _, n_unique = _merge_stats(h, lw)
-        parent, new_lw = _merge_resample(km, h, lw)
-        pp = tuple(pl[parent] for pl in pp)
-        dd = tuple(pl[parent] for pl in dd)
+        cols = [pl[e] for pl in pp for e in range(events)] + \
+               [pl[e] for pl in dd for e in range(events)]
+        h = _content_hash(cols, bits=4)  # machine symbols are < 16
+        parent, new_lw, n_unique = _merge_resample(km, h, lw)
+        pp = tuple(pl[:, parent] for pl in pp)
+        dd = tuple(pl[:, parent] for pl in dd)
         new_lw = new_lw - jnp.max(new_lw)
         return (pp, dd, new_lw), n_unique
 
     (pp, dd, lw), n_unique = jax.lax.scan(
         block_step, (pp, dd, lw), jax.random.split(key, num_blocks))
-    ptape = _planes_to_tape(pp).astype(in_dtype)
-    dtape = _planes_to_tape(dd).astype(in_dtype)
+    ptape = from_planes_t(pp).astype(in_dtype)
+    dtape = from_planes_t(dd).astype(in_dtype)
     lw = lw - jax.scipy.special.logsumexp(lw)
     return (ptape, dtape), lw, n_unique
 

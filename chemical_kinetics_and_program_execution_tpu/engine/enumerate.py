@@ -238,6 +238,46 @@ def enumerate_worlds(problem: dsl.Problem, cl_k: int,
     the enumeration for non-enumerable rules; kept worlds stay exact.
     """
     size_a = problem.size_a
+    native_params = getattr(problem.rule, "native_ex6", None)
+    if native_params is not None and guide is not None:
+        # Native DFS fast path (no per-path rule re-execution): the ex6
+        # register machine is ported to C++ (`native/enumerate6.cc`),
+        # emitting bit-identical worlds in identical order — parity
+        # tested in tests/test_engine.py. Falls back to Python when the
+        # library is unavailable.
+        from . import native as native_mod
+
+        out = native_mod.enumerate_ex6(
+            size_a, cl_k, native_params[0], native_params[1],
+            guide.threshold, guide.pyr, max_worlds)
+        if out is not None:
+            chain_len, num, den, sigs = out
+            u64 = (1 << 64) - 1
+
+            def big(hi, lo):
+                return (int(hi) << 64) | (int(lo) & u64)
+
+            worlds = []
+            pos = 0
+            for i in range(len(chain_len)):
+                n_f = int(chain_len[i])
+                factors = tuple(
+                    (int(num[pos + j]), int(den[pos + j]))
+                    for j in range(n_f))
+                pos += n_f
+                row = sigs[i]
+                worlds.append(World(
+                    const=1.0,  # the ex6 rule has no choose nodes
+                    factors=factors,
+                    tape_sigs=(
+                        (big(row[0], row[1]), big(row[2], row[3]),
+                         int(row[4])),
+                        (big(row[5], row[6]), big(row[7], row[8]),
+                         int(row[9])),
+                    ),
+                ))
+            return worlds
+
     worlds: list[World] = []
     prefix: list[int] = []
     while True:

@@ -65,6 +65,24 @@ def _load():
         ]
         lib.ckpe_free.restype = None
         lib.ckpe_free.argtypes = [ctypes.c_void_p]
+        lib.ckpe_enum6.restype = ctypes.c_void_p
+        lib.ckpe_enum6.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ]
+        for name in ("ckpe_enum6_num_worlds", "ckpe_enum6_num_factors",
+                     "ckpe_enum6_status"):
+            getattr(lib, name).restype = ctypes.c_int64
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.ckpe_enum6_fill.restype = None
+        lib.ckpe_enum6_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ckpe_enum6_free.restype = None
+        lib.ckpe_enum6_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # missing toolchain, sandbox, etc.
         if config.IS_DEBUG:
@@ -76,6 +94,56 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def enumerate_ex6(size_a: int, cl_k: int, fuel: int, d1_start: int,
+                  threshold: float, pyramid: np.ndarray,
+                  max_worlds: int | None):
+    """Native guided enumeration of the ex6 mini-BFF rule, or None.
+
+    Returns (chain_len [W] int32, num [F] int32, den [F] int32,
+    sigs [W, 10] int64 — per tape io_hi, io_lo, ia_hi, ia_lo, len; the
+    128-bit halves reassemble into Python bignums) — worlds in the
+    exact DFS order of the Python odometer. Raises RuntimeError on
+    max_worlds overflow (matching `enumerate.enumerate_worlds`);
+    returns None when the native library is unavailable or a tape span
+    exceeds the 128-bit signature range (caller falls back to Python's
+    bignum path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pyr = np.ascontiguousarray(np.asarray(pyramid, dtype=np.float64))
+    handle = lib.ckpe_enum6(
+        size_a, cl_k, fuel, d1_start, float(threshold),
+        pyr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        -1 if max_worlds is None else int(max_worlds),
+    )
+    try:
+        status = lib.ckpe_enum6_status(handle)
+        if status == 2:
+            raise RuntimeError(
+                f"Problem 'ex6-mini-bff' exceeds max_worlds={max_worlds} "
+                f"execution paths at cl_k={cl_k}."
+            )
+        if status == 1:
+            return None  # signature overflow: Python bignums handle it
+        n = lib.ckpe_enum6_num_worlds(handle)
+        f = lib.ckpe_enum6_num_factors(handle)
+        chain_len = np.empty(n, dtype=np.int32)
+        num = np.empty(f, dtype=np.int32)
+        den = np.empty(f, dtype=np.int32)
+        sigs = np.empty((n, 10), dtype=np.int64)
+        lib.ckpe_enum6_fill(
+            handle,
+            chain_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            num.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            den.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sigs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    finally:
+        lib.ckpe_enum6_free(handle)
+    return chain_len, num, den, sigs
 
 
 def expand_signatures(size_a: int, cl_k: int, sigs: np.ndarray,

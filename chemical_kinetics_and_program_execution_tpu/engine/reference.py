@@ -89,3 +89,71 @@ def dy_dt_reference(tag: str, cl_k: int, p: np.ndarray) -> np.ndarray:
             if io != ia:
                 extend_le(w, io, ia, ln, ln >= cl_k - 1)
     return accum
+
+
+def format_world(problem, world, p_world=None) -> str:
+    """One-line human dump of an execution path: probability, decision
+    program, and each tape's old -> new revealed sequence.
+
+    The TPU analogue of the reference slow path's per-world debug dump
+    (`tape_multiverse.scm:1006-1028` prints p-world, the program that
+    ran, and original/adjusted sequences).
+    """
+    syms = [str(s) for s in problem.symbols]
+
+    def seq(cells):
+        l_len, orig, adj = cells
+        o = " ".join(syms[v] for v in orig)
+        a = " ".join(syms[v] for v in adj)
+        span = f"[{-l_len}..{len(orig) - l_len - 1}]"
+        return f"{span} {o}" + ("" if orig == adj else f" -> {a}")
+
+    prog = []
+    for v, meta in zip(world.decisions, world.decision_meta):
+        if meta[0] == "reveal":
+            _, data_tape, index = meta
+            prog.append(
+                f"get({'D' if data_tape else 'P'}{index:+d})={syms[v]}")
+        else:
+            prog.append(f"choose[{v}]@{meta[1][v]:.4g}")
+    pw = world.const if p_world is None else p_world
+    return (f"p_world={pw:.6g} const={world.const:.6g} "
+            f"prog[{' '.join(prog) or '-'}] "
+            f"P{seq(world.tape_cells[0])} D{seq(world.tape_cells[1])}")
+
+
+def dump_worlds(tag: str, cl_k: int, p=None, *, limit: int | None = None,
+                file=None) -> int:
+    """Prints every execution path of a rule's multiverse.
+
+    With ``p`` given, each world's probability is evaluated against that
+    SPD's marginal pyramid (const x conditional reveal ratios — the same
+    weighting `dy_dt_reference` applies) and zero-probability worlds are
+    annotated; without it, only the compile-time choose-weight product
+    is shown. Returns the number of worlds printed. This is the tool for
+    inspecting why a new rule's multiverse looks wrong (reference:
+    debug dump at `tape_multiverse.scm:1006-1028`).
+    """
+    import sys
+
+    out = file or sys.stdout
+    problem = dsl.get_problem(tag)
+    pyr = None
+    if p is not None:
+        pyr = pyramid_np(np.asarray(p, dtype=np.float64),
+                         problem.size_a, cl_k)
+    n = 0
+    for world in enum_mod.enumerate_worlds(problem, cl_k):
+        if limit is not None and n >= limit:
+            print(f"... (limit={limit} reached)", file=out)
+            break
+        p_world = None
+        if pyr is not None:
+            p_world = world.const
+            for num_idx, den_idx in world.factors:
+                p_here = max(0.0, pyr[num_idx])
+                p_world *= (0.0 if p_here == 0.0
+                            else p_here / max(p_here, pyr[den_idx]))
+        print(format_world(problem, world, p_world), file=out)
+        n += 1
+    return n

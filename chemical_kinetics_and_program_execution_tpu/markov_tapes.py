@@ -63,7 +63,13 @@ def get_dy_dt(*, tag, size_a, cl_k, debug=False):
                 f"observed: {probs.size}"
             )
         if debug and IS_DEBUG:
+            # Reference parity: debug threads down to a per-world dump of
+            # (p_world, program, old/new sequences) each RHS call
+            # (`tape_multiverse.scm:1006-1028`, `markov_tapes.py:266-277`).
+            from .engine.reference import dump_worlds
+
             print(f"[ckpe] dy_dt t={t:.10g}")
+            dump_worlds(tag, cl_k, probs, limit=200)
         return np.asarray(fn(probs))
 
     dy_dt.compiled = compiled

@@ -148,14 +148,22 @@ def ssa_trajectories(key, n0, network_static, num_events):
     return ts, ns
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def ssa_batch(key, n0, network_static, num_events, batch):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def ssa_batch(key, n0, network_static, num_events, batch,
+              dtype=jnp.float32):
     """Batch-native SSA: the whole ensemble advances one reaction event
     per scan step, laid out species/reaction-major (``[S, B]``/``[R, B]``)
     so the batch rides the TPU lane dimension (a ``vmap`` over the
     per-trajectory stepper leaves the tiny R/S axes innermost, padding
     every vector 10 -> 128). The state update is a one-hot
     stoichiometry matmul — gather-free.
+
+    ``dtype`` sets the propensity/sampling precision. float32 (default)
+    is the benched throughput path; its falling-factorial products lose
+    resolution once counts approach 2^24 ≈ 1.7e7 — the f32/f64
+    statistical parity test (`tests/test_models.py`) bounds the bias at
+    the shipped workloads' count scales, and ``dtype=jnp.float64`` gives
+    the exact formulation at batch layout.
 
     Returns (times [B, E] float64, states [B, E, S] int32).
     """
@@ -165,13 +173,13 @@ def ssa_batch(key, n0, network_static, num_events, batch):
         jnp.asarray(np.asarray(x)) for x in network_static
     )
     n_r, n_s = reactants.shape
-    stoich_t = (products - reactants).astype(jnp.float32).T  # [S, R]
+    stoich_t = (products - reactants).astype(dtype).T  # [S, R]
 
     def step(carry, k):
         t, n = carry  # t [B] f64, n [S, B] int32
-        nf = n.astype(jnp.float32)
+        nf = n.astype(dtype)
         prop = jnp.broadcast_to(
-            rates.astype(jnp.float32)[:, None], (n_r, nf.shape[1])
+            rates.astype(dtype)[:, None], (n_r, nf.shape[1])
         )
         for j in range(max_order):
             factor = jnp.where(
@@ -185,15 +193,15 @@ def ssa_batch(key, n0, network_static, num_events, batch):
         k1, k2 = jax.random.split(k)
         dt = jnp.where(
             alive,
-            jax.random.exponential(k1, total.shape, jnp.float32)
+            jax.random.exponential(k1, total.shape, dtype)
             / jnp.maximum(total, 1e-30),
             jnp.inf,
         ).astype(jnp.float64)
-        u = jax.random.uniform(k2, total.shape, jnp.float32) * total
+        u = jax.random.uniform(k2, total.shape, dtype) * total
         cum = jnp.cumsum(prop, axis=0)
         r = jnp.minimum((u[None, :] >= cum).sum(axis=0), n_r - 1)  # [B]
         onehot = (jnp.arange(n_r)[:, None] == r[None, :]).astype(
-            jnp.float32)  # [R, B]
+            dtype)  # [R, B]
         delta = (stoich_t @ onehot).astype(jnp.int32)  # [S, B]
         n_new = jnp.where(alive[None, :], n + delta, n)
         t_new = t + dt

@@ -432,10 +432,12 @@ def _ex6_rule(fuel: int, d1_start: int = 12):
 # enumeration is astronomically large — the reference registers this
 # problem but never exercises it (and its registered form does not even
 # run, SURVEY §2.3). Registered for parity; compile with max_worlds set.
-register_problem("ex6-mini-bff", _EX6_SYMBOLS)(_ex6_rule(fuel=10))
+_ex6_faithful = _ex6_rule(fuel=10)
+_ex6_faithful.native_ex6 = (10, 12)  # (fuel, d1_start) for the C++ twin
+register_problem("ex6-mini-bff", _EX6_SYMBOLS)(_ex6_faithful)
 # The "lite" variant keeps the full instruction set at an enumerable
 # depth: fuel 2 and the second data head adjacent to the first
 # (~13k execution paths).
-register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(
-    _ex6_rule(fuel=2, d1_start=1)
-)
+_ex6_lite = _ex6_rule(fuel=2, d1_start=1)
+_ex6_lite.native_ex6 = (2, 1)
+register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(_ex6_lite)

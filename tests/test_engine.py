@@ -264,3 +264,79 @@ def test_dense_roll_emit_matches_subslice_emit(monkeypatch):
         got = np.asarray(fn_roll(p))
         monkeypatch.undo()
         np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-16)
+
+
+def test_dump_worlds_debug_mode(capsys):
+    """The world-dump debug tool prints every execution path with its
+    probability, decision program, and old->new sequences (reference
+    parity: tape_multiverse.scm:1006-1028)."""
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine.reference import (
+        dump_worlds,
+    )
+
+    n = dump_worlds("ex2-ferromagnetic-chain", 3, np.full(8, 0.125))
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().split("\n") if l]
+    assert len(lines) == n and n > 4
+    assert all("p_world=" in l and "prog[" in l for l in lines)
+    # Worlds evaluated against the uniform SPD must carry total
+    # probability size_a (one multiverse per tape site of each tape...
+    # exactly: sum over worlds of p_world = 1 per rule evaluation).
+    tot = sum(float(l.split("p_world=")[1].split()[0]) for l in lines)
+    np.testing.assert_allclose(tot, 1.0, rtol=1e-6)
+    # A write shows as an old -> new sequence.
+    assert any("->" in l for l in lines)
+    # Probability-free variant still prints.
+    n2 = dump_worlds("ex1-radioactive-decay", 3, None, limit=3)
+    assert 0 < n2 <= 3
+
+
+def test_native_ex6_enumeration_parity():
+    """The C++ guided enumerator (native/enumerate6.cc) must emit
+    bit-identical worlds in identical DFS order to the Python odometer,
+    for both uniform and concentrated reference distributions (the
+    latter exercises >int64 tape-signature spans via the 128-bit
+    path)."""
+    import itertools
+
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        dsl,
+        enumerate as em,
+        native,
+    )
+
+    if not native.available():  # pragma: no cover - toolchain-less env
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    prob = dsl.get_problem("ex6-mini-bff")
+    a = prob.size_a
+    for cl_k, p_ref, thr in (
+        (4, np.full(a**4, a**-4.0), 1e-4),
+        (3, None, 1e-5),
+    ):
+        if p_ref is None:  # concentrated: long zero-runs stay alive
+            psym = np.full(a, 0.1 / (a - 1))
+            psym[0] = 0.9
+            p_ref = np.array([
+                np.prod([psym[s] for s in w])
+                for w in itertools.product(range(a), repeat=3)
+            ])
+        g = em.BeamGuide(p_ref, a, cl_k, thr)
+        ws_native = em.enumerate_worlds(prob, cl_k, guide=g)
+        params = prob.rule.native_ex6
+        del prob.rule.native_ex6
+        try:
+            ws_python = em.enumerate_worlds(prob, cl_k, guide=g)
+        finally:
+            prob.rule.native_ex6 = params
+        assert len(ws_native) == len(ws_python) > 0
+        for w_n, w_p in zip(ws_native, ws_python):
+            assert w_n.factors == w_p.factors
+            assert w_n.tape_sigs == w_p.tape_sigs
+            assert w_n.const == w_p.const

@@ -338,31 +338,49 @@ def test_frontier_write_decode_paths_agree():
 
 
 def test_merge_stats_and_resample_core():
-    """Unit check of the merge machinery on a hand-built frontier."""
-    import math
-
+    """Unit check of the sort-free merge machinery on a hand-built
+    frontier: members 0 and 2 share a key and must merge into member 0's
+    group; resampling must preserve per-configuration mass."""
     h = jnp.asarray([7, 3, 7, 5], dtype=jnp.uint64)
     lw = jnp.log(jnp.asarray([0.1, 0.3, 0.2, 0.4]))
-    seg_of, merged_lw, rep, n_unique = ensemble._merge_stats(h, lw)
-    assert int(n_unique) == 3
+    grp, merged_lw, is_rep, n_groups = ensemble._merge_stats(h, lw)
+    assert int(n_groups) == 3
+    grp = np.asarray(grp)
+    assert grp[0] == grp[2] == 0 and grp[1] == 1 and grp[3] == 3
+    np.testing.assert_array_equal(np.asarray(is_rep),
+                                  [True, True, False, True])
     merged = np.exp(np.asarray(merged_lw))
-    # Sorted-key segment order: 3 -> 0.3, 5 -> 0.4, 7 -> 0.1+0.2.
-    np.testing.assert_allclose(merged[:3], [0.3, 0.4, 0.3], rtol=1e-12)
-    np.testing.assert_array_equal(np.asarray(rep)[:3], [1, 3, 0])
-    # Members 0 and 2 share segment 2 (key 7).
-    seg = np.asarray(seg_of)
-    assert seg[0] == seg[2] == 2 and seg[1] == 0 and seg[3] == 1
+    np.testing.assert_allclose(merged[[0, 1, 3]], [0.3, 0.3, 0.4],
+                               rtol=1e-12)
+    assert merged[2] == 0.0  # non-rep slots carry -inf
 
-    parent, new_lw = ensemble._merge_resample(jax.random.PRNGKey(0), h, lw)
+    parent, new_lw, ng = ensemble._merge_resample(
+        jax.random.PRNGKey(0), h, lw)
+    assert int(ng) == 3
     parent, new_lw = np.asarray(parent), np.asarray(new_lw)
-    # Weight-preserving: total mass 1; every slot points at a valid rep.
+    # Weight-preserving: total mass 1; every slot points at a rep.
     np.testing.assert_allclose(np.exp(new_lw).sum(), 1.0, rtol=1e-8)
     assert set(parent) <= {0, 1, 3}
     # Per-configuration mass is preserved exactly for surviving configs.
-    for rep_idx, w_cfg in ((1, 0.3), (3, 0.4), (0, 0.3)):
+    for rep_idx, w_cfg in ((0, 0.3), (1, 0.3), (3, 0.4)):
         mass = np.exp(new_lw)[parent == rep_idx].sum()
         if mass > 0:
             np.testing.assert_allclose(mass, w_cfg, rtol=1e-8)
+
+
+def test_merge_resample_collision_defers_not_corrupts():
+    """Distinct configurations that land in the same hash-table bucket
+    must stay unmerged (each its own group) — a collision may only
+    defer a merge, never conflate two configurations."""
+    # Keys equal mod any power-of-two bucket count but different hashes.
+    K = 4
+    n_buckets = 1 << (2 * K - 1).bit_length()
+    h = jnp.asarray([1, 1 + n_buckets * 3, 2, 3], dtype=jnp.uint64)
+    lw = jnp.full((K,), -np.log(K))
+    grp, merged_lw, is_rep, n_groups = ensemble._merge_stats(h, lw)
+    assert int(n_groups) == K  # nothing merges
+    np.testing.assert_allclose(np.exp(np.asarray(merged_lw)), 1.0 / K,
+                               rtol=1e-12)
 
 
 def test_merge_weights_inplace_moves_mass_to_one_rep():

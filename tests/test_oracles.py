@@ -229,3 +229,41 @@ def test_ex3var2_cl_k_convergence():
         assert got8 == pytest.approx(got6, rel=1e-3), (
             f"p({name}): cl_k=8 {got8!r} vs cl_k=6 {got6!r}"
         )
+
+
+def test_fresh_solve_against_independent_host_oracle():
+    """End-to-end fidelity with NO committed artifacts: solve ex4 at
+    cl_k=3 on the full jax stack (compile -> dense kernel -> on-device
+    DOP853) and compare against a trajectory computed by scipy DOP853
+    driving the independent host reference RHS (`engine/reference.py`,
+    which shares only the path enumerator with the compiled kernels).
+    A regression anywhere in compile/dense/solver fails this test
+    without any artifact regeneration (VERDICT round-1 item #3)."""
+    import scipy.integrate
+
+    from chemical_kinetics_and_program_execution_tpu import build_dy_dt
+    from chemical_kinetics_and_program_execution_tpu.engine.reference import (
+        dy_dt_reference,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        chemical_turing_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
+
+    tag, cl_k = "ex4-chemical-turing", 3
+    p0 = chemical_turing_p0(cl_k).ravel()
+    ts = np.linspace(0.0, 50.0, 6)
+
+    fn, _ = build_dy_dt(tag, cl_k)
+    ys_jax = solve(lambda y, t: fn(y), p0, ts, rtol=1e-10, atol=1e-12,
+                   method="dop853")
+
+    sol = scipy.integrate.solve_ivp(
+        lambda t, y: dy_dt_reference(tag, cl_k, y), (ts[0], ts[-1]), p0,
+        t_eval=ts, rtol=1e-10, atol=1e-12, method="DOP853")
+    assert sol.success
+    ys_ref = sol.y.T
+
+    np.testing.assert_allclose(ys_jax, ys_ref, rtol=2e-7, atol=1e-11)
+    # Sanity: the dynamics actually moved the state.
+    assert np.abs(ys_ref[-1] - p0).max() > 1e-4
