@@ -189,7 +189,8 @@ def bench_ssa():
                     "events_per_s": f"{B * E / dt:.3e}"}
 
 
-def bench_frontier(tag="ex5-msrtf-machine", K=None):
+def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
+                   n_rep=3):
     """Weighted frontier throughput (branch-steps/s), blocked mode.
 
     Stratified multi-site rounds between merge/re-rank blocks
@@ -208,16 +209,17 @@ def bench_frontier(tag="ex5-msrtf-machine", K=None):
     dm = ensemble.compile_decision_machine(tag)
     if K is None:
         K = int(os.environ.get("CKPE_BENCH_FRONTIER_K", "1000000"))
-    L, blocks, rounds, events = 32, 10, 8, 2
+    L, rounds, events = 64, 64, 4
+    if blocks is None:
+        blocks = 5
     plan = (blocks, rounds, events)
     pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
-                            dtype=jnp.int32)
-    dtp = jnp.zeros((K, L), jnp.int32)
+                            dtype=jnp.int8)
+    dtp = jnp.zeros((K, L), jnp.int8)
     lw = jnp.full((K,), -np.log(K), jnp.float64)
     (pt, dtp), lw, nu = ensemble.run_weighted_frontier_blocked(
         jax.random.PRNGKey(1), (pt, dtp), lw, dm, plan)
     float(jnp.sum(lw))  # sync
-    n_rep = 3
     rates = []
     for i in range(n_rep):
         t0 = time.time()
@@ -345,7 +347,8 @@ def main():
                   file=sys.stderr)
     try:
         k7 = int(os.environ.get("CKPE_BENCH_FRONTIER_K7", "10000000"))
-        fr, finfo = bench_frontier("ex2-ferromagnetic-chain", K=k7)
+        fr, finfo = bench_frontier("ex2-ferromagnetic-chain", K=k7,
+                                   blocks=2, n_rep=2)
         print(f"# frontier (blocked, 1e7-tape config 5): {fr:.3e} "
               f"branch-steps/s {finfo}", file=sys.stderr)
     except Exception as e:

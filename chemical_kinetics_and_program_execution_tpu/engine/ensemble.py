@@ -1037,13 +1037,18 @@ def _merge_stats(h, lw):
     winner = jnp.full((n_buckets,), K, jnp.int32).at[b].min(idx)
     cand = winner[b]  # < K: every queried bucket holds at least its owner
     grp = jnp.where(h[cand] == h, cand, idx)
-    gmax = jnp.full((K,), -jnp.inf, lw.dtype).at[grp].max(lw)
-    safe = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    # Group logsumexp under a GLOBAL max shift: one cheap reduction
+    # instead of a per-group scatter-max (TPU scatters with colliding
+    # indices serialise — measured ~80 ms per scatter at K=1e6, and
+    # this saves one of the three). Members far below the global max
+    # underflow exactly as in any logsumexp; they carry no mass.
+    finite = jnp.isfinite(lw)
+    m = jnp.max(jnp.where(finite, lw, -jnp.inf))
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
     gsum = jnp.zeros((K,), lw.dtype).at[grp].add(
-        jnp.where(jnp.isfinite(lw), jnp.exp(lw - safe[grp]), 0.0))
+        jnp.where(finite, jnp.exp(lw - m), 0.0))
     merged_lw = jnp.where(
-        jnp.isfinite(gmax),
-        safe + jnp.log(jnp.maximum(gsum, 1e-300)), -jnp.inf)
+        gsum > 0.0, m + jnp.log(jnp.maximum(gsum, 1e-300)), -jnp.inf)
     is_rep = grp == idx
     return grp, merged_lw, is_rep, is_rep.sum()
 
@@ -1294,7 +1299,66 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
     return (ptape, dtape), logw
 
 
-@partial(jax.jit, static_argnums=(4,), static_argnames=("tau",))
+@partial(jax.jit, static_argnames=("rounds", "tau"))
+def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
+                    rounds: int, tau: float):
+    """One block of stratified rounds on transposed planes [E, K].
+
+    ``key`` is split INSIDE the jit: on the tunnelled backend every
+    host-side op (even a PRNG split) is a separate ~100 ms remote
+    dispatch, so the block loop must touch the device exactly twice per
+    block (this call + the merge).
+    """
+    stride = len(pp)
+    E, K = pp[0].shape
+
+    def round_step(carry, k):
+        pp, dd, lw = carry
+        k1, k2 = jax.random.split(k)
+        shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
+        uniforms = jax.random.uniform(k2, (E, K), dtype=jnp.float32)
+        pp, dd, dlp = _apply_plane_round_fsm(
+            dm, pp, dd, shift, uniforms, tau=tau, want_logp=True,
+            site_axis=0)
+        return (pp, dd, lw + dlp.astype(lw.dtype)), None
+
+    (pp, dd, lw), _ = jax.lax.scan(
+        round_step, (pp, dd, lw), jax.random.split(key, rounds))
+    return pp, dd, lw
+
+
+@jax.jit
+def _blocked_merge(key, pp, dd, lw):
+    """Merge-by-key + systematic slot resampling on transposed planes."""
+    E = pp[0].shape[0]
+    cols = [pl[e] for pl in pp for e in range(E)] + \
+           [pl[e] for pl in dd for e in range(E)]
+    h = _content_hash(cols, bits=4)  # machine symbols are < 16
+    parent, new_lw, n_unique = _merge_resample(key, h, lw)
+    pp = tuple(pl[:, parent] for pl in pp)
+    dd = tuple(pl[:, parent] for pl in dd)
+    return pp, dd, new_lw - jnp.max(new_lw), n_unique
+
+
+@partial(jax.jit, static_argnames=("stride",))
+def _to_planes_t(tape, *, stride):
+    """[K, L] int tape -> transposed planes ([E, K] int8 x stride) via
+    ONE dense 3-D transpose (plane c = columns c::stride =
+    reshape[K, E, stride] slice) — per-plane strided slices + tiny
+    transposes lowered pathologically on this backend."""
+    K, L = tape.shape
+    t3 = tape.astype(jnp.int8).reshape(K, L // stride, stride)
+    t3 = jnp.transpose(t3, (2, 1, 0))  # [stride, E, K]
+    return tuple(t3[c] for c in range(stride))
+
+
+@jax.jit
+def _from_planes_t(planes):
+    t3 = jnp.stack(planes, axis=0)  # [stride, E, K]
+    K = t3.shape[2]
+    return jnp.transpose(t3, (2, 1, 0)).reshape(K, -1)
+
+
 def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
                                   plan: tuple, *, tau: float = 1.0):
     """Blocked weighted frontier: stratified multi-site rounds between
@@ -1371,53 +1435,34 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
 
     # Planes stored TRANSPOSED [E, K]: the frontier has few sites per
     # member (E = events, typically 2) but millions of members, so the
-    # member axis must ride the 128-lane minor tile. Built via ONE dense
-    # 3-D transpose (plane c = columns c::stride = reshape[K, E, stride]
-    # slice) — per-plane strided slices + tiny transposes lowered ~500x
-    # slower on this backend.
-    def to_planes_t(tape):
-        t3 = tape.astype(jnp.int8).reshape(K, events, stride)
-        t3 = jnp.transpose(t3, (2, 1, 0))  # [stride, E, K]
-        return tuple(t3[c] for c in range(stride))
+    # member axis must ride the 128-lane minor tile. The block loop runs
+    # on the HOST over three small cached jits (rounds scan / merge /
+    # layout) rather than one fused program: this backend's remote
+    # compiler takes minutes on the fused scan-of-scans while the pieces
+    # compile in seconds and run at full speed (dispatches are async, so
+    # the ~10 host round-trips per call cost microseconds each).
+    pp = _to_planes_t(jnp.asarray(ptape), stride=stride)
+    dd = _to_planes_t(jnp.asarray(dtape), stride=stride)
+    lw = jnp.asarray(logw, jnp.float64)
 
-    def from_planes_t(planes):
-        t3 = jnp.stack(planes, axis=0)  # [stride, E, K]
-        return jnp.transpose(t3, (2, 1, 0)).reshape(K, L)
+    # ONE device op derives every block's keys; the rows cross to the
+    # host so the loop below issues no further RNG dispatches (each
+    # host-side op is a full remote round-trip on the TPU tunnel —
+    # measured ~250 ms each, which dominated the first cut of this
+    # loop at 530 ms/block against ~1 ms of actual kernel time).
+    block_keys = np.asarray(jax.random.split(key, 2 * num_blocks))
 
-    pp = to_planes_t(ptape)
-    dd = to_planes_t(dtape)
-    lw = logw.astype(jnp.float64)
+    n_unique = []
+    for b in range(num_blocks):
+        pp, dd, lw = _blocked_rounds(
+            block_keys[2 * b], pp, dd, lw, dm, rounds=rounds, tau=tau)
+        pp, dd, lw, nu = _blocked_merge(block_keys[2 * b + 1], pp, dd, lw)
+        n_unique.append(nu)
 
-    def round_step(carry, k):
-        pp, dd, lw = carry
-        k1, k2 = jax.random.split(k)
-        shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
-        uniforms = jax.random.uniform(k2, (events, K), dtype=jnp.float32)
-        pp, dd, dlp = _apply_plane_round_fsm(
-            dm, pp, dd, shift, uniforms, tau=tau, want_logp=True,
-            site_axis=0)
-        return (pp, dd, lw + dlp.astype(lw.dtype)), None
-
-    def block_step(carry, kb):
-        pp, dd, lw = carry
-        kr, km = jax.random.split(kb)
-        (pp, dd, lw), _ = jax.lax.scan(
-            round_step, (pp, dd, lw), jax.random.split(kr, rounds))
-        cols = [pl[e] for pl in pp for e in range(events)] + \
-               [pl[e] for pl in dd for e in range(events)]
-        h = _content_hash(cols, bits=4)  # machine symbols are < 16
-        parent, new_lw, n_unique = _merge_resample(km, h, lw)
-        pp = tuple(pl[:, parent] for pl in pp)
-        dd = tuple(pl[:, parent] for pl in dd)
-        new_lw = new_lw - jnp.max(new_lw)
-        return (pp, dd, new_lw), n_unique
-
-    (pp, dd, lw), n_unique = jax.lax.scan(
-        block_step, (pp, dd, lw), jax.random.split(key, num_blocks))
-    ptape = from_planes_t(pp).astype(in_dtype)
-    dtape = from_planes_t(dd).astype(in_dtype)
+    ptape = _from_planes_t(pp).astype(in_dtype)
+    dtape = _from_planes_t(dd).astype(in_dtype)
     lw = lw - jax.scipy.special.logsumexp(lw)
-    return (ptape, dtape), lw, n_unique
+    return (ptape, dtape), lw, jnp.stack(n_unique)
 
 
 def weighted_window_counts(tape, weights, size_a: int, cl_k: int):
