@@ -5,7 +5,7 @@ The reference's *default* solver for ex2/ex3 is LSODA via
 to a BDF method when the problem turns stiff. The explicit on-device
 steppers (`dopri5.py`, `dop853.py`) cover every shipped workload (they are
 accuracy-limited, not stability-limited — see RESULTS.md "Stiffness
-analysis"), but a TPU-native framework needs a stiff option of its own
+analysis (round 2)"), but a TPU-native framework needs a stiff option of its own
 for rate-table problems users may write with widely separated rates.
 
 Method: Kvaerno's 4-stage ESDIRK 3(2) (A-/L-stable, stiffly accurate,

@@ -226,6 +226,80 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
     return wrapper
 
 
+def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
+                                  plan: tuple, k_local: int,
+                                  tau: float = 1.0):
+    """Island-mode sharded BLOCKED frontier (the fast frontier).
+
+    Same distribution strategy as :func:`make_sharded_frontier` — the
+    member axis splits over every mesh device, each island evolving
+    independently (zero ICI traffic; the island-vs-global estimator
+    trade is quantified in DESIGN.md) — but each island runs the
+    blocked merge-resample frontier
+    (`ensemble.run_weighted_frontier_blocked` semantics). Key
+    derivation matches the single-chip host driver exactly, so each
+    island's result is bit-comparable to a standalone
+    ``run_weighted_frontier_blocked(fold_in(key, island_index), ...)``.
+
+    Returns ``fn(key, (ptape, dtape), logw) -> ((ptape, dtape), logw,
+    n_unique [n_devices, num_blocks])`` over global arrays whose
+    leading axis is ``n_devices * k_local``; each island's weights
+    renormalise to mass 1.
+    """
+    from ..engine import ensemble as ensemble_mod
+
+    num_blocks, rounds, events = plan
+    axes = tuple(mesh.shape.keys())
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def local(key, pt, dtp, lw):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        K, L = pt.shape
+        stride = L // events
+        pp = ensemble_mod._to_planes_t(pt, stride=stride)
+        dd = ensemble_mod._to_planes_t(dtp, stride=stride)
+        block_keys = jax.random.split(k, 2 * num_blocks).reshape(
+            num_blocks, 2, 2)
+
+        def block(carry, kb):
+            pp, dd, lw = carry
+            pp, dd, lw = ensemble_mod._blocked_rounds(
+                kb[0], pp, dd, lw, dm, rounds=rounds, tau=tau)
+            pp, dd, lw, nu = ensemble_mod._blocked_merge(
+                kb[1], pp, dd, lw)
+            return (pp, dd, lw), nu
+
+        (pp, dd, lw), nu = jax.lax.scan(block, (pp, dd, lw), block_keys)
+        pt = ensemble_mod._from_planes_t(pp)
+        dtp = ensemble_mod._from_planes_t(dd)
+        lw = lw - jax.scipy.special.logsumexp(lw)
+        return pt, dtp, lw, nu[None]
+
+    spec = P(axes)
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec, spec, spec),
+        out_specs=(spec, spec, spec, spec),
+    )
+
+    @jax.jit
+    def fn(key, tapes, logw):
+        pt, dtp = tapes
+        if pt.shape[0] != n_dev * k_local:
+            raise ValueError(
+                f"frontier size {pt.shape[0]} != n_devices*k_local "
+                f"= {n_dev * k_local}"
+            )
+        p, d, w, nu = mapped(key, pt.astype(jnp.int8),
+                             dtp.astype(jnp.int8), logw)
+        return (p, d), w, nu
+
+    return fn
+
+
 def make_sharded_frontier(dtable, mesh: jax.sharding.Mesh,
                           num_steps: int, top_k_local: int):
     """Island-mode sharded weighted frontier (distributed beam search).

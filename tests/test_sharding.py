@@ -204,3 +204,55 @@ def test_dense_state_sharding_non_divisible_pads_and_shards():
     out_pad = sharded(p_pad)
     spec = out_pad.sharding.spec
     assert tuple(spec) == ("batch", "ev")
+
+
+def test_blocked_island_frontier_matches_per_island_runs():
+    """Each island of the sharded BLOCKED frontier must be bit-identical
+    to a standalone run_weighted_frontier_blocked seeded with
+    fold_in(key, island_index) — the distribution adds devices, not
+    semantics."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_frontier_blocked,
+    )
+
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    mesh = make_mesh(n_batch=2, n_event=4)
+    k_loc, L = 16, 32
+    plan = (2, 2, 2)
+    n_dev = 8
+    fn = make_sharded_frontier_blocked(dm, mesh, plan, k_loc)
+
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(0), np.full(8, 0.125), 2, 3, n_dev * k_loc, L)
+    ptape = jnp.zeros((n_dev * k_loc, L), jnp.int32)
+    lw0 = jnp.full((n_dev * k_loc,), -math.log(k_loc))
+    key = jax.random.PRNGKey(9)
+    (pt, dt), lw, nu = fn(key, (ptape, dtape), lw0)
+    assert np.asarray(nu).shape == (n_dev, plan[0])
+
+    for isl in (0, 3, 7):
+        sl = slice(isl * k_loc, (isl + 1) * k_loc)
+        (pt_i, dt_i), lw_i, nu_i = ensemble.run_weighted_frontier_blocked(
+            jax.random.fold_in(key, isl),
+            (ptape[sl], dtape[sl]),
+            jnp.full((k_loc,), -math.log(k_loc)),
+            dm, plan,
+        )
+        np.testing.assert_array_equal(np.asarray(pt[sl]),
+                                      np.asarray(pt_i))
+        np.testing.assert_array_equal(np.asarray(dt[sl]),
+                                      np.asarray(dt_i))
+        np.testing.assert_allclose(np.asarray(lw[sl]), np.asarray(lw_i),
+                                   rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(nu[isl]),
+                                      np.asarray(nu_i))
