@@ -543,3 +543,37 @@ def test_frontier_rejects_wide_alphabet():
     with pytest.raises(ValueError, match="int8"):
         ensemble.run_weighted_frontier(
             jax.random.PRNGKey(0), (pt, pt), lw, wide, 2, K)
+
+
+def test_per_step_merge_every_collapses_engineered_duplicates():
+    """Direct mechanism check for merge_every: start the beam with every
+    slot holding the SAME tape. Without merging, all K slots stay
+    duplicates of one configuration forever (they branch identically and
+    rank identically); with merge_every=1, after the first merge all
+    mass sits in single representative slots and the -inf'd slots are
+    backfilled by the next top-k with genuinely distinct children —
+    so the final frontier must contain strictly more distinct tapes."""
+    import math
+
+    dtab = ensemble.device_table(
+        ensemble.compile_transition_table("ex2-ferromagnetic-chain"))
+    K, L, steps = 32, 32, 16
+    one = jax.random.randint(jax.random.PRNGKey(0), (1, L), 0, 2,
+                             dtype=jnp.int32)
+    dtape = jnp.tile(one, (K, 1))
+    ptape = jnp.zeros((K, L), jnp.int32)
+    logw = jnp.full((K,), -math.log(K))
+
+    def distinct_tapes(dt2, w):
+        rows = {tuple(np.asarray(r)) for r, wi in zip(dt2, w) if wi > 0}
+        return len(rows)
+
+    counts = {}
+    for me in (0, 1):
+        (_, dt2), lw = ensemble.run_weighted_frontier(
+            jax.random.PRNGKey(3), (ptape, dtape), logw, dtab, steps,
+            K, me)
+        w = np.exp(np.asarray(lw))
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+        counts[me] = distinct_tapes(np.asarray(dt2), w)
+    assert counts[1] > counts[0], counts
