@@ -209,9 +209,14 @@ def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
     dm = ensemble.compile_decision_machine(tag)
     if K is None:
         K = int(os.environ.get("CKPE_BENCH_FRONTIER_K", "1000000"))
-    L, rounds, events = 64, 64, 4
+    # Merge every rounds*events = 1024 transitions: the cadence probe
+    # (RESULTS.md "merge cadence") measured estimator L1 error FLAT in
+    # the merge interval (at tau=1 weights stay uniform — sampling the
+    # true branch law — so merging is pure dedup and its cadence is a
+    # cost knob, not a quality knob).
+    L, rounds, events = 64, 256, 4
     if blocks is None:
-        blocks = 5
+        blocks = 2
     plan = (blocks, rounds, events)
     pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
                             dtype=jnp.int8)

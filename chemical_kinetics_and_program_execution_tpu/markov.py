@@ -174,8 +174,16 @@ def pyramid_offsets(size_a, cl_k):
 def guarded_ratio(num, den):
     """The reference's conditional-probability noise guard
     (`tape_multiverse.scm:560-562, 1263-1269`):
-    ``num > 0 ? num / max(num, den) : 0`` — elementwise, device op."""
-    return jnp.where(num > 0, num / jnp.maximum(num, den), 0.0)
+    ``num > 0 ? num / max(num, den) : 0`` — elementwise, device op.
+
+    Written with the masked denominator forced to 1 (the "double-where"
+    idiom) so reverse-mode AD through the solve never forms 0/0 in the
+    division VJP at lanes where a whole context has zero probability —
+    the primal values are bit-identical to the single-where form.
+    """
+    pos = num > 0
+    safe_den = jnp.where(pos, jnp.maximum(num, den), 1.0)
+    return jnp.where(pos, num, 0.0) / safe_den
 
 
 def guarded_ratio_prod(pyr, num_idx, den_idx):

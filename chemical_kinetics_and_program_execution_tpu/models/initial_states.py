@@ -47,6 +47,23 @@ def ferromagnet_p0(cl_k: int, p_pair: float = 0.01,
     return p0.reshape([2] * cl_k)
 
 
+def ferromagnet_p0_traced(cl_k: int, p_pair):
+    """`ferromagnet_p0(corrected=True)` as a jnp-traceable function of
+    ``p_pair`` — the parametrisation used by the inverse-design path
+    (gradients of a solve w.r.t. the pair density flow through this).
+
+    Returns a flat ``[2**cl_k]`` jnp array.
+    """
+    import jax.numpy as jnp
+
+    p_pair = jnp.asarray(p_pair, jnp.float64)
+    idx = [0b11 << k for k in range(cl_k - 1)] + [1, 1 << (cl_k - 1)]
+    p0 = jnp.zeros(2**cl_k, jnp.float64)
+    p0 = p0.at[jnp.array(idx)].set(p_pair)
+    p0 = p0.at[(1 << (cl_k - 1)) | 1].set(p_pair**2)
+    return p0.at[0].set(1.0 - jnp.sum(p0))
+
+
 def copolymerization_p0(cl_k: int, p_a: float = 0.02) -> np.ndarray:
     """Isolated dilute monomers in solvent (`ex3_copolymerization.py:38-53`).
 
