@@ -34,24 +34,50 @@ class Problem:
     symbols: tuple[str, ...]
     rule: Callable
     doc: str = ""
+    # Declared rate parameters as ((name, default), ...) or None. A
+    # parametric rule has signature ``rule(t, params)`` with ``params``
+    # a dict; its weight arithmetic must be traced-safe (no Python
+    # branching on parameter values) so `engine/parametric.py` can
+    # rebuild path weights under `jax.grad`.
+    params: tuple[tuple[str, float], ...] | None = None
 
     @property
     def size_a(self) -> int:
         return len(self.symbols)
 
+    @property
+    def param_defaults(self) -> dict[str, float] | None:
+        return None if self.params is None else dict(self.params)
+
     def symbol_index(self, sym: str) -> int:
         return self.symbols.index(sym)
+
+    def call(self, t, params: dict | None = None) -> None:
+        """Runs the rule on tape context ``t`` (with ``params`` when
+        the problem is parametric; defaults otherwise)."""
+        if self.params is None:
+            self.rule(t)
+        else:
+            self.rule(t, self.param_defaults if params is None else params)
 
 
 _REGISTRY: dict[str, Problem] = {}
 
 
-def register_problem(tag: str, symbols: Sequence[str], doc: str = ""):
-    """Decorator registering a reaction rule under ``tag``."""
+def register_problem(tag: str, symbols: Sequence[str], doc: str = "",
+                     params: dict[str, float] | None = None):
+    """Decorator registering a reaction rule under ``tag``.
+
+    ``params`` declares named rate parameters with default values; the
+    decorated function then takes ``(t, params)`` and becomes eligible
+    for the parametric-gradient path (`engine/parametric.py`).
+    """
 
     def deco(fn):
         _REGISTRY[tag] = Problem(
-            tag=tag, symbols=tuple(symbols), rule=fn, doc=doc or (fn.__doc__ or "")
+            tag=tag, symbols=tuple(symbols), rule=fn,
+            doc=doc or (fn.__doc__ or ""),
+            params=None if params is None else tuple(params.items()),
         )
         return fn
 

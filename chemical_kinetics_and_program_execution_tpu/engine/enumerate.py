@@ -207,7 +207,7 @@ class _Replay:
 
     def run(self) -> World:
         t = dsl.Tape(self, self.problem.symbols)
-        self.problem.rule(t)
+        self.problem.call(t)
         return World(
             const=self.const,
             factors=tuple(self.factors),

@@ -59,6 +59,48 @@ def ex2_ferromagnetic_chain(t):
         t.set_sym(DATA, 0, "D" if mid == "U" else "U")
 
 
+def _exp(x):
+    """exp that stays in Python floats for concrete inputs (enumeration
+    speed) and defers to jnp for traced rate parameters."""
+    if isinstance(x, (int, float)):
+        return math.exp(x)
+    import jax.numpy as jnp
+
+    return jnp.exp(x)
+
+
+def _max0(x):
+    if isinstance(x, (int, float)):
+        return max(0.0, x)
+    import jax.numpy as jnp
+
+    return jnp.maximum(x, 0.0)
+
+
+@register_problem("ex2-ferromagnetic-chain-p", ("D", "U"),
+                  params={"J": _EX2_J, "h": _EX2_H, "beta": _EX2_BETA})
+def ex2_ferromagnetic_chain_parametric(t, params):
+    """Parametric ex2: identical physics to `ex2-ferromagnetic-chain`
+    (`problems.scm:30-55`) with (J, h, beta) as runtime rate parameters
+    for the gradient path (`engine/parametric.py`).
+
+    The reference's sign-dependent field branch
+    ``(h>0)==(mid=='U') ? exp(-2β|h|) : 1`` is rewritten branch-free as
+    ``exp(-2β·max(0, ±h))`` (identical for every sign of ``h``) so the
+    weight is a smooth traced expression.
+    """
+    J, h, beta = params["J"], params["h"], params["beta"]
+    mid = t.get_sym(DATA, 0)
+    left = t.get_sym(DATA, -1)
+    right = t.get_sym(DATA, +1)
+    energy_j = (1 if left == mid else -1) + (1 if mid == right else -1)
+    factor_a = _exp(-(beta * J * (4 + 2 * energy_j)))
+    factor_b = _exp(-2.0 * beta * _max0(h if mid == "U" else -h))
+    p_flip = factor_a * factor_b
+    if t.choose([(p_flip, True), (1.0 - p_flip, False)]):
+        t.set_sym(DATA, 0, "D" if mid == "U" else "U")
+
+
 # --- Example 3: copolymerization (`problems.scm:59-181`) --------------------
 
 @register_problem("ex3-copolymerization", ("O", "A", "M", "N"))

@@ -1,0 +1,123 @@
+"""Parametric rate constants (`engine/parametric.py`).
+
+The feature under test: rebuilding the dense engine's baked
+choose-weight vector as a differentiable function of declared rate
+parameters by replaying each enumerated world's decision script with
+traced arithmetic — giving d(dp/dt)/d(rate) and, through the fixed-grid
+solver, rate sensitivities of whole trajectories.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from chemical_kinetics_and_program_execution_tpu.engine import (  # noqa: E402
+    build_dy_dt, parametric,
+)
+from chemical_kinetics_and_program_execution_tpu.engine.dsl import (  # noqa: E402
+    DATA, get_problem, register_problem,
+)
+from chemical_kinetics_and_program_execution_tpu.models.initial_states import (  # noqa: E402
+    ferromagnet_p0,
+)
+
+TAG = "ex2-ferromagnetic-chain-p"
+
+
+def _valid_p(cl_k):
+    return ferromagnet_p0(cl_k, p_pair=0.02, corrected=True).ravel()
+
+
+def test_parametric_matches_baked_at_defaults():
+    """At the declared defaults the parametric RHS equals the plain
+    baked dense RHS of the non-parametric twin problem."""
+    pd, prog = parametric.make_parametric_dense(TAG, 4)
+    dfn, _ = build_dy_dt("ex2-ferromagnetic-chain", 4)
+    p = _valid_p(4)
+    got = np.asarray(pd(jnp.asarray(p), get_problem(TAG).param_defaults))
+    want = np.asarray(dfn(jnp.asarray(p)))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-16)
+
+
+def test_parametric_matches_fresh_compile_at_perturbed_params():
+    """Moving a parameter at runtime equals recompiling a rule with that
+    value baked in — the structural ground truth for the replay."""
+    import math
+
+    beta = 1.37
+
+    @register_problem("_test-ex2-beta-baked", ("D", "U"))
+    def _baked(t):
+        mid = t.get_sym(DATA, 0)
+        left = t.get_sym(DATA, -1)
+        right = t.get_sym(DATA, +1)
+        energy_j = ((1 if left == mid else -1)
+                    + (1 if mid == right else -1))
+        factor_a = math.exp(-(beta * 1.0 * (4 + 2 * energy_j)))
+        factor_b = (math.exp(-2.0 * beta * 0.25)
+                    if mid == "D" else 1.0)  # h = -0.25
+        p_flip = factor_a * factor_b
+        if t.choose([(p_flip, True), (1.0 - p_flip, False)]):
+            t.set_sym(DATA, 0, "D" if mid == "U" else "U")
+
+    pd, _ = parametric.make_parametric_dense(TAG, 3)
+    dfn, _ = build_dy_dt("_test-ex2-beta-baked", 3)
+    p = _valid_p(3)
+    got = np.asarray(pd(jnp.asarray(p),
+                        {"J": 1.0, "h": -0.25, "beta": beta}))
+    want = np.asarray(dfn(jnp.asarray(p)))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-16)
+
+
+def test_parametric_rhs_gradient_matches_fd():
+    """jax.grad of the RHS w.r.t. beta vs central finite differences of
+    the same parametric function."""
+    pd, _ = parametric.make_parametric_dense(TAG, 4)
+    p = jnp.asarray(_valid_p(4))
+    v = jnp.linspace(0.5, 1.5, p.shape[0])  # fixed probe covector
+
+    def scalar(beta):
+        prm = {"J": 1.0, "h": -0.25, "beta": beta}
+        return jnp.vdot(v, pd(p, prm))
+
+    g = jax.grad(scalar)(jnp.asarray(1.0, jnp.float64))
+    eps = 1e-6
+    fd = (float(scalar(1.0 + eps)) - float(scalar(1.0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-6)
+
+
+def test_rate_sensitivity_end_to_end():
+    """Trajectory-level rate gradients: value_and_grad through compile
+    tables + fixed-grid solve, pinned against finite differences."""
+    from chemical_kinetics_and_program_execution_tpu.ode.fixed import (
+        odeint_fixed,
+    )
+
+    cl_k = 3
+    p0 = _valid_p(cl_k)
+    ts = np.linspace(0.0, 5.0, 6)
+    obs_idx = 0b011
+
+    value, grads = parametric.rate_sensitivity(
+        TAG, cl_k, p0, ts, lambda y: y[obs_idx], n_sub=6)
+    assert set(grads) == {"J", "h", "beta"}
+
+    pd = parametric.ParametricDense(TAG, cl_k)
+
+    def solve_at(beta):
+        prm = {"J": 1.0, "h": -0.25, "beta": beta}
+        ys = odeint_fixed(lambda y, t, w: pd.dy_dt(y, w), p0, ts,
+                          n_sub=6, args=pd.consts(prm))
+        return float(ys[-1, obs_idx])
+
+    eps = 1e-6
+    fd_beta = (solve_at(1.0 + eps) - solve_at(1.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(grads["beta"]), fd_beta, rtol=1e-5)
+    assert value == pytest.approx(solve_at(1.0), rel=1e-12)
+
+
+def test_parametric_requires_declared_params():
+    with pytest.raises(ValueError, match="declares no parameters"):
+        parametric.make_parametric_dense("ex2-ferromagnetic-chain", 3)
