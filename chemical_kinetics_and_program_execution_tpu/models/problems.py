@@ -234,6 +234,18 @@ register_problem("ex4var1-chemical-turing", _EX4_SYMBOLS)(
 )
 
 
+@register_problem("ex4-chemical-turing-p", _EX4_SYMBOLS,
+                  params={"suppression": _EX4_SUPPRESSION})
+def ex4_chemical_turing_parametric(t, params):
+    """Parametric ex4: the reverse-reaction suppression factor
+    (`problems.scm:226-244`, default 0.05) as a runtime rate parameter
+    for the gradient path — d(program execution observables)/
+    d(suppression) without recompiling. Keep suppression in (0, 1) so
+    the enumerated branch structure is preserved."""
+    s = params["suppression"]
+    _ex4_rule([(1.0 - s, False), (s, True)])(t)
+
+
 # Variant 2: detachable evaluator with free-enthalpy rate bookkeeping
 # (`problems.scm:306-434`). Rate tables are built at registration time with
 # the same setup-error checks as the reference (`:324-327, :343-346`).

@@ -121,3 +121,45 @@ def test_rate_sensitivity_end_to_end():
 def test_parametric_requires_declared_params():
     with pytest.raises(ValueError, match="declares no parameters"):
         parametric.make_parametric_dense("ex2-ferromagnetic-chain", 3)
+
+
+def test_parametric_ex4_suppression_gradient():
+    """The flagship rule family is parametric too: d(dp/dt)/d(reverse
+    suppression) on the chemical Turing machine, vs FD."""
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (  # noqa: E501
+        chemical_turing_p0,
+    )
+
+    pd, prog = parametric.make_parametric_dense("ex4-chemical-turing-p", 3)
+    p = jnp.asarray(chemical_turing_p0(3).ravel())
+    v = jnp.linspace(-1.0, 1.0, p.shape[0])
+
+    def scalar(s):
+        return jnp.vdot(v, pd(p, {"suppression": s}))
+
+    # Parity with the baked non-parametric ex4 at the default 0.05.
+    dfn, _ = build_dy_dt("ex4-chemical-turing", 3)
+    np.testing.assert_allclose(
+        np.asarray(pd(p, {"suppression": 0.05})), np.asarray(dfn(p)),
+        rtol=1e-13, atol=1e-18)
+
+    g = jax.grad(scalar)(jnp.asarray(0.05, jnp.float64))
+    eps = 1e-7
+    fd = (float(scalar(0.05 + eps)) - float(scalar(0.05 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-5)
+
+
+def test_parametric_vmap_over_parameter_grid():
+    """Parameter sweeps batch with vmap: one compiled program evaluates
+    the RHS over a whole grid of rate constants."""
+    pd, _ = parametric.make_parametric_dense(TAG, 3)
+    p = jnp.asarray(_valid_p(3))
+    betas = jnp.linspace(0.5, 2.0, 7)
+
+    batched = jax.vmap(
+        lambda b: pd(p, {"J": 1.0, "h": -0.25, "beta": b}))
+    dys = np.asarray(batched(betas))
+    assert dys.shape == (7, p.shape[0])
+    for i, b in enumerate(np.asarray(betas)):
+        one = np.asarray(pd(p, {"J": 1.0, "h": -0.25, "beta": float(b)}))
+        np.testing.assert_allclose(dys[i], one, rtol=1e-12, atol=1e-16)
