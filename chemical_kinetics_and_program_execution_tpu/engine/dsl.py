@@ -40,6 +40,14 @@ class Problem:
     # branching on parameter values) so `engine/parametric.py` can
     # rebuild path weights under `jax.grad`.
     params: tuple[tuple[str, float], ...] | None = None
+    # Optional derived-parameter transform ``prepare(params) -> derived``
+    # (e.g. ΔG landscape -> rate tables, `problems.scm:310-347`). The
+    # rule then receives the derived object. Declaring it lets callers
+    # that run the rule once per enumerated world (`engine/parametric.py`)
+    # hoist the transform out of the world loop — under `jax.grad` the
+    # difference is one traced table build per RHS instead of one per
+    # world (68× smaller graphs for ex4var2).
+    prepare: Callable | None = None
 
     @property
     def size_a(self) -> int:
@@ -52,25 +60,42 @@ class Problem:
     def symbol_index(self, sym: str) -> int:
         return self.symbols.index(sym)
 
-    def call(self, t, params: dict | None = None) -> None:
+    def prepare_params(self, params: dict):
+        """Applies the declared derived-parameter transform (identity
+        when none is declared)."""
+        return params if self.prepare is None else self.prepare(params)
+
+    def call(self, t, params: dict | None = None, *,
+             prepared: bool = False) -> None:
         """Runs the rule on tape context ``t`` (with ``params`` when
-        the problem is parametric; defaults otherwise)."""
+        the problem is parametric; defaults otherwise). ``prepared``
+        marks ``params`` as already transformed by
+        :meth:`prepare_params` — the hoisting channel for per-world
+        replay loops."""
         if self.params is None:
             self.rule(t)
         else:
-            self.rule(t, self.param_defaults if params is None else params)
+            if params is None:
+                params = self.param_defaults
+            if not prepared:
+                params = self.prepare_params(params)
+            self.rule(t, params)
 
 
 _REGISTRY: dict[str, Problem] = {}
 
 
 def register_problem(tag: str, symbols: Sequence[str], doc: str = "",
-                     params: dict[str, float] | None = None):
+                     params: dict[str, float] | None = None,
+                     prepare: Callable | None = None):
     """Decorator registering a reaction rule under ``tag``.
 
     ``params`` declares named rate parameters with default values; the
     decorated function then takes ``(t, params)`` and becomes eligible
     for the parametric-gradient path (`engine/parametric.py`).
+    ``prepare`` optionally maps the declared params to a derived object
+    (rate tables) built once per RHS trace; the rule receives its
+    output instead of the raw dict.
     """
 
     def deco(fn):
@@ -78,6 +103,7 @@ def register_problem(tag: str, symbols: Sequence[str], doc: str = "",
             tag=tag, symbols=tuple(symbols), rule=fn,
             doc=doc or (fn.__doc__ or ""),
             params=None if params is None else tuple(params.items()),
+            prepare=prepare,
         )
         return fn
 

@@ -67,11 +67,16 @@ class _TracedReplay(_Replay):
 def traced_consts(problem: dsl.Problem, cl_k: int, worlds, params):
     """[len(worlds)] jnp vector of choose-weight products under
     ``params`` (which may be traced), in world order."""
+    # Hoist the derived-parameter transform (rate-table build) out of
+    # the world loop: traced once here, not once per world — without
+    # this, ex4var2's ΔG tables rebuild 68× per trace and the scalar
+    # graph makes XLA's gradient compile pathological (minutes).
+    params = problem.prepare_params(params)
     out = []
     for w in worlds:
         r = _TracedReplay(problem, cl_k, w.decisions)
         t = dsl.Tape(r, problem.symbols)
-        problem.call(t, params)
+        problem.call(t, params, prepared=True)
         if r.values != list(w.decisions):
             raise RuntimeError(
                 f"decision script mismatch replaying {problem.tag}: "

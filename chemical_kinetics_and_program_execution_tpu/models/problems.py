@@ -250,19 +250,33 @@ def ex4_chemical_turing_parametric(t, params):
 # (`problems.scm:306-434`). Rate tables are built at registration time with
 # the same setup-error checks as the reference (`:324-327, :343-346`).
 
-def _ex4var2_tables():
-    beta = 1.0
-    G_P, G_X, G_E = 6.0, 0.0, 1.0
-    G_A, G_B, G_C, G_D = -1.0, -1.0, -1.0, 1.5
+def _min1(x):
+    if isinstance(x, (int, float)):
+        return min(1.0, x)
+    import jax.numpy as jnp
+
+    return jnp.minimum(x, 1.0)
+
+
+def _ex4var2_tables(beta, G_P, G_X, G_E, G_A, G_B, G_C, G_D):
+    """The ΔG-derived rate tables (`problems.scm:310-347`).
+
+    Works for concrete floats (registration-time build, with the
+    reference's setup-error checks live) and for traced rate parameters
+    (checks skipped — can't branch on tracers; the `_min1` clamp keeps
+    weights in range, and the parametric validity domain requires the
+    perturbation to preserve every branch weight's sign anyway)."""
+    concrete = isinstance(beta + G_P + G_X + G_E + G_A + G_B + G_C + G_D,
+                          (int, float))
     delta_g_fastest = (G_B + G_X) - (G_A + G_P)
 
     def rate_factor(g_left, g_right):
-        r = math.exp(-(beta * (g_right - g_left - delta_g_fastest)))
-        if r > 1.001:
+        r = _exp(-(beta * (g_right - g_left - delta_g_fastest)))
+        if concrete and r > 1.001:
             raise ValueError(
                 "Setup error: Delta-G-fastest not actually fastest."
             )
-        return min(1.0, r)
+        return _min1(r)
 
     def rate_choices(g_left, g_right):
         r = rate_factor(g_left, g_right)
@@ -270,7 +284,7 @@ def _ex4var2_tables():
 
     r_a = rate_factor(G_E, G_A)
     r_d = rate_factor(G_E, G_D)
-    if r_a + r_d > 1.0:
+    if concrete and r_a + r_d > 1.0:
         raise ValueError(
             "E->A+D rates too high to merge, given Delta-G-fastest."
         )
@@ -287,17 +301,14 @@ def _ex4var2_tables():
     }
 
 
-_EX4V2_RATES = _ex4var2_tables()
+_EX4V2_G = {"beta": 1.0, "G_P": 6.0, "G_X": 0.0, "G_E": 1.0,
+            "G_A": -1.0, "G_B": -1.0, "G_C": -1.0, "G_D": 1.5}
+_EX4V2_RATES = _ex4var2_tables(**_EX4V2_G)
 _CHOICE_IO = [(1.0, "I"), (1.0, "O")]
 _CHOICE_11 = [(1.0, True), (1.0, False)]
 
 
-@register_problem(
-    "ex4var2-chemical-turing",
-    ("A", "B", "C", "D", "I", "O", "P", "X", "S", "E"),
-)
-def ex4var2_chemical_turing(t):
-    r = _EX4V2_RATES
+def _ex4var2_rule(t, r):
     p0 = t.get_sym(PROGRAM, 0)
     if (p0 == "P" and _is_io(t.get_sym(DATA, 1))
             and _is_io(t.get_sym(DATA, 2)) and t.choose(_CHOICE_11)):
@@ -348,6 +359,31 @@ def ex4var2_chemical_turing(t):
         elif d0 == "D" and t.choose(r["D->E"]):
             t.set_sym(PROGRAM, 0, "E")
             t.set_sym(DATA, 0, t.choose(_CHOICE_IO))
+
+
+_EX4V2_SYMBOLS = ("A", "B", "C", "D", "I", "O", "P", "X", "S", "E")
+
+
+@register_problem("ex4var2-chemical-turing", _EX4V2_SYMBOLS)
+def ex4var2_chemical_turing(t):
+    _ex4var2_rule(t, _EX4V2_RATES)
+
+
+@register_problem("ex4var2-chemical-turing-p", _EX4V2_SYMBOLS,
+                  params=dict(_EX4V2_G),
+                  prepare=lambda prm: _ex4var2_tables(**prm))
+def ex4var2_chemical_turing_parametric(t, r):
+    """Parametric ex4var2: the whole free-enthalpy landscape — seven G
+    levels plus β (`problems.scm:310-320`) — as runtime rate parameters.
+    The ΔG-derived tables rebuild as a traced expression of the
+    landscape (once per RHS trace, via the ``prepare`` hook), so
+    `engine/parametric.py` yields d(observables)/d(G_species) and d/dβ
+    through whole solves: the thermodynamic sensitivity of program
+    execution. Perturbations must keep the default fastest reaction
+    fastest (the `_min1` clamp pins its forward weight at 1, where the
+    derivative is one-sided zero) and every branch weight's sign
+    fixed."""
+    _ex4var2_rule(t, r)
 
 
 # --- Example 5: MSRTF machine (`problems.scm:439-527`) ----------------------

@@ -149,6 +149,37 @@ def test_parametric_ex4_suppression_gradient():
     np.testing.assert_allclose(float(g), fd, rtol=1e-5)
 
 
+def test_parametric_ex4var2_free_enthalpy_gradient():
+    """The full ΔG landscape of the detachable-evaluator machine
+    (`problems.scm:310-347`) is differentiable: parity with the baked
+    tables at the default landscape, and d(dp/dt)/dG_D vs FD."""
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (  # noqa: E501
+        chemical_turing_v2_p0,
+    )
+
+    tag = "ex4var2-chemical-turing-p"
+    pd, _ = parametric.make_parametric_dense(tag, 3)
+    defaults = get_problem(tag).param_defaults
+    p = jnp.asarray(chemical_turing_v2_p0(3).ravel())
+
+    dfn, _ = build_dy_dt("ex4var2-chemical-turing", 3)
+    np.testing.assert_allclose(
+        np.asarray(pd(p, defaults)), np.asarray(dfn(p)),
+        rtol=1e-13, atol=1e-18)
+
+    v = jnp.linspace(-1.0, 1.0, p.shape[0])
+
+    def scalar(g_d):
+        prm = dict(defaults)
+        prm["G_D"] = g_d
+        return jnp.vdot(v, pd(p, prm))
+
+    g = jax.grad(scalar)(jnp.asarray(1.5, jnp.float64))
+    eps = 1e-6
+    fd = (float(scalar(1.5 + eps)) - float(scalar(1.5 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-5)
+
+
 def test_parametric_vmap_over_parameter_grid():
     """Parameter sweeps batch with vmap: one compiled program evaluates
     the RHS over a whole grid of rate constants."""
