@@ -222,3 +222,43 @@ def island_length_stats(chain, is_up=True):
     for lo, hi in swaps.reshape(-1, 2):
         stats[hi - lo] = stats.get(hi - lo, 0) + 1
     return stats
+
+
+# --- Exact Ising equilibrium (transfer matrix) -------------------------------
+
+def ising_gibbs_windows(cl_k, *, J_eff, h, beta):
+    """Exact length-``cl_k`` window probabilities of the infinite-chain
+    1D Ising Gibbs measure (transfer matrix; symbol 0 = D = spin −1,
+    1 = U = +1).
+
+    This is the equilibrium the ex2 tape rule relaxes to: its bond
+    factor exp(-βJ(4+2e)) (`problems.scm:36-43`, e = alignment count
+    ∈ {-2,0,2}) gives a forward/backward flip-rate ratio exp(-4βJe) —
+    detailed balance w.r.t. an Ising Hamiltonian with ``J_eff = 2J`` —
+    and the field factor exp(-2β·max(0,±h)) gives exp(-2βh), detailed
+    balance at field ``h``. The Gibbs measure of
+    H = -J_eff Σ s s' − h Σ s is order-1 Markov, i.e. inside the SPD
+    closure for any cl_k ≥ 2, so it is an exact root of the engine's
+    dy/dt (tested at 1e-15 in `tests/test_steady.py`).
+    """
+    sv = np.array([-1.0, 1.0])
+    T = np.exp(beta * (J_eff * np.outer(sv, sv)
+                       + h * (sv[:, None] + sv[None, :]) / 2))
+    w, V = np.linalg.eig(T)
+    i = int(np.argmax(w.real))
+    lam, r = w.real[i], V[:, i].real
+    wl, Vl = np.linalg.eig(T.T)
+    left = Vl[:, int(np.argmax(wl.real))].real
+    if (left @ r) < 0:
+        r = -r
+
+    def window(bits):
+        v = left[bits[0]] * r[bits[-1]]
+        for a, b in zip(bits[:-1], bits[1:]):
+            v *= T[a, b] / lam
+        return v / (left @ r)
+
+    p = np.array([window([(idx >> (cl_k - 1 - j)) & 1
+                          for j in range(cl_k)])
+                  for idx in range(2 ** cl_k)])
+    return p / p.sum()
