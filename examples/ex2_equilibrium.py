@@ -60,7 +60,8 @@ def compute():
     defaults = {k: jnp.asarray(v, jnp.float64)
                 for k, v in pd.problem.param_defaults.items()}
     solve = make_steady_state(lambda p, w: pd.dy_dt(p, w),
-                              size_a=2, cl_k=CL_K, tol=1e-13)
+                              size_a=2, cl_k=CL_K, tol=1e-13,
+                              probe_args=pd.consts(defaults))
 
     def m_of_beta(beta, guess):
         prm = dict(defaults)
