@@ -448,6 +448,11 @@ def steady_state(tag: str, cl_k: int, p_guess, *, warm_t: float = 0.0,
         ys = odeint_fixed(lambda y, t: dfn(y), p_guess,
                           jnp.asarray([0.0, warm_t]), n_sub=n_sub)
         p_guess = ys[-1]
+    if (kwargs.get("conserved") == "support"
+            and "support_guess" not in kwargs):
+        # The warmed guess defines the live support (time evolution
+        # preserves it).
+        kwargs["support_guess"] = np.maximum(np.asarray(p_guess), 0.0)
     solve = make_steady_state(lambda p, _a: dfn(p),
                               size_a=get_problem(tag).size_a, cl_k=cl_k,
                               **kwargs)
