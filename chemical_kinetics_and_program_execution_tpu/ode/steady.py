@@ -158,63 +158,14 @@ def detect_conserved_marginals(fn, size_a: int, cl_k: int, args=None,
     return q.T[keep]
 
 
-def make_steady_state(fn, *, size_a: int | None = None,
-                      cl_k: int | None = None,
-                      conserved="auto", probe_args=None,
-                      support_guess=None, support_floor: float = 1e-20,
-                      tol: float = 1e-12, max_iter: int = 200,
-                      delta0: float = 1.0, delta_max: float = 1e14,
-                      delta_min: float = 1e-10,
-                      gmres_tol: float = 1e-8, gmres_restart: int = 50,
-                      gmres_maxiter: int = 8,
-                      gmres_tol_bwd: float = 1e-13):
-    """Builds ``solve(p_guess, args) -> (p_inf, info)`` for
-    ``dp/dt = fn(p, args)``.
+def _build_augmentation(fn, size_a, cl_k, conserved, probe_args,
+                        support_guess, support_floor):
+    """Shared constructor of the invariant-manifold augmented system
+    (used by `make_steady_state` and `relaxation_modes`).
 
-    ``args`` is an arbitrary pytree of (possibly traced) arrays the RHS
-    closes over — e.g. a `ParametricDense` const vector. The returned
-    solve is differentiable in BOTH arguments via the implicit function
-    theorem (`jax.custom_vjp`): the ``args`` cotangent is the rate-
-    parameter sensitivity; the ``p_guess`` cotangent flows only through
-    the conserved-count targets (zero when the rule conserves nothing
-    beyond normalization).
-
-    ``size_a``/``cl_k`` identify the state as an SPD and enable the
-    invariant-manifold augmentation (module docstring) — REQUIRED for
-    SPD dynamics, whose raw Jacobian is structurally singular. Omit
-    both only for generic ODE systems (e.g. mass-action kinetics) with
-    nonsingular Jacobians. ``p_guess`` must then be a valid normalized
-    SPD: its conserved symbol-class counts SELECT which equilibrium is
-    computed. ``conserved`` is ``"auto"`` (probe the rule via
-    `detect_conserved_marginals`, passing ``probe_args`` to the RHS —
-    required then if the RHS needs concrete args), ``"support"``
-    (exhaustive: mask to ``support_guess``'s live windows above
-    ``support_floor``, pin the dead ones to 0, and augment with EVERY
-    linear invariant of the support-restricted dynamics via
-    `detect_support_invariants` — needed for machine-like rules whose
-    reachable set carries pattern invariants, e.g. the ex4 family;
-    requires ``support_guess``), an explicit [n_c, size_a] weight
-    matrix, or None to disable.
-
-    Honest convergence semantics: for boundary-degenerate driven
-    machines the residual may plateau above ``tol`` (ex4var2 at cl_k=3
-    plateaus near 7e-9 — still 6x below the reference's t=10⁴
-    integration endpoint). ``info.residual`` IS the guarantee: it
-    bounds |dp/dt| at the returned state, i.e. the drift per unit time
-    if integration were continued.
-
-    Convergence: rms of the augmented residual ≤ ``tol`` (absolute; SPD
-    entries live on [0, 1] so an absolute scale is meaningful).
-    ``delta0`` is the initial pseudo-time step: a residual-increasing
-    step rejects and quarters δ; an accepting step grows δ by the
-    residual ratio (SER), so the iteration turns into full Newton near
-    the root. ``converged=False`` with δ at ``delta_min`` means the
-    iteration found a non-root attractor of ‖G‖ — restart from a
-    better-relaxed guess (`steady_state`'s ``warm_t``).
-    """
-    if (size_a is None) != (cl_k is None):
-        raise ValueError("pass size_a and cl_k together (or neither)")
-
+    Returns ``(aug(p, args, targets), targets(p_guess), mask,
+    has_conserved, cons_vals, cons_embed)``; ``mask`` is None unless
+    support mode pins dead windows."""
     support = isinstance(conserved, str) and conserved == "support"
     mask = None
     if size_a is not None:
@@ -303,12 +254,77 @@ def make_steady_state(fn, *, size_a: int | None = None,
                          else cons_w.shape[0] > 0)
     else:
         has_conserved = False
+        _cons_vals = _cons_embed = None
 
         def _aug(p, args, targets):
             return fn(p, args)
 
         def _targets(p_guess):
             return jnp.zeros((0,), p_guess.dtype)
+
+    return _aug, _targets, mask, has_conserved, _cons_vals, _cons_embed
+
+
+def make_steady_state(fn, *, size_a: int | None = None,
+                      cl_k: int | None = None,
+                      conserved="auto", probe_args=None,
+                      support_guess=None, support_floor: float = 1e-20,
+                      tol: float = 1e-12, max_iter: int = 200,
+                      delta0: float = 1.0, delta_max: float = 1e14,
+                      delta_min: float = 1e-10,
+                      gmres_tol: float = 1e-8, gmres_restart: int = 50,
+                      gmres_maxiter: int = 8,
+                      gmres_tol_bwd: float = 1e-13):
+    """Builds ``solve(p_guess, args) -> (p_inf, info)`` for
+    ``dp/dt = fn(p, args)``.
+
+    ``args`` is an arbitrary pytree of (possibly traced) arrays the RHS
+    closes over — e.g. a `ParametricDense` const vector. The returned
+    solve is differentiable in BOTH arguments via the implicit function
+    theorem (`jax.custom_vjp`): the ``args`` cotangent is the rate-
+    parameter sensitivity; the ``p_guess`` cotangent flows only through
+    the conserved-count targets (zero when the rule conserves nothing
+    beyond normalization).
+
+    ``size_a``/``cl_k`` identify the state as an SPD and enable the
+    invariant-manifold augmentation (module docstring) — REQUIRED for
+    SPD dynamics, whose raw Jacobian is structurally singular. Omit
+    both only for generic ODE systems (e.g. mass-action kinetics) with
+    nonsingular Jacobians. ``p_guess`` must then be a valid normalized
+    SPD: its conserved symbol-class counts SELECT which equilibrium is
+    computed. ``conserved`` is ``"auto"`` (probe the rule via
+    `detect_conserved_marginals`, passing ``probe_args`` to the RHS —
+    required then if the RHS needs concrete args), ``"support"``
+    (exhaustive: mask to ``support_guess``'s live windows above
+    ``support_floor``, pin the dead ones to 0, and augment with EVERY
+    linear invariant of the support-restricted dynamics via
+    `detect_support_invariants` — needed for machine-like rules whose
+    reachable set carries pattern invariants, e.g. the ex4 family;
+    requires ``support_guess``), an explicit [n_c, size_a] weight
+    matrix, or None to disable.
+
+    Honest convergence semantics: for boundary-degenerate driven
+    machines the residual may plateau above ``tol`` (ex4var2 at cl_k=3
+    plateaus near 7e-9 — still 6x below the reference's t=10⁴
+    integration endpoint). ``info.residual`` IS the guarantee: it
+    bounds |dp/dt| at the returned state, i.e. the drift per unit time
+    if integration were continued.
+
+    Convergence: rms of the augmented residual ≤ ``tol`` (absolute; SPD
+    entries live on [0, 1] so an absolute scale is meaningful).
+    ``delta0`` is the initial pseudo-time step: a residual-increasing
+    step rejects and quarters δ; an accepting step grows δ by the
+    residual ratio (SER), so the iteration turns into full Newton near
+    the root. ``converged=False`` with δ at ``delta_min`` means the
+    iteration found a non-root attractor of ‖G‖ — restart from a
+    better-relaxed guess (`steady_state`'s ``warm_t``).
+    """
+    if (size_a is None) != (cl_k is None):
+        raise ValueError("pass size_a and cl_k together (or neither)")
+
+    _aug, _targets, mask, has_conserved, _cons_vals, _cons_embed = (
+        _build_augmentation(fn, size_a, cl_k, conserved, probe_args,
+                            support_guess, support_floor))
 
     def _ptc(p0, args, targets):
         p0 = jnp.asarray(p0)
@@ -457,3 +473,87 @@ def steady_state(tag: str, cl_k: int, p_guess, *, warm_t: float = 0.0,
                               size_a=get_problem(tag).size_a, cl_k=cl_k,
                               **kwargs)
     return jax.jit(solve)(p_guess, None)
+
+
+def relaxation_modes(fn, p_inf, args=None, *, size_a: int, cl_k: int,
+                     n_modes: int = 6, krylov_m: int = 40,
+                     conserved="auto", probe_args=None,
+                     support_guess=None, support_floor: float = 1e-20,
+                     gmres_tol: float = 1e-11, gmres_restart: int = 60,
+                     gmres_maxiter: int = 8):
+    """Slowest relaxation modes of the linearized dynamics at a steady
+    state: eigenvalues λ of the Jacobian closest to 0 (relaxation times
+    τ = −1/Re λ), by shift-invert Arnoldi on matrix-free Krylov solves.
+
+    Each Arnoldi step applies J_G⁻¹ (one GMRES solve on `jax.jvp`
+    products of the augmented system — the same machinery as
+    `make_steady_state`; nothing is materialised). Shift-inversion maps
+    the physically slow modes (|λ| ≪ 1) to the DOMINANT eigenvalues of
+    J_G⁻¹, which Arnoldi finds first — and automatically suppresses the
+    augmentation's artificial O(1)-eigenvalue directions, so no
+    subspace projection is needed. The m×m Hessenberg eigenproblem is
+    solved on host (numpy).
+
+    Returns ``(eigenvalues [n_modes] complex, residuals [n_modes])``
+    sorted by |λ| ascending (slowest first); ``residuals`` are the
+    relative Ritz residuals ‖J_G v − λ v‖/|λ| — trust a mode when its
+    residual is small. The reference has no linear-response capability
+    at all; this quantifies e.g. ex2's coarsening time
+    (`tests/test_steady.py::test_relaxation_modes_match_dense_eigs`).
+    """
+    p_inf = jnp.asarray(p_inf, jnp.float64).reshape(-1)
+    aug, targets_fn, mask, _hc, _cv, _ce = _build_augmentation(
+        fn, size_a, cl_k, conserved, probe_args, support_guess,
+        support_floor)
+    targets = targets_fn(p_inf)
+
+    def matvec(v):
+        return jax.jvp(lambda q: aug(q, args, targets), (p_inf,), (v,))[1]
+
+    @jax.jit
+    def inv_apply(v):
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            matvec, v, tol=gmres_tol, atol=0.0, restart=gmres_restart,
+            maxiter=gmres_maxiter, solve_method="batched")
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
+    # Host-driven Arnoldi (m is small; one device solve per step).
+    S = p_inf.shape[0]
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(S)
+    if mask is not None:
+        v = np.where(np.asarray(mask), v, 0.0)
+    v /= np.linalg.norm(v)
+    V = [jnp.asarray(v)]
+    H = np.zeros((krylov_m + 1, krylov_m))
+    for j in range(krylov_m):
+        w = inv_apply(V[j])
+        for i in range(j + 1):  # modified Gram-Schmidt, one re-pass
+            h = float(jnp.vdot(V[i], w))
+            H[i, j] += h
+            w = w - h * V[i]
+        for i in range(j + 1):
+            h = float(jnp.vdot(V[i], w))
+            H[i, j] += h
+            w = w - h * V[i]
+        nrm = float(jnp.linalg.norm(w))
+        H[j + 1, j] = nrm
+        if nrm < 1e-13:  # invariant subspace found
+            H = H[: j + 2, : j + 1]
+            break
+        V.append(w / nrm)
+    m = H.shape[1]
+    mu, Y = np.linalg.eig(H[:m, :m])
+    order = np.argsort(-np.abs(mu))  # dominant μ = slowest λ
+    lams, resids = [], []
+    for idx in order[: n_modes]:
+        lam = 1.0 / mu[idx]
+        y = Y[:, idx]
+        vec = sum(complex(c) * np.asarray(V[i]) for i, c in enumerate(y))
+        vec /= np.linalg.norm(vec)
+        jv = np.asarray(matvec(jnp.asarray(vec.real))) + 1j * np.asarray(
+            matvec(jnp.asarray(vec.imag)))
+        resids.append(float(np.linalg.norm(jv - lam * vec)
+                            / max(abs(lam), 1e-300)))
+        lams.append(lam)
+    return np.asarray(lams), np.asarray(resids)

@@ -71,6 +71,11 @@ def compute():
 
     val_and_grad = jax.jit(jax.value_and_grad(m_of_beta, has_aux=True))
 
+    from chemical_kinetics_and_program_execution_tpu.ode.steady import (
+        relaxation_modes,
+    )
+
+    w_defaults = pd.consts(defaults)
     rows, guess = [], jnp.full((S,), 1.0 / S)
     for beta in BETAS:
         (m, (p_inf, info)), dm = val_and_grad(
@@ -78,17 +83,27 @@ def compute():
         if not bool(info.converged):
             raise RuntimeError(f"no convergence at beta={beta:g}: "
                                f"residual={float(info.residual):.3e}")
-        rows.append((float(m), float(dm), int(info.iterations)))
+        # Slowest relaxation mode at this equilibrium (shift-invert
+        # Arnoldi on the same matrix-free machinery): the coarsening
+        # time that makes reaching this state by integration so slow.
+        prm = dict(defaults)
+        prm["beta"] = jnp.asarray(beta, jnp.float64)
+        lams, _ = relaxation_modes(
+            lambda p, w: pd.dy_dt(p, w), p_inf, pd.consts(prm),
+            size_a=2, cl_k=CL_K, n_modes=1, krylov_m=10,
+            probe_args=w_defaults)
+        tau = -1.0 / float(np.real(lams[0]))
+        rows.append((float(m), float(dm), tau, int(info.iterations)))
         guess = p_inf  # continuation: warm-start the next beta
         print(f"beta={beta:.3f}  m={rows[-1][0]:+.8f}  "
-              f"dm/dbeta={rows[-1][1]:+.6f}  "
-              f"iters={rows[-1][2]}")
+              f"dm/dbeta={rows[-1][1]:+.6f}  tau={tau:.4g}  "
+              f"iters={rows[-1][3]}")
     return np.asarray(rows)
 
 
 def main():
     table = _common.cached(DATA_FILE, compute, key="mrows")
-    m, dm = table[:, 0], table[:, 1]
+    m, dm, tau = table[:, 0], table[:, 1], table[:, 2]
 
     bs = np.linspace(BETAS[0], BETAS[-1], 400)
     m_exact = np.array([analytic_m(b) for b in bs])
@@ -96,7 +111,7 @@ def main():
     dm_exact = np.array([(analytic_m(b + eps) - analytic_m(b - eps))
                          / (2 * eps) for b in bs])
 
-    fig, (ax1, ax2) = _common.pyplot.subplots(1, 2, figsize=(14, 6))
+    fig, (ax1, ax2, ax3) = _common.pyplot.subplots(1, 3, figsize=(19, 6))
     ax1.plot(bs, m_exact, "-", color="C0",
              label="Ising transfer matrix (J_eff=2J)")
     ax1.plot(BETAS, m, "o", color="C1", ms=5, label="direct steady state")
@@ -110,6 +125,13 @@ def main():
     ax2.set_ylabel(r"$\partial m / \partial \beta$")
     ax2.legend(fontsize=13)
     ax2.grid(alpha=0.3)
+    ax3.semilogy(BETAS, tau, "o-", color="C2")
+    ax3.set_xlabel(r"$\beta$")
+    ax3.set_ylabel(r"slowest relaxation time $\tau = -1/\mathrm{Re}\,"
+                   r"\lambda_1$")
+    ax3.set_title("why integration crawls\n(shift-invert Arnoldi)",
+                  fontsize=14)
+    ax3.grid(alpha=0.3)
     fig.suptitle(f"ex2 equilibrium by direct solve, cl_k={CL_K} "
                  "(J=1, h=-0.25)")
     fig.tight_layout()

@@ -161,3 +161,41 @@ def test_support_mode_on_the_free_enthalpy_machine():
     dead = np.asarray(pw) <= 1e-20
     assert float(jnp.max(jnp.abs(p_inf[dead]))) == 0.0
     assert abs(float(jnp.sum(p_inf)) - 1.0) < 1e-6
+
+
+def test_relaxation_modes_match_dense_eigs():
+    """Shift-invert Arnoldi relaxation spectrum at the ex2 equilibrium
+    matches a dense eigendecomposition of the augmented Jacobian, and
+    the slowest mode quantifies the coarsening time the time
+    integrator suffers from (tau ~ 300 at beta=1)."""
+    from chemical_kinetics_and_program_execution_tpu.ode.steady import (
+        relaxation_modes,
+    )
+
+    dfn, _ = build_dy_dt("ex2-ferromagnetic-chain", CL_K)
+    pg = jnp.asarray(_ising_gibbs_windows(CL_K))
+
+    lams, resids = relaxation_modes(lambda p, a: dfn(p), pg,
+                                    size_a=2, cl_k=CL_K,
+                                    n_modes=4, krylov_m=8)
+    assert np.all(resids < 1e-8)
+    assert np.all(np.real(lams) < 0)  # stable equilibrium
+
+    # Dense ground truth: smallest-|lambda| eigenvalues of the same
+    # augmented system.
+    from chemical_kinetics_and_program_execution_tpu.ode.steady import (
+        _build_augmentation,
+    )
+
+    aug, targets_fn, _m, _h, _cv, _ce = _build_augmentation(
+        lambda p, a: dfn(p), 2, CL_K, "auto", None, None, 1e-20)
+    tg = targets_fn(pg)
+    J = np.asarray(jax.jacfwd(lambda q: aug(q, None, tg))(pg))
+    ev = np.linalg.eigvals(J)
+    ev = ev[np.argsort(np.abs(ev))][:4]
+    np.testing.assert_allclose(np.sort(np.real(lams)),
+                               np.sort(np.real(ev)), rtol=1e-7)
+    # Slowest physical relaxation time ~ O(100) at beta=1 — the reason
+    # the integrator is still drifting at t=2000.
+    tau = -1.0 / np.real(lams[0])
+    assert 50 < tau < 5000
