@@ -261,13 +261,16 @@ def _min1(x):
 def _ex4var2_tables(beta, G_P, G_X, G_E, G_A, G_B, G_C, G_D):
     """The ΔG-derived rate tables (`problems.scm:310-347`).
 
-    Works for concrete floats (registration-time build, with the
-    reference's setup-error checks live) and for traced rate parameters
-    (checks skipped — can't branch on tracers; the `_min1` clamp keeps
-    weights in range, and the parametric validity domain requires the
-    perturbation to preserve every branch weight's sign anyway)."""
-    concrete = isinstance(beta + G_P + G_X + G_E + G_A + G_B + G_C + G_D,
-                          (int, float))
+    Works for concrete values (registration-time build and concrete
+    jnp/np scalars — the reference's setup-error checks live) and for
+    traced rate parameters (checks skipped — can't branch on tracers;
+    the `_min1` clamp keeps weights in range, and the parametric
+    validity domain requires the perturbation to preserve every branch
+    weight's sign anyway)."""
+    import jax
+
+    concrete = not any(isinstance(v, jax.core.Tracer)
+                       for v in (beta, G_P, G_X, G_E, G_A, G_B, G_C, G_D))
     delta_g_fastest = (G_B + G_X) - (G_A + G_P)
 
     def rate_factor(g_left, g_right):

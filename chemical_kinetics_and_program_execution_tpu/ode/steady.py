@@ -125,7 +125,9 @@ def detect_conserved_marginals(fn, size_a: int, cl_k: int, args=None,
     SPD states and taking the numerical null space. The total
     (w ∝ 1) direction is projected out (handled separately as the
     normalization constraint)."""
-    n_probes = n_probes or size_a + 6
+    # Fewer probes than size_a would leave unprobed marginal directions
+    # that the SVD null space would misclassify as conserved.
+    n_probes = max(n_probes or 0, size_a + 6)
     rng = np.random.default_rng(0)
     S = size_a ** cl_k
     rows = []
@@ -169,6 +171,17 @@ def _build_augmentation(fn, size_a, cl_k, conserved, probe_args,
     support = isinstance(conserved, str) and conserved == "support"
     mask = None
     if size_a is not None:
+
+        def _ctcp(pm):
+            """C^T(Cp): the consistency defect (first-axis window
+            marginal − last-axis marginal; zero on any valid SPD)
+            embedded back through the adjoint."""
+            q = pm.reshape((size_a,) * cl_k)
+            defect = q.sum(axis=0) - q.sum(axis=-1)
+            ct = (jnp.broadcast_to(defect[None, ...], q.shape)
+                  - jnp.broadcast_to(defect[..., None], q.shape))
+            return ct.reshape(pm.shape)
+
         if support:
             if support_guess is None:
                 raise ValueError(
@@ -204,12 +217,7 @@ def _build_augmentation(fn, size_a, cl_k, conserved, probe_args,
                 # p_i = 0 and the RHS never sees nonzero mass there
                 # (F vanishes identically off the support — measured).
                 pm = jnp.where(mask, p, 0.0)
-                f = fn(pm, args)
-                q = pm.reshape((size_a,) * cl_k)
-                defect = q.sum(axis=0) - q.sum(axis=-1)
-                ct = (jnp.broadcast_to(defect[None, ...], q.shape)
-                      - jnp.broadcast_to(defect[..., None], q.shape))
-                out = (f - ct.reshape(p.shape)
+                out = (fn(pm, args) - _ctcp(pm)
                        - _cons_embed(_cons_vals(pm) - targets))
                 return jnp.where(mask, out, p)
 
@@ -236,14 +244,7 @@ def _build_augmentation(fn, size_a, cl_k, conserved, probe_args,
                 return out.reshape(-1)
 
             def _aug(p, args, targets):
-                f = fn(p, args)
-                q = p.reshape((size_a,) * cl_k)
-                # Consistency defect Cp (zero on any valid SPD) and its
-                # adjoint embedding C^T(Cp).
-                defect = q.sum(axis=0) - q.sum(axis=-1)
-                ct = (jnp.broadcast_to(defect[None, ...], q.shape)
-                      - jnp.broadcast_to(defect[..., None], q.shape))
-                out = (f - ct.reshape(p.shape)
+                out = (fn(p, args) - _ctcp(p)
                        - (jnp.sum(p) - 1.0) / p.shape[0])
                 return out - _cons_embed(_cons_vals(p) - targets)
 
@@ -331,12 +332,15 @@ def make_steady_state(fn, *, size_a: int | None = None,
         f64 = p0.dtype
 
         def cond(st):
-            p, gn, delta, it, done = st
+            p, g, gn, delta, it, done = st
             return (~done) & (delta >= delta_min) & (it < max_iter)
 
         def body(st):
-            p, gn, delta, it, _ = st
-            g = _aug(p, args, targets)
+            # The residual VECTOR g = _aug(p) rides the carry (set by
+            # the accepting line-search trial), so each iteration costs
+            # exactly one augmented-RHS evaluation per line-search
+            # trial and none elsewhere.
+            p, g, gn, delta, it, _ = st
 
             def matvec(v):
                 # (I - delta*J_G) v via a jvp at the current iterate.
@@ -358,21 +362,24 @@ def make_steady_state(fn, *, size_a: int | None = None,
             # raw accept/reject on boundary-degenerate problems like
             # ex4var2); at small delta alpha=1 follows the flow.
             def ls_cond(ls):
-                alpha, ok, k = ls
+                alpha, g_cand, ok, k = ls
                 return (~ok) & (k < 30)
 
             def ls_body(ls):
-                alpha, _, k = ls
-                nn = _rms(_aug(p + alpha * dp, args, targets))
+                alpha, _, _, k = ls
+                g_cand = _aug(p + alpha * dp, args, targets)
+                nn = _rms(g_cand)
                 ok = jnp.isfinite(nn) & (nn < gn)
-                return jnp.where(ok, alpha, alpha * 0.5), ok, k + 1
+                return (jnp.where(ok, alpha, alpha * 0.5), g_cand,
+                        ok, k + 1)
 
-            alpha, accept, _ = jax.lax.while_loop(
+            alpha, g_cand, accept, _ = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.asarray(1.0, p.dtype), jnp.bool_(False),
+                (jnp.asarray(1.0, p.dtype), g, jnp.bool_(False),
                  jnp.int32(0)))
-            new_n = _rms(_aug(p + alpha * dp, args, targets))
+            new_n = _rms(g_cand)
             p_new = jnp.where(accept, p + alpha * dp, p)
+            g_new = jnp.where(accept, g_cand, g)
             gn_new = jnp.where(accept, new_n, gn)
             # SER: grow delta by the achieved residual ratio on accept
             # (clamped to 1e3x per step), quarter it when even the
@@ -382,13 +389,13 @@ def make_steady_state(fn, *, size_a: int | None = None,
                                   jnp.minimum(delta * grow, delta_max),
                                   delta * 0.25)
             done = gn_new <= tol
-            return p_new, gn_new, delta_new, it + 1, done
+            return p_new, g_new, gn_new, delta_new, it + 1, done
 
-        gn0 = _rms(_aug(p0, args, targets))
-        p, gn, delta, it, done = jax.lax.while_loop(
-            cond, body, (p0, gn0, jnp.asarray(delta0, f64),
+        g0 = _aug(p0, args, targets)
+        gn0 = _rms(g0)
+        p, g, res, delta, it, done = jax.lax.while_loop(
+            cond, body, (p0, g0, gn0, jnp.asarray(delta0, f64),
                          jnp.int32(0), gn0 <= tol))
-        res = _rms(_aug(p, args, targets))
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
         return p, SteadyInfo(converged=res <= tol, iterations=it,
@@ -453,6 +460,11 @@ def steady_state(tag: str, cl_k: int, p_guess, *, warm_t: float = 0.0,
     (possibly relaxed) guess also sets the conserved-count targets
     (time evolution preserves them, so ``warm_t`` doesn't change which
     equilibrium is selected). Returns ``(p_inf, info)``.
+
+    Every call rebuilds and recompiles the solve (plus the host-side
+    invariant probing); for sweeps, build once with
+    `make_steady_state` and reuse it (continuation pattern —
+    `examples/ex2_equilibrium.py`).
     """
     from ..engine import build_dy_dt
     from ..engine.dsl import get_problem
@@ -494,10 +506,12 @@ def relaxation_modes(fn, p_inf, args=None, *, size_a: int, cl_k: int,
     subspace projection is needed. The m×m Hessenberg eigenproblem is
     solved on host (numpy).
 
-    Returns ``(eigenvalues [n_modes] complex, residuals [n_modes])``
-    sorted by |λ| ascending (slowest first); ``residuals`` are the
-    relative Ritz residuals ‖J_G v − λ v‖/|λ| — trust a mode when its
-    residual is small. The reference has no linear-response capability
+    Returns ``(eigenvalues, residuals)`` sorted by |λ| ascending
+    (slowest first) — up to ``n_modes`` entries, FEWER when Arnoldi
+    exhausts an invariant subspace smaller than ``n_modes`` (e.g. a
+    support-masked problem with a small live set); check ``len``.
+    ``residuals`` are the relative Ritz residuals ‖J_G v − λ v‖/|λ| —
+    trust a mode when its residual is small. The reference has no linear-response capability
     at all; this quantifies e.g. ex2's coarsening time
     (`tests/test_steady.py::test_relaxation_modes_match_dense_eigs`).
     """

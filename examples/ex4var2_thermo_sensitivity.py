@@ -68,10 +68,15 @@ def main():
             return project(ys[-1:])[0]
 
         # One jitted jacrev: d log p(obs_j) / d theta_k for all (j, k)
-        # in a single compiled adjoint program.
-        log_obs = lambda prm: jnp.log(final_obs(prm))  # noqa: E731
-        vals = np.asarray(jax.jit(final_obs)(defaults))
-        jac = jax.jit(jax.jacrev(log_obs))(defaults)
+        # in a single compiled adjoint program; has_aux returns the
+        # primal observables from the same forward pass (no second
+        # solve).
+        def log_obs(prm):
+            v = final_obs(prm)
+            return jnp.log(v), v
+
+        jac, vals_dev = jax.jit(jax.jacrev(log_obs, has_aux=True))(defaults)
+        vals = np.asarray(vals_dev)
         rows = []
         for j, (label, _) in enumerate(OBSERVABLES):
             row = [float(jac[k][j]) for k in names]
