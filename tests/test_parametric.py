@@ -194,3 +194,39 @@ def test_parametric_vmap_over_parameter_grid():
     for i, b in enumerate(np.asarray(betas)):
         one = np.asarray(pd(p, {"J": 1.0, "h": -0.25, "beta": float(b)}))
         np.testing.assert_allclose(dys[i], one, rtol=1e-12, atol=1e-16)
+
+
+def test_time_dependent_protocol_gradient():
+    """Time-dependent rate parameters (annealing protocols): the
+    traced table rebuild composes with the solve under a schedule
+    beta(t), and d(final observable)/d(knots) matches finite
+    differences — the machinery behind
+    `examples/ex2_optimal_annealing.py`."""
+    from chemical_kinetics_and_program_execution_tpu.ode.fixed import (
+        odeint_fixed,
+    )
+
+    cl_k = 3
+    pd = parametric.ParametricDense("ex2-ferromagnetic-chain-p", cl_k)
+    defaults = {k: jnp.asarray(v, jnp.float64)
+                for k, v in pd.problem.param_defaults.items()}
+    knots = jnp.linspace(0.0, 5.0, 3)
+    ts = jnp.linspace(0.0, 5.0, 3)
+    p0 = jnp.full((2 ** cl_k,), 1.0 / 2 ** cl_k)
+
+    def rhs(y, t, theta):
+        prm = dict(defaults)
+        prm["beta"] = jnp.interp(t, knots, theta)
+        return pd(y, prm)
+
+    def obs(theta):
+        ys = odeint_fixed(rhs, p0, ts, n_sub=20, args=theta)
+        return ys[-1, -1]  # p(UUU) at t=5
+
+    theta0 = jnp.asarray([0.3, 0.8, 1.2])
+    g = jax.jit(jax.grad(obs))(theta0)
+    eps = 1e-6
+    for j in range(3):
+        e = jnp.zeros(3).at[j].set(eps)
+        fd = (float(obs(theta0 + e)) - float(obs(theta0 - e))) / (2 * eps)
+        np.testing.assert_allclose(float(g[j]), fd, rtol=1e-6)
