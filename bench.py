@@ -234,7 +234,9 @@ def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
         dt = time.time() - t0
         rates.append(K * blocks * rounds * events / dt)
     rates.sort()
-    return rates[n_rep // 2], {
+    # Lower median: for even n_rep this reports the smaller middle
+    # element (never best-of-n).
+    return rates[(n_rep - 1) // 2], {
         "tag": tag, "K": K, "plan": plan,
         "n_unique_last": int(np.asarray(nu)[-1]),
         "rates": [f"{r:.3e}" for r in rates],
@@ -287,15 +289,26 @@ def bench_branching_ensemble():
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
     steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
     events = max(1, L // 16)
-    # ex4 alphabet: S(0) A(1) B(2) C(3) D(4) I(5) O(6) P(7) X(8) —
-    # random powered-solution mix on the data tape.
-    key = jax.random.PRNGKey(0)
+    # ex4 alphabet order (`models/problems.py:_EX4_SYMBOLS`):
+    # A(0) B(1) C(2) D(3) I(4) O(5) P(6) X(7) S(8). The rule fires off
+    # the PROGRAM tape (P -> unconditional 50/50 choose; X -> guarded
+    # reverse chooses), so put the fuel mix there and a cursor/bit mix
+    # on the data tape.
+    kp, kd = jax.random.split(jax.random.PRNGKey(0))
+    ptape = jax.random.choice(
+        kp, jnp.asarray([6, 7, 5], jnp.int32), (B, L),
+        p=jnp.asarray([0.45, 0.45, 0.10]))
     dtape = jax.random.choice(
-        key, jnp.asarray([0, 1, 5, 6, 7], jnp.int32), (B, L),
-        p=jnp.asarray([0.55, 0.05, 0.15, 0.15, 0.10]))
-    ptape = jnp.zeros((B, L), jnp.int32)
+        kd, jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32), (B, L),
+        p=jnp.asarray([0.10, 0.10, 0.10, 0.10, 0.30, 0.30]))
     (pt, dtp), (applied, _) = ensemble.run_ensemble(
         jax.random.PRNGKey(1), (ptape, dtape), dm, (steps, events))
+    # The point of this bench is the choose/renormalisation path: the
+    # rule must actually fire (P-sites execute a choose and may write
+    # X back to the program tape). Guard against a regression where an
+    # inert tape mix turns the rule into a no-op.
+    n_changed = int(jnp.sum(pt != ptape))
+    assert n_changed > 0, "ex4 rule never wrote — inert bench tape mix"
     int(jnp.sum(pt.astype(jnp.int64)))
     t0 = time.time()
     (pt, dtp), (applied, _) = ensemble.run_ensemble(

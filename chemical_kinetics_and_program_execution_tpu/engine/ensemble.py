@@ -467,6 +467,13 @@ def _choose_sampling_dist(probs, tau: float):
     analogue of the exact engine's branch-everything enumeration.
     """
     p = np.asarray(probs, dtype=np.float64)
+    if tau == 1.0:
+        # q = p EXACTLY (no renormalisation): keeps the increments
+        # identically zero and the sampling walk bit-identical to the
+        # tau-free ensemble path (p from the compiled table sums to 1
+        # only to ~1 ulp; dividing by that sum would perturb every
+        # cum/width and accrue O(1e-16) spurious weight per choose).
+        return p, np.zeros_like(p)
     q = np.where(p > 0, np.power(np.maximum(p, 1e-300), tau), 0.0)
     q = q / q.sum()
     delta = np.where(
@@ -1359,6 +1366,40 @@ def _from_planes_t(planes):
     return jnp.transpose(t3, (2, 1, 0)).reshape(K, -1)
 
 
+def _validate_blocked_plan(dm: DeviceMachine, L: int, plan: tuple,
+                           tau: float) -> None:
+    """Shared gate for the blocked frontier and its sharded twin:
+    lattice geometry (disjoint read/write windows), plane-stride bound,
+    hash field width, and tau range. A stride ≤ 2·span would silently
+    corrupt the dynamics (overlapping windows at adjacent sites), so
+    every entry point must pass through here."""
+    _, _, events = plan
+    if L % events:
+        raise ValueError(f"events_per_round={events} must divide L={L}")
+    stride = L // events
+    if stride <= 2 * dm.span:
+        raise ValueError(
+            f"stride {stride} too small for window span {dm.span}; "
+            "lower events_per_round"
+        )
+    if stride > _MAX_PLANE_STRIDE:
+        raise ValueError(
+            f"stride {stride} exceeds _MAX_PLANE_STRIDE="
+            f"{_MAX_PLANE_STRIDE}; raise events_per_round"
+        )
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau={tau} must be in (0, 1]")
+    if dm.size_a > 16:
+        # The merge key packs symbols into 4-bit fields (values 0-15,
+        # `_blocked_merge`); wider alphabets would alias distinct
+        # configurations and silently conflate them at the merge.
+        raise ValueError(
+            f"size_a={dm.size_a} exceeds the blocked frontier's 4-bit "
+            "merge-key fields (max 16 symbols); use the per-step "
+            "run_weighted_frontier"
+        )
+
+
 def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
                                   plan: tuple, *, tau: float = 1.0):
     """Blocked weighted frontier: stratified multi-site rounds between
@@ -1416,21 +1457,8 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
         )
     ptape, dtape = tapes
     K, L = ptape.shape
-    if L % events:
-        raise ValueError(f"events_per_round={events} must divide L={L}")
+    _validate_blocked_plan(dm, L, plan, tau)
     stride = L // events
-    if stride <= 2 * dm.span:
-        raise ValueError(
-            f"stride {stride} too small for window span {dm.span}; "
-            "lower events_per_round"
-        )
-    if stride > _MAX_PLANE_STRIDE:
-        raise ValueError(
-            f"stride {stride} exceeds _MAX_PLANE_STRIDE="
-            f"{_MAX_PLANE_STRIDE}; raise events_per_round"
-        )
-    if not (0.0 < tau <= 1.0):
-        raise ValueError(f"tau={tau} must be in (0, 1]")
     in_dtype = ptape.dtype
 
     # Planes stored TRANSPOSED [E, K]: the frontier has few sites per

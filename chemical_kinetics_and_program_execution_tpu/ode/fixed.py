@@ -29,7 +29,7 @@ finite-difference gradient check.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -62,19 +62,20 @@ def odeint_fixed(fn, y0, ts, n_sub: int = 8, args=None):
       ``ys`` of shape ``[T, ...]`` with ``ys[0] == y0``. Fully
       reverse-mode differentiable w.r.t. ``y0``, ``args``, and any
       (non-traced) closure parameters of ``fn``.
+
+    ``fn`` is a static jit argument: every distinct function OBJECT
+    compiles (and caches) its own program, so loops should hoist the
+    RHS out and vary only ``args`` / ``y0`` / ``ts``.
     """
-    fn3 = fn if args is not None else _adapt2(fn)
-    return _odeint_fixed_impl(fn3, y0, ts, n_sub, args)
-
-
-@lru_cache(maxsize=None)
-def _adapt2(fn):
-    return lambda y, t, _args: fn(y, t)
+    return _odeint_fixed_impl(fn, y0, ts, n_sub, args)
 
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _odeint_fixed_impl(fn3, y0, ts, n_sub, args):
-    fn = lambda y, t: fn3(y, t, args)  # noqa: E731
+    if args is None:
+        fn = fn3  # two-argument convention: fn(y, t)
+    else:
+        fn = lambda y, t: fn3(y, t, args)  # noqa: E731
     y0 = jnp.asarray(y0)
     ts = jnp.asarray(ts, dtype=y0.dtype)
 

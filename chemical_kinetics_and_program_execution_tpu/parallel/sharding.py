@@ -293,9 +293,13 @@ def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
                 f"frontier size {pt.shape[0]} != n_devices*k_local "
                 f"= {n_dev * k_local}"
             )
+        # Same gates as the single-chip entry point (lattice geometry,
+        # plane stride, merge-key width, tau) — a span violation would
+        # silently corrupt every island's dynamics.
+        ensemble_mod._validate_blocked_plan(dm, pt.shape[1], plan, tau)
         p, d, w, nu = mapped(key, pt.astype(jnp.int8),
                              dtp.astype(jnp.int8), logw)
-        return (p, d), w, nu
+        return (p.astype(pt.dtype), d.astype(dtp.dtype)), w, nu
 
     return fn
 

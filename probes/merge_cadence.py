@@ -13,16 +13,23 @@ from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
 
 TAG, CL_K, K, L, E = "ex2-ferromagnetic-chain", 3, 1024, 128, 8
 SEEDS = 8
+PLANS = [(8, 4), (4, 8), (2, 16), (1, 32)]
+if os.environ.get("CKPE_PROBE_LONG"):
+    # Long-horizon variant covering the bench's merge-every-1024 cadence
+    # and the candidate 2048: same machinery, E=4 (the bench's events per
+    # round), 512 total rounds per member.
+    E = 4
+    PLANS = [(32, 16), (8, 64), (2, 256), (1, 512)]
 p0 = ferromagnet_p0(CL_K, p_pair=0.05, corrected=True).ravel()
 dm = ensemble.compile_decision_machine(TAG)
 dt_round = -math.log1p(-E / L)
-TOTAL_ROUNDS = 32
+TOTAL_ROUNDS = PLANS[0][0] * PLANS[0][1]
 t_eff = TOTAL_ROUNDS * dt_round
 fn = make_dy_dt(compile_problem(TAG, CL_K))
 ys = solve(lambda y, t: fn(y), p0, np.linspace(0.0, t_eff, 3), rtol=1e-10, atol=1e-12)
 p_exact = np.asarray(ys[-1])
 
-for blocks, rounds in [(8, 4), (4, 8), (2, 16), (1, 32)]:
+for blocks, rounds in PLANS:
     l1s = []
     for s in range(SEEDS):
         key = jax.random.PRNGKey(s)

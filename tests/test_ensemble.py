@@ -577,3 +577,72 @@ def test_per_step_merge_every_collapses_engineered_duplicates():
         np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
         counts[me] = distinct_tapes(np.asarray(dt2), w)
     assert counts[1] > counts[0], counts
+
+
+def test_choose_sampling_dist_tau1_is_exact_identity():
+    """At tau=1 the sampling distribution must be p EXACTLY (no
+    renormalisation) with identically-zero importance increments, so the
+    sampling walk stays bit-identical to the tau-free ensemble path even
+    when the table's probs sum to 1 only within a few ulp."""
+    p = np.array([0.3, 0.7 + 1e-16, 0.0])
+    q, delta = ensemble._choose_sampling_dist(p, 1.0)
+    assert (q == p).all()
+    assert (delta == 0.0).all()
+    # tau<1 still renormalises and reweights.
+    q2, delta2 = ensemble._choose_sampling_dist(p, 0.5)
+    np.testing.assert_allclose(q2.sum(), 1.0, rtol=1e-15)
+    assert (delta2[:2] != 0.0).any()
+
+
+def test_blocked_frontier_rejects_wide_alphabet():
+    """The blocked frontier's merge key packs symbols into 4-bit fields;
+    alphabets wider than 16 symbols must be rejected loudly (aliased
+    hashes would silently conflate distinct configurations)."""
+    import math
+
+    from chemical_kinetics_and_program_execution_tpu.engine import dsl
+
+    tag = "_test-wide-alphabet-17"
+    if tag not in dsl.registered_problems():
+        @dsl.register_problem(
+            tag, symbols=tuple(f"W{i}" for i in range(17)))
+        def rule(t):
+            if t.get(False, 0) == 1:
+                t.set(False, 0, 0)
+
+    dm = ensemble.compile_decision_machine(tag)
+    K, L = 8, 32
+    pt = jnp.zeros((K, L), jnp.int32)
+    lw = jnp.full((K,), -math.log(K), jnp.float64)
+    with pytest.raises(ValueError, match="4-bit"):
+        ensemble.run_weighted_frontier_blocked(
+            jax.random.PRNGKey(0), (pt, pt), lw, dm, (1, 2, 2))
+
+
+def test_sharded_blocked_frontier_validates_plan_and_dtype():
+    """The sharded island twin must enforce the same plan gates as the
+    single-chip entry point (span/stride violations silently corrupt
+    dynamics) and hand back tapes in the caller's dtype."""
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_frontier_blocked,
+    )
+    import math
+
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    mesh = make_mesh(n_batch=2, n_event=4)
+    k_loc, L = 4, 32
+    n = 8 * k_loc
+    pt = jnp.zeros((n, L), jnp.int32)
+    lw = jnp.full((n,), -math.log(float(k_loc)), jnp.float64)
+
+    # events=16 -> stride 2 <= 2*span: must raise, as single-chip does.
+    bad = make_sharded_frontier_blocked(dm, mesh, (1, 2, 16), k_loc)
+    with pytest.raises(ValueError, match="stride"):
+        bad(jax.random.PRNGKey(0), (pt, pt), lw)
+
+    good = make_sharded_frontier_blocked(dm, mesh, (1, 2, 2), k_loc)
+    (p2, d2), w2, nu = good(jax.random.PRNGKey(0), (pt, pt), lw)
+    assert p2.dtype == pt.dtype and d2.dtype == pt.dtype
