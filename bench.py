@@ -209,12 +209,13 @@ def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
     dm = ensemble.compile_decision_machine(tag)
     if K is None:
         K = int(os.environ.get("CKPE_BENCH_FRONTIER_K", "1000000"))
-    # Merge every rounds*events = 1024 transitions: the cadence probe
-    # (RESULTS.md "merge cadence") measured estimator L1 error FLAT in
-    # the merge interval (at tau=1 weights stay uniform — sampling the
-    # true branch law — so merging is pure dedup and its cadence is a
-    # cost knob, not a quality knob).
-    L, rounds, events = 64, 256, 4
+    # Merge every rounds*events = 2048 transitions: the cadence probe
+    # (RESULTS.md "merge cadence"; long-horizon mode of
+    # probes/merge_cadence.py) measured estimator L1 error FLAT in the
+    # merge interval through 2048 (at tau=1 weights stay uniform —
+    # sampling the true branch law — so merging is pure dedup and its
+    # cadence is a cost knob, not a quality knob).
+    L, rounds, events = 64, 512, 4
     if blocks is None:
         blocks = 2
     plan = (blocks, rounds, events)

@@ -1525,22 +1525,80 @@ def window_counts(tape, size_a: int, cl_k: int):
 
 
 def sample_tapes_from_spd(key, spd, size_a: int, cl_k: int,
-                          batch: int, length: int):
+                          batch: int, length: int, *, ring: bool = True):
     """Draws tape rings whose window statistics follow an SPD: symbols
     are generated by the SPD's order-(cl_k-1) Markov chain (conditional
-    next-symbol probabilities, `markov.mpp_from_spd`)."""
+    next-symbol probabilities, `markov.mpp_from_spd`).
+
+    With ``ring=True`` (the default) the chain is sampled as a circular
+    Markov BRIDGE: each step's distribution is reweighted by the
+    transfer-matrix bridge factor ``T^(r-1)[next_ctx, ctx0]`` (r symbols
+    remaining), so the sequence provably closes its own starting context
+    and every window — including the ``cl_k-1`` windows crossing the
+    seam — reads Markov-consistent statistics. A plain linear chain laid
+    on a ring (``ring=False``, the pre-bridge behaviour) has a junction
+    discontinuity whose spurious windows dominate RARE window
+    probabilities: measured on the ex2 p0 (p_pair=1/250), the seam
+    inflated p(DUD) estimates by ~1e-4 absolute — order 50% of the
+    early-time signal (`examples/ex2_ensemble_crosscheck.py`). The
+    bridge's residual bias (π- vs trace-weighting of the start context)
+    decays with the chain's spectral gap to the power ``length`` —
+    negligible at any practical tape length.
+    """
     from ..markov import mpp_from_spd
 
-    mpp = jnp.asarray(
-        mpp_from_spd(np.asarray(spd).reshape([size_a] * cl_k))
-    ).reshape(size_a ** (cl_k - 1), size_a)
-    marg = jnp.asarray(
-        np.asarray(spd, dtype=np.float64).reshape(
-            size_a ** (cl_k - 1), size_a).sum(axis=1)
-    )
+    n_ctx = size_a ** (cl_k - 1)
+    mpp_np = np.asarray(
+        mpp_from_spd(np.asarray(spd).reshape([size_a] * cl_k)),
+        dtype=np.float64,
+    ).reshape(n_ctx, size_a)
+    marg_np = np.asarray(spd, dtype=np.float64).reshape(
+        n_ctx, size_a).sum(axis=1)
+    mpp = jnp.asarray(mpp_np)
     k0, k1 = jax.random.split(jnp.asarray(key))
+
+    if ring:
+        # Context transition matrix T[c, c'] and its powers M[r] = T^r.
+        nctx_np = (np.arange(n_ctx)[:, None] * size_a
+                   + np.arange(size_a)[None, :]) % n_ctx
+        T = np.zeros((n_ctx, n_ctx))
+        np.add.at(T, (np.repeat(np.arange(n_ctx), size_a),
+                      nctx_np.ravel()), mpp_np.ravel())
+        powers = np.empty((length + 1, n_ctx, n_ctx))
+        powers[0] = np.eye(n_ctx)
+        for r in range(1, length + 1):
+            powers[r] = powers[r - 1] @ T
+        # Start contexts must be able to close the cycle.
+        start_w = marg_np * (np.diag(powers[length]) > 0)
+        if start_w.sum() <= 0:  # periodic corner case: fall back
+            return sample_tapes_from_spd(key, spd, size_a, cl_k, batch,
+                                         length, ring=False)
+        M = jnp.asarray(powers)
+        nctx_t = jnp.asarray(nctx_np)
+        ctx0 = jax.random.choice(
+            k0, n_ctx, (batch,), p=jnp.asarray(start_w / start_w.sum())
+        )
+
+        def gen(carry, inp):
+            ctx, i = carry, inp
+            k, r_left = i
+            # P(s | ctx, close at ctx0) ∝ mpp[ctx, s] · T^(r-1)[nctx, ctx0]
+            bridge = M[r_left - 1][nctx_t[ctx], ctx0[:, None]]
+            probs = mpp[ctx] * bridge
+            probs = probs / probs.sum(axis=1, keepdims=True)
+            sym = jax.vmap(
+                lambda p, kk: jax.random.choice(kk, size_a, p=p)
+            )(probs, jax.random.split(k, batch))
+            return nctx_t[ctx, sym], sym
+
+        _, syms = jax.lax.scan(
+            gen, ctx0,
+            (jax.random.split(k1, length),
+             jnp.arange(length, 0, -1)))
+        return syms.T.astype(jnp.int32)  # [batch, length]
+
     ctx0 = jax.random.choice(
-        k0, size_a ** (cl_k - 1), (batch,), p=marg / marg.sum()
+        k0, n_ctx, (batch,), p=jnp.asarray(marg_np / marg_np.sum())
     )
 
     def gen(carry, k):
@@ -1548,7 +1606,7 @@ def sample_tapes_from_spd(key, spd, size_a: int, cl_k: int,
         sym = jax.vmap(
             lambda c, kk: jax.random.choice(kk, size_a, p=mpp[c])
         )(ctx, jax.random.split(k, batch))
-        ctx = (ctx * size_a + sym) % (size_a ** (cl_k - 1))
+        ctx = (ctx * size_a + sym) % n_ctx
         return ctx, sym
 
     _, syms = jax.lax.scan(gen, ctx0, jax.random.split(k1, length))

@@ -646,3 +646,31 @@ def test_sharded_blocked_frontier_validates_plan_and_dtype():
     good = make_sharded_frontier_blocked(dm, mesh, (1, 2, 2), k_loc)
     (p2, d2), w2, nu = good(jax.random.PRNGKey(0), (pt, pt), lw)
     assert p2.dtype == pt.dtype and d2.dtype == pt.dtype
+
+
+def test_ring_bridge_sampling_has_no_seam_artifact():
+    """Circular Markov-bridge tape sampling must keep windows crossing
+    the wrap seam Markov-consistent. The ex2 pair p0 has EXACTLY zero
+    single-U islands (p(DUD)=0); a linear chain laid on a ring fabricates
+    them at the junction, the bridge must not."""
+    from chemical_kinetics_and_program_execution_tpu import markov_tapes
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+
+    p0 = ferromagnet_p0(5, p_pair=1 / 250).ravel()
+
+    def p_dud(tapes):
+        c = np.asarray(ensemble.window_counts(tapes, 2, 5))
+        return float(np.squeeze(
+            markov_tapes.seq_prob(c.reshape((2,) * 5), (0, 1, 0))[0]))
+
+    key = jax.random.PRNGKey(0)
+    ringed = ensemble.sample_tapes_from_spd(key, p0, 2, 5, 2048, 128)
+    linear = ensemble.sample_tapes_from_spd(key, p0, 2, 5, 2048, 128,
+                                            ring=False)
+    assert p_dud(ringed) == 0.0
+    assert p_dud(linear) > 1e-5  # the seam artifact the bridge removes
+    # And the bulk window statistics still match the SPD.
+    c = np.asarray(ensemble.window_counts(ringed, 2, 5))
+    assert np.abs(c - p0).sum() < 0.02
