@@ -26,6 +26,7 @@ once per site per unit time, `tape_multiverse.scm` docstring at
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 
 import numpy as np
@@ -979,6 +980,79 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple):
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
     return (ptape, dtape), (applied, times)
+
+
+def contains_pattern(tape, pattern):
+    """[B] bool: does ``pattern`` occur anywhere on each ring tape?"""
+    tape = jnp.asarray(tape)
+    pattern = tuple(int(s) for s in pattern)
+    hit = jnp.ones(tape.shape, bool)
+    for i, s in enumerate(pattern):
+        hit = hit & (jnp.roll(tape, -i, axis=-1) == s)
+    return hit.any(axis=-1)
+
+
+def first_passage_times(key, tapes, dm, pattern, plan, *,
+                        data_tape: bool = True):
+    """Per-member first time ``pattern`` appears anywhere on the tape.
+
+    First-passage questions ("when does this motif first assemble?")
+    are unposable in the exact engine — the closure ODE evolves the
+    MEAN window distribution, which cannot distinguish 'pattern present
+    somewhere by t' from its occupancy at t. The concrete-tape ensemble
+    answers them directly: evolve B independent rings under the
+    stratified lockstep dynamics (`run_ensemble` semantics and time
+    calibration, dt = −log(1 − E/L) per round) and record, per member,
+    the first round whose post-state contains the pattern on the chosen
+    tape. Resolution is one round; members that never hit within the
+    plan report ``inf``.
+
+    Args:
+      key: PRNG key.
+      tapes: (ptape [B, L] int, dtape [B, L] int) initial rings.
+      dm: compiled :class:`DeviceMachine`.
+      pattern: symbol-index sequence to detect (circularly).
+      plan: static (max_rounds, events_per_round); events must divide
+        L with L/events > 2·span.
+      data_tape: search the data tape (True) or the program tape.
+
+    Returns:
+      (t_hit [B] float64 — ``inf`` if unhit, hit [B] bool,
+      (ptape, dtape) final tapes).
+    """
+    max_rounds, events = plan
+    ptape, dtape = tapes
+    B, L = ptape.shape
+    if L % events:
+        raise ValueError(f"events_per_round={events} must divide L={L}")
+    if L // events <= 2 * dm.span:
+        raise ValueError(
+            f"stride {L // events} too small for window span {dm.span}"
+        )
+    dt_round = -math.log1p(-events / L)
+    pt = jnp.asarray(ptape).astype(jnp.int8)
+    dt_ = jnp.asarray(dtape).astype(jnp.int8)
+
+    def round_step(carry, inp):
+        pt, dt_, t_hit = carry
+        k, t_now = inp
+        k1, k2 = jax.random.split(k)
+        shift = jax.random.randint(k1, (), 0, L, dtype=jnp.int32)
+        uniforms = jax.random.uniform(k2, (B, events), dtype=jnp.float32)
+        pt, dt_ = _apply_lattice_round_fsm(dm, pt, dt_, shift, uniforms)
+        present = contains_pattern(dt_ if data_tape else pt, pattern)
+        t_hit = jnp.where(present & jnp.isinf(t_hit), t_now, t_hit)
+        return (pt, dt_, t_hit), None
+
+    t0_hit = jnp.where(
+        contains_pattern(dt_ if data_tape else pt, pattern),
+        0.0, jnp.inf)
+    times = dt_round * jnp.arange(1, max_rounds + 1, dtype=jnp.float64)
+    (pt, dt_, t_hit), _ = jax.lax.scan(
+        round_step, (pt, dt_, t0_hit),
+        (jax.random.split(key, max_rounds), times))
+    return t_hit, jnp.isfinite(t_hit), (pt.astype(jnp.int32),
+                                        dt_.astype(jnp.int32))
 
 
 # --- Merge-by-key: collapse duplicate frontier configurations ----------------

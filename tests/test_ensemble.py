@@ -674,3 +674,52 @@ def test_ring_bridge_sampling_has_no_seam_artifact():
     # And the bulk window statistics still match the SPD.
     c = np.asarray(ensemble.window_counts(ringed, 2, 5))
     assert np.abs(c - p0).sum() < 0.02
+
+
+def test_first_passage_matches_occupancy_for_monotone_pattern():
+    """For ex1 radioactive decay, A-cells never revert, so 'pattern of
+    A's present at t' is monotone in t and P(first-passage <= t) must
+    equal the pattern-occupancy fraction at t — computed here through
+    the INDEPENDENT run_ensemble code path with different seeds."""
+    import math
+
+    dm = ensemble.compile_decision_machine("ex1-radioactive-decay")
+    B, L, E, rounds = 512, 64, 4, 24
+    pattern = (0, 0, 0)
+    pt0 = jnp.zeros((B, L), jnp.int32)
+    dt0 = jnp.ones((B, L), jnp.int32)
+
+    t_hit, hit, _ = ensemble.first_passage_times(
+        jax.random.PRNGKey(0), (pt0, dt0), dm, pattern, (rounds, E))
+    t_hit = np.asarray(t_hit)
+    dt_round = -math.log1p(-E / L)
+
+    # Occupancy at the half- and full-horizon times via run_ensemble.
+    for r in (rounds // 2, rounds):
+        t = r * dt_round
+        (_, d2), _ = ensemble.run_ensemble(
+            jax.random.PRNGKey(100 + r), (pt0, dt0), dm, (r, E))
+        occ = float(np.asarray(
+            ensemble.contains_pattern(d2, pattern)).mean())
+        cdf = float((t_hit <= t + 1e-12).mean())
+        # Monotone pattern: first-passage-by-t == present-at-t, up to
+        # binomial noise of two independent 512-member ensembles.
+        se = math.sqrt(occ * (1 - occ) / B + cdf * (1 - cdf) / B) + 1e-9
+        assert abs(cdf - occ) < 5 * se + 0.01, (r, cdf, occ)
+
+
+def test_first_passage_initial_hit_and_no_hit():
+    dm = ensemble.compile_decision_machine("ex1-radioactive-decay")
+    B, L = 8, 32
+    pt0 = jnp.zeros((B, L), jnp.int32)
+    # Tape already containing the pattern: t_hit = 0.
+    d_with = jnp.zeros((B, L), jnp.int32)
+    t_hit, hit, _ = ensemble.first_passage_times(
+        jax.random.PRNGKey(0), (pt0, d_with), dm, (0, 0), (4, 2))
+    assert (np.asarray(t_hit) == 0.0).all()
+    # Pattern that can never form (symbol 1 never written): inf.
+    d_without = jnp.zeros((B, L), jnp.int32)
+    t_hit, hit, _ = ensemble.first_passage_times(
+        jax.random.PRNGKey(0), (pt0, d_without), dm, (1, 1), (4, 2))
+    assert not np.asarray(hit).any()
+    assert np.isinf(np.asarray(t_hit)).all()
