@@ -256,3 +256,39 @@ def test_blocked_island_frontier_matches_per_island_runs():
                                    rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(nu[isl]),
                                       np.asarray(nu_i))
+
+
+def test_sharded_dense_end_to_end_solve_matches_single_device():
+    """Full SOLVE over the state-sharded dense RHS — the adaptive
+    stepper's while_loop runs with the SPD (and its marginal pyramid)
+    GSPMD-partitioned across the mesh, collectives inside the loop.
+    This is the program shape a beyond-HBM solve (ex4 cl_k=8) runs on a
+    real slice; parity here pins the whole chain, not just one RHS."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        chemical_turing_v2_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import (
+        solve,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_dense_dy_dt,
+    )
+
+    prog = dense.compile_dense("ex4var2-chemical-turing", 3)
+    p0 = chemical_turing_v2_p0(3).ravel()
+    ts = np.linspace(0.0, 5.0, 4)
+
+    single = dense.make_dense_dy_dt(prog)
+    want = np.asarray(solve(lambda y, t: single(y), p0, ts,
+                            rtol=1e-9, atol=1e-12))
+
+    mesh = make_mesh(n_batch=1, n_event=8)  # pure state-axis sharding
+    sharded = make_sharded_dense_dy_dt(prog, mesh)
+    got = np.asarray(solve(lambda y, t: sharded(y[None])[0], p0, ts,
+                           rtol=1e-9, atol=1e-12))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(got.sum(axis=-1), 1.0, rtol=1e-9)
