@@ -57,3 +57,39 @@ def seq_prob_projector(seqs, size_a: int, cl_k: int):
         return jnp.stack(cols, axis=1)
 
     return project
+
+
+def markov_entropy_projector(size_a: int, cl_k: int):
+    """Jitted ``[T, size_a**cl_k] -> [T, 1]`` Markov entropy-rate column.
+
+    The ``project=`` hook of `ode.integrate.solve` is not limited to
+    linear functionals; this computes `markov.markov_entropy` (the
+    ex4var1 physics observable, `markov_tapes.py:178-187`) on device —
+    identical clipping semantics — so entropy-production traces stay
+    available in observables-only large-state solves where the full
+    state never crosses the host link. Compose with
+    `seq_prob_projector` via `stack_projectors`.
+    """
+    n_ctx = size_a ** (cl_k - 1)
+
+    @jax.jit
+    def project(p):
+        p = jnp.asarray(p)
+        t = p.shape[0]
+        spd = jnp.clip(p.reshape(t, n_ctx, size_a), 1e-280, 1.0)
+        reduced = spd.sum(axis=-1)
+        conditional = spd / reduced[..., None]
+        h = (-conditional * jnp.log(conditional)).sum(axis=-1)
+        return jnp.sum(h * reduced, axis=-1, keepdims=True)
+
+    return project
+
+
+def stack_projectors(*projectors):
+    """Concatenates projector outputs column-wise into one projection."""
+
+    @jax.jit
+    def project(p):
+        return jnp.concatenate([proj(p) for proj in projectors], axis=1)
+
+    return project

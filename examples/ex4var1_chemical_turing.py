@@ -30,45 +30,82 @@ def main():
     ap.add_argument("--n-samples", type=int, default=2001)
     ap.add_argument("--chunk-size", type=int, default=100)
     ap.add_argument("--tol", type=float, default=1e-13)
+    ap.add_argument("--observables-only", action="store_true",
+                    help="large-state mode (cl_k >= 7): evaluate the "
+                    "plotted probabilities AND the entropy trace on "
+                    "device, transfer only [T, n_obs]")
     args = ap.parse_args()
     cl_k = args.cl_k
 
     p0 = chemical_turing_p0(
         cl_k, cursor_fraction=0.001, powered_fraction=0.05, random01=True
     )
-    cache_name = f"ex4var1_chemical_turing_k{cl_k}.npz"
+    obs_part = "_obs" if args.observables_only else ""
+    cache_name = f"ex4var1_chemical_turing_k{cl_k}{obs_part}.npz"
     ode_ts = sample_grid(cache_name, 0, 2000.0, args.n_samples)
-    ode_ys = cached(
-        cache_name,
-        lambda: markov_tapes.ode_integrate_ivp(
-            tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
-            backend=args.backend,
-            ivp_kwargs=dict(rtol=args.tol, atol=args.tol,
-                            method="DOP853",
-                            chunk_size=args.chunk_size, progress=True),
-        ),
-        ts=ode_ts,
-    )
-
+    solver_kwargs = dict(rtol=args.tol, atol=args.tol, method="DOP853",
+                         chunk_size=args.chunk_size, progress=True)
+    curves = [
+        ([0], "-k", "p(A)"),
+        ([1], "-b", "p(B)"),
+        ([2], "-m", "p(C)"),
+        ([3], "-r", "p(D)"),
+        ([4, 5, 4, 3], "--r", "p(IOID)"),
+        ([6], ":k", "p(P)"),
+        ([7], ":b", "p(X)"),
+    ]
     fig, ax = new_fig()
-    pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k)
-    pl.plot([0], "-k", "p(A)")
-    pl.plot([1], "-b", "p(B)")
-    pl.plot([2], "-m", "p(C)")
-    pl.plot([3], "-r", "p(D)")
-    pl.plot([4, 5, 4, 3], "--r", "p(IOID)", linewidth=3)
-    pl.plot([6], ":k", "p(P)")
-    pl.plot([7], ":b", "p(X)")
-    c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
-    ax.plot(ode_ts[1:], log10(c_tot[1:]), ":m", label="{total cursor}")
     suffix = "" if cl_k == 5 else f"_k{cl_k}"
-    finish(fig, ax, f"ex4var1_chemical_turing{suffix}.pdf")
+    if args.observables_only:
+        # Large-state mode: the probability columns are linear slices
+        # and the entropy trace is a nonlinear device projection —
+        # stacked into one [T, n_obs+1] projector so the full state
+        # never crosses the host link.
+        from chemical_kinetics_and_program_execution_tpu.ops.observables import (  # noqa: E501
+            markov_entropy_projector,
+            seq_prob_projector,
+            stack_projectors,
+        )
 
-    # Markov-entropy trace (`ex4var1_chemical_turing.py:142-154`).
-    entropies = np.array([
-        markov_tapes.markov_entropy(ys.reshape([SIZE_A] * cl_k))
-        for ys in ode_ys
-    ])
+        seqs = [s for s, _, _ in curves] + [[0], [1], [2], [3]]
+        proj = stack_projectors(
+            seq_prob_projector(seqs, SIZE_A, cl_k),
+            markov_entropy_projector(SIZE_A, cl_k))
+        obs = cached(
+            cache_name,
+            lambda: markov_tapes.ode_integrate_ivp(
+                tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
+                ts=ode_ts, backend=args.backend,
+                ivp_kwargs=dict(project=proj, **solver_kwargs),
+            ),
+            ts=ode_ts,
+        )
+        for j, (_, style, label) in enumerate(curves):
+            ax.plot(ode_ts[1:], log10(obs[1:, j]), style, label=label)
+            print(f"{label}: p_final={obs[-1, j]}")
+        c_tot = obs[:, len(curves):len(curves) + 4].sum(axis=1)
+        entropies = obs[:, -1]
+    else:
+        ode_ys = cached(
+            cache_name,
+            lambda: markov_tapes.ode_integrate_ivp(
+                tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
+                ts=ode_ts, backend=args.backend,
+                ivp_kwargs=solver_kwargs,
+            ),
+            ts=ode_ts,
+        )
+        pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k)
+        for seq, style, label in curves:
+            pl.plot(seq, style, label)
+        c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
+        # Markov-entropy trace (`ex4var1_chemical_turing.py:142-154`).
+        entropies = np.array([
+            markov_tapes.markov_entropy(ys.reshape([SIZE_A] * cl_k))
+            for ys in ode_ys
+        ])
+    ax.plot(ode_ts[1:], log10(c_tot[1:]), ":m", label="{total cursor}")
+    finish(fig, ax, f"ex4var1_chemical_turing{suffix}.pdf")
     print(f"S_initial: {entropies[0]}, S_final: {entropies[-1]}, "
           f"S_delta: {entropies[-1] - entropies[0]}")
     fig_s, ax_s = new_fig()

@@ -101,3 +101,30 @@ def test_pyramid_levels():
     np.testing.assert_allclose(pyr[offsets[0]], 1.0)
     assert pyr[-1] == 1.0
     np.testing.assert_allclose(pyr, markov.pyramid_np(p, 2, 3))
+
+
+def test_markov_entropy_projector_matches_host():
+    """Device entropy projection must equal the host markov_entropy
+    (identical clipping), and stack with seq_prob columns."""
+    from chemical_kinetics_and_program_execution_tpu import markov
+    from chemical_kinetics_and_program_execution_tpu.ops.observables import (
+        markov_entropy_projector,
+        seq_prob_projector,
+        stack_projectors,
+    )
+
+    rng = np.random.RandomState(0)
+    size_a, cl_k, t = 3, 4, 5
+    ps = rng.dirichlet(np.ones(size_a**cl_k), size=t)
+    proj = markov_entropy_projector(size_a, cl_k)
+    got = np.asarray(proj(ps))
+    want = np.array([
+        markov.markov_entropy(p.reshape([size_a] * cl_k)) for p in ps
+    ])
+    np.testing.assert_allclose(got[:, 0], want, rtol=1e-13)
+
+    both = stack_projectors(
+        seq_prob_projector([(0, 1)], size_a, cl_k), proj)
+    out = np.asarray(both(ps))
+    assert out.shape == (t, 2)
+    np.testing.assert_allclose(out[:, 1], want, rtol=1e-13)
