@@ -723,3 +723,53 @@ def test_first_passage_initial_hit_and_no_hit():
         jax.random.PRNGKey(0), (pt0, d_without), dm, (1, 1), (4, 2))
     assert not np.asarray(hit).any()
     assert np.isinf(np.asarray(t_hit)).all()
+
+
+def test_weighted_first_passage_matches_unweighted_and_is_tau_invariant():
+    """Weighted-ensemble first passage (blocked frontier + hit-flagged
+    merge) must reproduce the brute-force per-member survival curve at
+    tau=1 and matched check cadence, and stay unbiased at tau<1 (the
+    importance weights exactly compensate the tempered branch law)."""
+    import math
+
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+
+    K, L, E, n_rounds = 2048, 64, 4, 24
+    pattern = (1, 1, 1)
+    p0 = ferromagnet_p0(4, p_pair=0.05, corrected=True).ravel()
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.PRNGKey(0), p0, 2, 4, K, L)
+    ptape = jnp.zeros((K, L), jnp.int8)
+    lw0 = jnp.full((K,), -math.log(K), jnp.float64)
+
+    # Brute force: per-round checks, independent seed.
+    t_hit, _, _ = ensemble.first_passage_times(
+        jax.random.PRNGKey(7), (ptape, dtape), dm, pattern,
+        (n_rounds, E))
+    t_hit = np.asarray(t_hit)
+
+    # Weighted ensemble at matched cadence (1 round per block).
+    surv = {}
+    for tau in (1.0, 0.5):
+        s, ess, t_blocks, _, _, _ = ensemble.weighted_first_passage(
+            jax.random.PRNGKey(8), (ptape, dtape), lw0, dm, pattern,
+            (n_rounds, 1, E), tau=tau)
+        surv[tau] = (np.asarray(s), t_blocks)
+        if tau == 1.0:  # true branch law: weights stay uniform
+            np.testing.assert_allclose(np.asarray(ess), K, rtol=1e-9)
+
+    s1, t_blocks = surv[1.0]
+    for bi in (n_rounds // 2 - 1, n_rounds - 1):
+        t_b = t_blocks[bi]
+        s_bf = float((t_hit > t_b + 1e-12).mean())
+        se = math.sqrt(max(s_bf * (1 - s_bf), 1e-4) / K)
+        # Correlated members (shared sites) + resampling noise: allow a
+        # generous multiple of the iid standard error.
+        assert abs(float(s1[bi]) - s_bf) < 10 * se + 0.02, (
+            bi, float(s1[bi]), s_bf)
+        # tau-invariance: the tempered estimator targets the same S(t).
+        s_t = float(surv[0.5][0][bi])
+        assert abs(s_t - s_bf) < 10 * se + 0.05, (bi, s_t, s_bf)
