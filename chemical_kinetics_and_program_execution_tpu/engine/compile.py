@@ -222,6 +222,127 @@ def _compile(problem: dsl.Problem, cl_k: int,
     )
 
 
+@dataclasses.dataclass
+class CompiledDualProblem(CompiledProblem):
+    """Dual-SPD compilation: program and data tapes draw from SEPARATE
+    sequence distributions.
+
+    The reference shares one SPD between both tapes (both tape views
+    index the same accumulator, `tape_multiverse.scm:1424-1443`,
+    :441-442) — an implementation choice, not a law of the model. This
+    mode generalizes: the state is the concatenation
+    ``[p_program (A^k), p_data (A^k)]``, reveals on each tape draw
+    conditional ratios from that tape's own marginal pyramid, and each
+    tape's changed windows accumulate into its own dy/dt half. Factor
+    and target indices are offset at compile time (program pyramid
+    first, then data, then the shared constant-1 slot), so the runtime
+    kernel shape is IDENTICAL to the shared case.
+
+    Exact consistency oracle (tested): at equal distributions
+    ``p_prog = p_data = p`` the two output halves sum to the shared
+    engine's dy/dt — the reference's single accumulator is exactly the
+    sum of per-tape contributions.
+    """
+
+    @property
+    def state_size(self) -> int:
+        return 2 * self.size_a**self.cl_k
+
+
+def compile_problem_dual(tag: str, cl_k: int, *,
+                         max_worlds: int | None = None
+                         ) -> CompiledDualProblem:
+    """Compiles ``tag`` with separate program/data SPDs (see
+    :class:`CompiledDualProblem`). Not disk-cached (compiles are fast;
+    guided/native enumerations are unsupported because they do not
+    carry per-factor tape provenance)."""
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    _, pyr_total = pyramid_offsets(size_a, cl_k)
+    half = pyr_total - 1  # per-tape pyramid entries (sans the 1-slot)
+    one_slot = 2 * half
+    window_mod = size_a**cl_k
+
+    worlds = enum_mod.enumerate_worlds(problem, cl_k,
+                                       max_worlds=max_worlds)
+
+    def remap(idx: int, data_tape: bool) -> int:
+        return idx + (half if data_tape else 0)
+
+    # Stages 1-2 with per-tape signature provenance.
+    live, sig_ids = [], {}
+    pair_world, pair_sig = [], []
+    for world in worlds:
+        changed = [
+            (ti, s) for ti, s in enumerate(world.tape_sigs)
+            if s[0] != s[1]
+        ]
+        if world.const == 0.0 or not changed:
+            continue
+        if len(world.factor_tapes) != len(world.factors):
+            raise ValueError(
+                f"{tag!r}: worlds lack per-factor tape provenance "
+                "(guided/native enumeration); dual-SPD compilation "
+                "needs the plain odometer path"
+            )
+        wi = len(live)
+        live.append(world)
+        for ti, sig in changed:
+            pair_world.append(wi)
+            pair_sig.append(sig_ids.setdefault((ti, sig), len(sig_ids)))
+
+    w_chains = [
+        tuple(
+            (remap(a, dt), remap(b, dt))
+            for (a, b), dt in zip(w.factors, w.factor_tapes)
+        )
+        for w in live
+    ]
+    w_num, w_den = _pad_chains(w_chains, one_slot)
+    w_const = np.array([w.const for w in live], dtype=np.float64)
+
+    expander = accumulate.Expander(size_a, cl_k)
+    e_chains, e_sig, tgt_orig, tgt_adj = [], [], [], []
+    for (ti, sig), sid in sig_ids.items():
+        dt = ti == 1
+        off = window_mod if dt else 0
+        for event in expander.expand(*sig):
+            e_chains.append(tuple(
+                (remap(a, dt), remap(b, dt)) for a, b in event.factors
+            ))
+            e_sig.append(sid)
+            tgt_orig.append(event.target_orig + off)
+            tgt_adj.append(event.target_adj + off)
+    e_num, e_den = _pad_chains(e_chains, one_slot)
+    num_events = len(e_sig)
+
+    all_tgt = np.concatenate(
+        [np.asarray(tgt_adj, dtype=np.int64),
+         np.asarray(tgt_orig, dtype=np.int64)]
+    ) if num_events else np.zeros((0,), dtype=np.int64)
+    all_sign = np.concatenate([np.ones(num_events), -np.ones(num_events)])
+    order = _stable_argsort_i32(all_tgt)
+
+    return CompiledDualProblem(
+        tag=problem.tag,
+        size_a=size_a,
+        cl_k=cl_k,
+        pyramid_size=one_slot + 1,
+        num_signatures=len(sig_ids),
+        w_num=w_num,
+        w_den=w_den,
+        w_const=w_const,
+        pair_world=np.asarray(pair_world, dtype=np.int32),
+        pair_sig=np.asarray(pair_sig, dtype=np.int32),
+        e_num=e_num,
+        e_den=e_den,
+        e_sig=np.asarray(e_sig, dtype=np.int32),
+        ev_idx=(order % max(num_events, 1)).astype(np.int32),
+        ev_sign=all_sign[order],
+        ev_tgt=all_tgt[order].astype(np.int32),
+    )
+
+
 # --- Disk cache -------------------------------------------------------------
 
 def _rule_fingerprint(fn) -> bytes:

@@ -52,6 +52,12 @@ class World:
     # ("choose", normalised weights tuple). Drives the ensemble-mode
     # decision-machine compiler.
     decision_meta: tuple = ()
+    # Per-factor tape provenance aligned with ``factors`` (True = data
+    # tape). The shared-SPD engine ignores it (both tapes draw from one
+    # distribution, `tape_multiverse.scm:1441-1443`); the dual-SPD mode
+    # (`compile.compile_problem_dual`) offsets each factor into that
+    # tape's own pyramid.
+    factor_tapes: tuple[bool, ...] = ()
 
 
 class _TapeState:
@@ -130,6 +136,7 @@ class _Replay:
         self.arities: list[int] = []
         self.const = 1.0
         self.factors: list[tuple[int, int]] = []
+        self.factor_tapes: list[bool] = []
         self.tapes = (_TapeState(), _TapeState())
         self.guide = guide
         self.weight = 1.0  # path weight under the guide's p_ref
@@ -168,6 +175,7 @@ class _Replay:
         win = ctx * a + k if to_right else k * a**ctx_len + ctx
         factor = (self.offsets[cl_eff] + win, self.offsets[ctx_len] + ctx)
         self.factors.append(factor)
+        self.factor_tapes.append(tape is self.tapes[1])
         if self.guide is not None:
             self.weight *= self.guide.ratio(*factor)
             self._check_weight()
@@ -216,6 +224,7 @@ class _Replay:
                 self.tapes[1].signature(self.size_a),
             ),
             decisions=tuple(self.values),
+            factor_tapes=tuple(self.factor_tapes),
             tape_cells=tuple(
                 (tp.l_len, tuple(tp.orig), tuple(tp.adj))
                 for tp in self.tapes

@@ -38,7 +38,7 @@ import numpy as np
 from ..markov import guarded_ratio as _ratio
 from ..markov import guarded_ratio_prod as _ratio_prod
 from ..markov import pyramid
-from .compile import CompiledProblem
+from .compile import CompiledDualProblem, CompiledProblem
 from . import tree as tree_mod
 
 
@@ -68,6 +68,7 @@ class DeviceTables:
     ev_idx: jax.Array
     ev_sign: jax.Array
     ev_tgt: jax.Array
+    dual: bool = False
 
 
 def device_tables(compiled: CompiledProblem,
@@ -106,7 +107,20 @@ def device_tables(compiled: CompiledProblem,
         ev_idx=as_i32(ev_idx),
         ev_sign=jnp.asarray(ev_sign, dtype=dtype),
         ev_tgt=as_i32(ev_tgt),
+        dual=isinstance(compiled, CompiledDualProblem),
     )
+
+
+def _build_pyramid(tables, p, dtype):
+    """Marginal pyramid for the kernel: one pyramid in the shared-SPD
+    case, or [prog pyramid | data pyramid | 1-slot] for dual-SPD tables
+    (indices were offset at compile time, `compile_problem_dual`)."""
+    if not tables.dual:
+        return pyramid(p.astype(dtype), tables.size_a, tables.cl_k)
+    half = tables.size_a ** tables.cl_k
+    pyr_p = pyramid(p[:half].astype(dtype), tables.size_a, tables.cl_k)
+    pyr_d = pyramid(p[half:].astype(dtype), tables.size_a, tables.cl_k)
+    return jnp.concatenate([pyr_p[:-1], pyr_d[:-1], pyr_p[-1:]])
 
 
 def _signature_weights(tables, pyr):
@@ -121,7 +135,7 @@ def _signature_weights(tables, pyr):
 def dy_dt_from_tables(tables: DeviceTables, p: jax.Array) -> jax.Array:
     """Pure function mapping an SPD vector to its time derivative."""
     dtype = tables.w_const.dtype
-    pyr = pyramid(p.astype(dtype), tables.size_a, tables.cl_k)
+    pyr = _build_pyramid(tables, p, dtype)
     s = _signature_weights(tables, pyr)
     # Stage 3: event values via the levelized prefix tree.
     ev_vals = []
@@ -173,6 +187,7 @@ class ChainTables:
     ev_idx: jax.Array
     ev_sign: jax.Array
     ev_tgt: jax.Array
+    dual: bool = False
 
 
 def chain_tables(compiled: CompiledProblem,
@@ -194,13 +209,14 @@ def chain_tables(compiled: CompiledProblem,
         ev_idx=as_i32(compiled.ev_idx),
         ev_sign=jnp.asarray(compiled.ev_sign, dtype=dtype),
         ev_tgt=as_i32(compiled.ev_tgt),
+        dual=isinstance(compiled, CompiledDualProblem),
     )
 
 
 def dy_dt_from_chain_tables(tables: ChainTables, p: jax.Array) -> jax.Array:
     """Chain-walking variant of :func:`dy_dt_from_tables` (cross-check)."""
     dtype = tables.w_const.dtype
-    pyr = pyramid(p.astype(dtype), tables.size_a, tables.cl_k)
+    pyr = _build_pyramid(tables, p, dtype)
     s = _signature_weights(tables, pyr)
     v = s[tables.e_sig] * _ratio_prod(pyr, tables.e_num, tables.e_den)
     signed = v[tables.ev_idx] * tables.ev_sign
@@ -213,4 +229,19 @@ def dy_dt_from_chain_tables(tables: ChainTables, p: jax.Array) -> jax.Array:
 def make_chain_dy_dt(compiled: CompiledProblem, dtype=jnp.float64, jit=True):
     tables = chain_tables(compiled, dtype=dtype)
     fn = partial(dy_dt_from_chain_tables, tables)
+    return jax.jit(fn) if jit else fn
+
+
+def make_dual_dy_dt(compiled, dtype=jnp.float64, jit=True):
+    """Builds ``(p_prog, p_data) -> (dy_prog, dy_data)`` for a
+    :class:`compile.CompiledDualProblem` (separate per-tape SPDs)."""
+    tables = device_tables(compiled, dtype=dtype)
+    half = compiled.size_a**compiled.cl_k
+
+    def fn(p_prog, p_data):
+        dy = dy_dt_from_tables(
+            tables, jnp.concatenate([jnp.asarray(p_prog).ravel(),
+                                     jnp.asarray(p_data).ravel()]))
+        return dy[:half], dy[half:]
+
     return jax.jit(fn) if jit else fn
