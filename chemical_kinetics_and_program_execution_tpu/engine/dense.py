@@ -70,6 +70,7 @@ class SigPlan:
     length: int  # revealed length L0
     orig: tuple[int, ...]  # revealed original digits (left→right)
     adj: tuple[int, ...]  # adjusted digits
+    tape: int = 0  # dual-SPD mode: which tape's pyramid/dy half (0=prog)
 
 
 @dataclasses.dataclass
@@ -92,10 +93,15 @@ class DenseProgram:
     m_den: np.ndarray | None = None
     m_const: np.ndarray | None = None
     pruned: bool = False
+    # Dual-SPD mode (`compile_dense_dual`): separate program/data tape
+    # distributions; the state is [p_prog | p_data] and factor indices
+    # were offset into the concatenated per-tape pyramid.
+    dual: bool = False
 
     @property
     def state_size(self) -> int:
-        return self.size_a**self.cl_k
+        n = self.size_a**self.cl_k
+        return 2 * n if self.dual else n
 
     @property
     def num_worlds(self) -> int:
@@ -185,6 +191,85 @@ def compile_dense(tag: str, cl_k: int, *,
     )
 
 
+def compile_dense_dual(tag: str, cl_k: int, *,
+                       max_worlds: int | None = None) -> DenseProgram:
+    """Dense program with SEPARATE program/data tape SPDs.
+
+    Same generalization as `compile.compile_problem_dual` (the reference
+    shares one distribution between both tapes,
+    `tape_multiverse.scm:441-442, 1424-1443`): world factor chains are
+    offset into a per-tape concatenated pyramid, and each signature plan
+    carries its tape so the sweep uses that tape's ratio tables and
+    emits into that tape's dy/dt half. Exact consistency oracle at
+    p_prog == p_data is tested in `tests/test_dual.py`.
+    """
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    _, pyr_total = pyramid_offsets(size_a, cl_k)
+    half = pyr_total - 1
+    one_slot = 2 * half
+
+    worlds = enum_mod.enumerate_worlds(problem, cl_k,
+                                       max_worlds=max_worlds)
+    from .compile import _pad_chains
+
+    live, sig_ids = [], {}
+    pair_world, pair_sig = [], []
+    for world in worlds:
+        changed = [
+            (ti, s) for ti, s in enumerate(world.tape_sigs)
+            if s[0] != s[1]
+        ]
+        if world.const == 0.0 or not changed:
+            continue
+        if len(world.factor_tapes) != len(world.factors):
+            raise ValueError(
+                f"{tag!r}: worlds lack per-factor tape provenance "
+                "(guided/native enumeration); dual-SPD compilation "
+                "needs the plain odometer path"
+            )
+        wi = len(live)
+        live.append(world)
+        for ti, sig in changed:
+            pair_world.append(wi)
+            pair_sig.append(sig_ids.setdefault((ti, sig), len(sig_ids)))
+
+    w_chains = [
+        tuple(
+            (a + (half if dt else 0), b + (half if dt else 0))
+            for (a, b), dt in zip(w.factors, w.factor_tapes)
+        )
+        for w in live
+    ]
+    w_num, w_den = _pad_chains(w_chains, one_slot)
+    w_const = np.array([w.const for w in live], dtype=np.float64)
+
+    plans = tuple(
+        SigPlan(
+            sid=sid,
+            length=length,
+            orig=_digits(io, length, size_a),
+            adj=_digits(ia, length, size_a),
+            tape=ti,
+        )
+        for ((ti, (io, ia, length)), sid) in sig_ids.items()
+    )
+    return DenseProgram(
+        tag=tag,
+        size_a=size_a,
+        cl_k=cl_k,
+        pyramid_size=one_slot + 1,
+        num_signatures=len(sig_ids),
+        w_num=w_num,
+        w_den=w_den,
+        w_const=w_const,
+        pair_world=np.asarray(pair_world, dtype=np.int32),
+        pair_sig=np.asarray(pair_sig, dtype=np.int32),
+        plans=plans,
+        dual=True,
+    )
+
+
 def _emit_sub_ranks(plan: SigPlan, s0: int, k: int, a: int
                     ) -> tuple[int, int]:
     """(orig, adj) ranks of the revealed digit run inside the window
@@ -222,10 +307,12 @@ def _group_plans(plans, a: int, k: int):
     by_key = defaultdict(list)
     for p in plans:
         ch = tuple(q for q in range(p.length) if p.orig[q] != p.adj[q])
-        by_key[(p.length, ch)].append(p)
+        # Dual-SPD plans additionally key on the tape: members of one
+        # group share ratio tables and a dy/dt half.
+        by_key[(p.tape, p.length, ch)].append(p)
 
     groups = []
-    for (l0, ch), members in by_key.items():
+    for (_, l0, ch), members in by_key.items():
         _, _, s0s = _sweep_meta(l0, ch, k)
         placed: list[dict] = []
         for p in members:
@@ -338,22 +425,46 @@ def _apply_group(dy, l0, changed, members, w_vec, r_le, r_re,
     return dy
 
 
+def _levels(p, a: int, k: int):
+    """Marginal levels lv[j] (first-j-symbols marginals) of one SPD."""
+    lv = [None] * (k + 1)
+    lv[k] = p
+    for j in range(k - 1, -1, -1):
+        lv[j] = lv[j + 1].reshape(a**j, a).sum(-1)
+    return lv
+
+
+def _ratio_tables(lv, a: int, k: int):
+    """Dense guarded ratio tables, one per level, plus right-extend."""
+    r_le = [None] * (k + 1)
+    for j in range(1, k + 1):
+        r_le[j] = guarded_ratio(lv[j], jnp.tile(lv[j - 1], a))
+    r_re = guarded_ratio(lv[k], jnp.repeat(lv[k - 1], a))
+    return r_le, r_re
+
+
 def dy_dt_dense(prog: DenseProgram, tables, p: jax.Array) -> jax.Array:
     """Pure dense dy/dt: no gathers or scatters outside the tiny
-    world-chain stage."""
+    world-chain stage. For dual programs ``p`` is ``[p_prog | p_data]``
+    and the result is the concatenated per-tape derivative."""
     w_num, w_den, w_const, pair_world, pair_sig = tables
     dtype = w_const.dtype
     a, k = prog.size_a, prog.cl_k
     p = p.astype(dtype).reshape(-1)
 
-    # Marginal levels lv[j] (first-j-symbols marginals) + flat pyramid.
-    lv = [None] * (k + 1)
-    lv[k] = p
-    for j in range(k - 1, -1, -1):
-        lv[j] = lv[j + 1].reshape(a**j, a).sum(-1)
-    pyr = jnp.concatenate(
-        [lv[j] for j in range(k, -1, -1)] + [jnp.ones(1, dtype)]
-    )
+    if prog.dual:
+        n = a**k
+        per_tape = [_levels(p[:n], a, k), _levels(p[n:], a, k)]
+        pyr = jnp.concatenate(
+            [lv[j] for lv in per_tape for j in range(k, -1, -1)]
+            + [jnp.ones(1, dtype)]
+        )
+    else:
+        per_tape = [_levels(p, a, k)]
+        pyr = jnp.concatenate(
+            [per_tape[0][j] for j in range(k, -1, -1)]
+            + [jnp.ones(1, dtype)]
+        )
 
     # Stages 1-2: world weights -> signature weights (tiny).
     wv = w_const * guarded_ratio_prod(pyr, w_num, w_den)
@@ -361,18 +472,15 @@ def dy_dt_dense(prog: DenseProgram, tables, p: jax.Array) -> jax.Array:
         wv[pair_world], pair_sig, num_segments=prog.num_signatures
     )
 
-    # Dense ratio tables (guarded), one per level.
-    r_le = [None] * (k + 1)
-    for j in range(1, k + 1):
-        r_le[j] = guarded_ratio(lv[j], jnp.tile(lv[j - 1], a))
-    r_re = guarded_ratio(lv[k], jnp.repeat(lv[k - 1], a))
-
-    dy = jnp.zeros(a**k, dtype)
+    ratios = [_ratio_tables(lv, a, k) for lv in per_tape]
+    dys = [jnp.zeros(a**k, dtype) for _ in per_tape]
     for l0, changed, members in _group_plans(prog.plans, a, k):
+        ti = members[0].tape
         sids = jnp.asarray([m.sid for m in members], jnp.int32)
-        dy = _apply_group(dy, l0, changed, members, s[sids],
-                          r_le, r_re, a, k, dtype)
-    return dy
+        r_le, r_re = ratios[ti]
+        dys[ti] = _apply_group(dys[ti], l0, changed, members, s[sids],
+                               r_le, r_re, a, k, dtype)
+    return jnp.concatenate(dys) if prog.dual else dys[0]
 
 
 def make_dense_dy_dt(prog: DenseProgram, dtype=jnp.float64, jit=True,

@@ -160,3 +160,39 @@ def test_dual_closure_matches_concrete_tape_ensemble():
     # ensemble's dominant-window drift has the same sign.
     assert np.abs(want_d - pd0).max() > 1.5e-3
     assert emp_d[0] < pd0[0]  # solvent window depleted by chain growth
+
+
+@pytest.mark.parametrize("tag", [
+    "ex1-radioactive-decay",
+    "ex2-ferromagnetic-chain",
+    "ex3-copolymerization",
+    "ex4-chemical-turing",
+])
+def test_dense_dual_matches_tree_dual_and_shared_oracle(tag):
+    """The dense transfer-matrix engine's dual mode must agree with the
+    gather-kernel dual mode at arbitrary (p_prog, p_data), and satisfy
+    the equal-SPD oracle against the shared dense engine."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+
+    cl_k = 3
+    dual_dense = dense.compile_dense_dual(tag, cl_k)
+    fn_dense = dense.make_dense_dy_dt(dual_dense)
+    dual_tree = compile_problem_dual(tag, cl_k)
+    fn_tree = make_dual_dy_dt(dual_tree)
+    shared = dense.make_dense_dy_dt(dense.compile_dense(tag, cl_k))
+    n = dual_dense.size_a**cl_k
+
+    rng = np.random.RandomState(4)
+    pp = rng.dirichlet(np.ones(n))
+    pd = rng.dirichlet(np.ones(n))
+    got = np.asarray(fn_dense(jnp.concatenate(
+        [jnp.asarray(pp), jnp.asarray(pd)])))
+    dy_p, dy_d = fn_tree(pp, pd)
+    want = np.concatenate([np.asarray(dy_p), np.asarray(dy_d)])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
+
+    eq = np.asarray(fn_dense(jnp.concatenate(
+        [jnp.asarray(pp), jnp.asarray(pp)])))
+    np.testing.assert_allclose(
+        eq[:n] + eq[n:], np.asarray(shared(jnp.asarray(pp))),
+        rtol=1e-12, atol=1e-15)
