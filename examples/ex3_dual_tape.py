@@ -24,12 +24,7 @@ import numpy as np
 import _common
 from _common import finish, log10, new_fig
 from chemical_kinetics_and_program_execution_tpu import markov_tapes
-from chemical_kinetics_and_program_execution_tpu.engine.compile import (
-    compile_problem_dual,
-)
-from chemical_kinetics_and_program_execution_tpu.engine.rhs import (
-    make_dual_dy_dt,
-)
+from chemical_kinetics_and_program_execution_tpu.engine import dense
 from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
     copolymerization_p0,
 )
@@ -45,15 +40,13 @@ MOTIFS = [((1, 2), "-r", "p(AM)"), ((1, 3), "-b", "p(AN)"),
 
 
 def main():
-    import jax.numpy as jnp
-
-    dual = compile_problem_dual(TAG, CL_K)
-    fn = make_dual_dy_dt(dual, jit=False)
+    # Dense transfer-matrix engine, dual mode (the flagship kernel).
+    dual = dense.compile_dense_dual(TAG, CL_K)
+    fn = dense.make_dense_dy_dt(dual, jit=False)
     half = SIZE_A**CL_K
 
     def rhs(y, t):
-        dy_p, dy_d = fn(y[:half], y[half:])
-        return jnp.concatenate([dy_p, dy_d])
+        return fn(y)
 
     ts = np.linspace(0.0, T_MAX, N_SAMPLES)
 
