@@ -142,3 +142,33 @@ def test_fuzz_decision_machine_vs_table(seed):
     got = ensemble._apply_lattice_round_fsm(dm, pt, dtp, shift, uniforms)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_dual_equal_spd_oracle(seed):
+    """Dual-SPD compilation on random rules: random programs interleave
+    reveals and writes on both tapes in arbitrary order, stressing the
+    per-factor tape provenance. At p_prog == p_data the two dual halves
+    must sum to the shared engine's dy/dt exactly; the halves must also
+    conserve per-tape probability."""
+    from chemical_kinetics_and_program_execution_tpu.engine.compile import (
+        compile_problem_dual,
+    )
+    from chemical_kinetics_and_program_execution_tpu.engine.rhs import (
+        make_dual_dy_dt,
+    )
+
+    size_a = 2 + seed % 2
+    cl_k = 3
+    tag = _register_random(seed, size_a)
+    shared = rhs.make_chain_dy_dt(compile_problem(tag, cl_k,
+                                                  use_cache=False))
+    fn_dual = make_dual_dy_dt(compile_problem_dual(tag, cl_k))
+    rng = np.random.RandomState(2000 + seed)
+    p = rng.dirichlet(np.ones(size_a**cl_k))
+    dy_p, dy_d = fn_dual(p, p)
+    np.testing.assert_allclose(
+        np.asarray(dy_p) + np.asarray(dy_d), np.asarray(shared(p)),
+        rtol=1e-12, atol=1e-15)
+    assert abs(float(np.asarray(dy_p).sum())) < 1e-13
+    assert abs(float(np.asarray(dy_d).sum())) < 1e-13
