@@ -323,7 +323,33 @@ def bench_branching_ensemble():
         "machine": f"{dm.tag}: {len(dm.nodes)} nodes"}
 
 
+def _probe_backend(timeout_s: int = 240) -> None:
+    """Fail fast when the accelerator tunnel is dead.
+
+    A dead axon tunnel makes jax's backend init retry for ~30 minutes
+    before raising (measured 2026-08-17); probing in a killable
+    subprocess bounds that to ``timeout_s`` with a clear message.
+    Skipped when the run explicitly targets CPU.
+    """
+    if os.environ.get("CKPE_PLATFORM", "").lower() == "cpu":
+        return
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except Exception as e:
+        print(f"# accelerator backend unavailable ({type(e).__name__}); "
+              "set CKPE_PLATFORM=cpu for a CPU run", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
+    _probe_backend()
     tps, info = bench_ensemble()
     result = {
         "metric": "tape transitions/sec/chip",
