@@ -196,3 +196,28 @@ def test_dense_dual_matches_tree_dual_and_shared_oracle(tag):
     np.testing.assert_allclose(
         eq[:n] + eq[n:], np.asarray(shared(jnp.asarray(pp))),
         rtol=1e-12, atol=1e-15)
+
+
+def test_dense_dual_shards_over_state_axis():
+    """The GSPMD state-axis sharding wraps dual programs unchanged: the
+    concatenated [p_prog | p_data] axis partitions across the mesh with
+    per-half sweeps and collectives inside."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_dense_dy_dt,
+    )
+
+    prog = dense.compile_dense_dual("ex3-copolymerization", 3)
+    assert prog.state_size == 128
+    mesh = make_mesh(n_batch=1, n_event=8)
+    sharded = make_sharded_dense_dy_dt(prog, mesh)
+    single = dense.make_dense_dy_dt(prog)
+    rng = np.random.RandomState(0)
+    y = np.concatenate([rng.dirichlet(np.ones(64)),
+                        rng.dirichlet(np.ones(64))])
+    got = np.asarray(sharded(y[None]))[0]
+    want = np.asarray(single(jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-16)
