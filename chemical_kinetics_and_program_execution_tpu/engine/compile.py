@@ -137,6 +137,51 @@ def collect_signatures(worlds):
     return live, sig_ids, pair_world, pair_sig
 
 
+def collect_signatures_dual(tag: str, worlds, half: int, one_slot: int):
+    """Stage 1-2 collection for the dual-SPD compilers (`collect_signatures`
+    sibling): signatures are keyed by (tape, sig) so each tape's changed
+    windows accumulate into its own dy/dt half, and world factor chains
+    are remapped into the per-tape concatenated pyramid (program first,
+    data offset by ``half``, constant-1 at ``one_slot``).
+
+    Returns (live, sig_ids, pair_world, pair_sig, w_num, w_den, w_const).
+    Raises when the worlds lack per-factor tape provenance (guided/native
+    enumerations do not carry it; dual compilation needs the plain
+    odometer path).
+    """
+    live, sig_ids = [], {}
+    pair_world, pair_sig = [], []
+    for world in worlds:
+        changed = [
+            (ti, s) for ti, s in enumerate(world.tape_sigs)
+            if s[0] != s[1]
+        ]
+        if world.const == 0.0 or not changed:
+            continue
+        if len(world.factor_tapes) != len(world.factors):
+            raise ValueError(
+                f"{tag!r}: worlds lack per-factor tape provenance "
+                "(guided/native enumeration); dual-SPD compilation "
+                "needs the plain odometer path"
+            )
+        wi = len(live)
+        live.append(world)
+        for ti, sig in changed:
+            pair_world.append(wi)
+            pair_sig.append(sig_ids.setdefault((ti, sig), len(sig_ids)))
+
+    w_chains = [
+        tuple(
+            (a + (half if dt else 0), b + (half if dt else 0))
+            for (a, b), dt in zip(w.factors, w.factor_tapes)
+        )
+        for w in live
+    ]
+    w_num, w_den = _pad_chains(w_chains, one_slot)
+    w_const = np.array([w.const for w in live], dtype=np.float64)
+    return live, sig_ids, pair_world, pair_sig, w_num, w_den, w_const
+
+
 def compile_problem(tag: str, cl_k: int, *, max_worlds: int | None = None,
                     use_cache: bool = True) -> CompiledProblem:
     problem = dsl.get_problem(tag)
@@ -270,36 +315,9 @@ def compile_problem_dual(tag: str, cl_k: int, *,
         return idx + (half if data_tape else 0)
 
     # Stages 1-2 with per-tape signature provenance.
-    live, sig_ids = [], {}
-    pair_world, pair_sig = [], []
-    for world in worlds:
-        changed = [
-            (ti, s) for ti, s in enumerate(world.tape_sigs)
-            if s[0] != s[1]
-        ]
-        if world.const == 0.0 or not changed:
-            continue
-        if len(world.factor_tapes) != len(world.factors):
-            raise ValueError(
-                f"{tag!r}: worlds lack per-factor tape provenance "
-                "(guided/native enumeration); dual-SPD compilation "
-                "needs the plain odometer path"
-            )
-        wi = len(live)
-        live.append(world)
-        for ti, sig in changed:
-            pair_world.append(wi)
-            pair_sig.append(sig_ids.setdefault((ti, sig), len(sig_ids)))
-
-    w_chains = [
-        tuple(
-            (remap(a, dt), remap(b, dt))
-            for (a, b), dt in zip(w.factors, w.factor_tapes)
-        )
-        for w in live
-    ]
-    w_num, w_den = _pad_chains(w_chains, one_slot)
-    w_const = np.array([w.const for w in live], dtype=np.float64)
+    (live, sig_ids, pair_world, pair_sig,
+     w_num, w_den, w_const) = collect_signatures_dual(
+        tag, worlds, half, one_slot)
 
     expander = accumulate.Expander(size_a, cl_k)
     e_chains, e_sig, tgt_orig, tgt_adj = [], [], [], []

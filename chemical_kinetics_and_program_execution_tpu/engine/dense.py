@@ -211,38 +211,11 @@ def compile_dense_dual(tag: str, cl_k: int, *,
 
     worlds = enum_mod.enumerate_worlds(problem, cl_k,
                                        max_worlds=max_worlds)
-    from .compile import _pad_chains
+    from .compile import collect_signatures_dual
 
-    live, sig_ids = [], {}
-    pair_world, pair_sig = [], []
-    for world in worlds:
-        changed = [
-            (ti, s) for ti, s in enumerate(world.tape_sigs)
-            if s[0] != s[1]
-        ]
-        if world.const == 0.0 or not changed:
-            continue
-        if len(world.factor_tapes) != len(world.factors):
-            raise ValueError(
-                f"{tag!r}: worlds lack per-factor tape provenance "
-                "(guided/native enumeration); dual-SPD compilation "
-                "needs the plain odometer path"
-            )
-        wi = len(live)
-        live.append(world)
-        for ti, sig in changed:
-            pair_world.append(wi)
-            pair_sig.append(sig_ids.setdefault((ti, sig), len(sig_ids)))
-
-    w_chains = [
-        tuple(
-            (a + (half if dt else 0), b + (half if dt else 0))
-            for (a, b), dt in zip(w.factors, w.factor_tapes)
-        )
-        for w in live
-    ]
-    w_num, w_den = _pad_chains(w_chains, one_slot)
-    w_const = np.array([w.const for w in live], dtype=np.float64)
+    (live, sig_ids, pair_world, pair_sig,
+     w_num, w_den, w_const) = collect_signatures_dual(
+        tag, worlds, half, one_slot)
 
     plans = tuple(
         SigPlan(

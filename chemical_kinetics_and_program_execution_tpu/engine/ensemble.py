@@ -1620,7 +1620,11 @@ def weighted_first_passage(key, tapes, logw, dm: DeviceMachine, pattern,
     branch-rare events.
 
     Returns ``(survival [num_blocks], ess [num_blocks],
-    t_blocks [num_blocks], (ptape, dtape), logw, hit)``.
+    t_blocks [num_blocks], (ptape, dtape), logw, hit,
+    n_unique [num_blocks])`` — ``n_unique`` is the per-block count of
+    distinct (tape, hit-flag) members after the merge, the
+    frontier-collapse diagnostic complementing ``ess`` (same as
+    :func:`run_weighted_frontier_blocked`'s).
     """
     num_blocks, rounds, events = plan
     ptape, dtape = tapes
@@ -1665,7 +1669,7 @@ def weighted_first_passage(key, tapes, logw, dm: DeviceMachine, pattern,
     dtape = _from_planes_t(dd).astype(in_dtype)
     lw = lw - jax.scipy.special.logsumexp(lw)
     return (jnp.stack(surv), jnp.stack(esses), t_blocks,
-            (ptape, dtape), lw, hit)
+            (ptape, dtape), lw, hit, jnp.stack(n_unique))
 
 
 def weighted_window_counts(tape, weights, size_a: int, cl_k: int):
@@ -1733,32 +1737,58 @@ def sample_tapes_from_spd(key, spd, size_a: int, cl_k: int,
     k0, k1 = jax.random.split(jnp.asarray(key))
 
     if ring:
-        # Context transition matrix T[c, c'] and its powers M[r] = T^r.
+        # The bridge factor T^r[c, ctx0] is only ever read at the batch's
+        # sampled start contexts, so instead of materialising every power
+        # of the [n_ctx, n_ctx] context transition matrix (quadratic in
+        # n_ctx — ~44 GB at size_a=10, cl_k=5), recurse its COLUMNS for
+        # the unique starts: V_r[c, j] = T^r[c, u_j] via the row-sparse
+        # step V_r[c] = Σ_s mpp[c, s]·V_{r-1}[nctx[c, s]] (T has size_a
+        # nonzeros per row, so no dense T is built either). Columns of
+        # an ergodic chain flatten to a c-independent constant at the
+        # mixing time; a flat bridge cancels in the per-step
+        # normalisation, so storage stops there: [R, n_ctx, n_unique]
+        # with R ≤ min(length, mixing time).
         nctx_np = (np.arange(n_ctx)[:, None] * size_a
                    + np.arange(size_a)[None, :]) % n_ctx
-        T = np.zeros((n_ctx, n_ctx))
-        np.add.at(T, (np.repeat(np.arange(n_ctx), size_a),
-                      nctx_np.ravel()), mpp_np.ravel())
-        powers = np.empty((length + 1, n_ctx, n_ctx))
-        powers[0] = np.eye(n_ctx)
-        for r in range(1, length + 1):
-            powers[r] = powers[r - 1] @ T
-        # Start contexts must be able to close the cycle.
-        start_w = marg_np * (np.diag(powers[length]) > 0)
-        if start_w.sum() <= 0:  # periodic corner case: fall back
-            return sample_tapes_from_spd(key, spd, size_a, cl_k, batch,
-                                         length, ring=False)
-        M = jnp.asarray(powers)
-        nctx_t = jnp.asarray(nctx_np)
         ctx0 = jax.random.choice(
-            k0, n_ctx, (batch,), p=jnp.asarray(start_w / start_w.sum())
+            k0, n_ctx, (batch,), p=jnp.asarray(marg_np / marg_np.sum())
         )
+        u_starts, inv = np.unique(np.asarray(ctx0), return_inverse=True)
+        n_u = len(u_starts)
+        v = np.zeros((n_ctx, n_u))
+        v[u_starts, np.arange(n_u)] = 1.0
+        cols = []  # cols[r][c, j] = T^r[c, u_j]
+        flat_tol = 1e-13
+        for _ in range(length):
+            cols.append(v)
+            v = np.einsum("cs,csj->cj", mpp_np, v[nctx_np])
+            vmax = v.max(axis=0)
+            if np.all(vmax - v.min(axis=0) <= flat_tol * vmax):
+                break  # columns mixed: flat bridge from here on
+        n_kept = len(cols)
+        if n_kept == length:
+            # Never mixed within the horizon: verify every sampled start
+            # can close its cycle (feas_j = T^length[u_j, u_j] > 0); a
+            # periodic/reducible corner falls back to the linear chain,
+            # matching the dense-powers formulation's diag gate.
+            feas = np.array([
+                float(mpp_np[u] @ cols[-1][nctx_np[u], j])
+                for j, u in enumerate(u_starts)])
+            if np.any(feas <= 0):
+                return sample_tapes_from_spd(key, spd, size_a, cl_k,
+                                             batch, length, ring=False)
+        V = jnp.asarray(np.stack(cols))  # [n_kept, n_ctx, n_u]
+        nctx_t = jnp.asarray(nctx_np)
+        inv_t = jnp.asarray(inv)
 
         def gen(carry, inp):
             ctx, i = carry, inp
             k, r_left = i
             # P(s | ctx, close at ctx0) ∝ mpp[ctx, s] · T^(r-1)[nctx, ctx0]
-            bridge = M[r_left - 1][nctx_t[ctx], ctx0[:, None]]
+            rr = r_left - 1
+            bridge = V[jnp.minimum(rr, n_kept - 1)][
+                nctx_t[ctx], inv_t[:, None]]
+            bridge = jnp.where(rr >= n_kept, 1.0, bridge)
             probs = mpp[ctx] * bridge
             probs = probs / probs.sum(axis=1, keepdims=True)
             sym = jax.vmap(

@@ -121,6 +121,16 @@ def make_sharded_dy_dt(compiled: CompiledProblem, mesh: jax.sharding.Mesh,
     axis size; event tables are sharded over the "ev" axis and partial
     derivatives `psum`-reduced.
     """
+    from ..engine.compile import CompiledDualProblem
+
+    if isinstance(compiled, CompiledDualProblem):
+        raise ValueError(
+            "make_sharded_dy_dt shards the single-SPD event tables; "
+            "dual-SPD programs build one shared pyramid per tape and are "
+            "not supported here. Use make_sharded_dense_dy_dt with a "
+            "dense dual program (engine.dense.compile_dense_dual) for "
+            "state-axis sharding, or the unsharded dual kernels."
+        )
     n_ev = mesh.shape["ev"]
     st = shard_event_tables(compiled, n_ev)
 

@@ -45,6 +45,9 @@ TAG = "ex2-ferromagnetic-chain"
 CL_K = 5
 K = int(os.environ.get("CKPE_EX2CC_K", "8192"))
 L, E = 128, 4
+# Reduced smoke runs write suffixed artifacts; never overwrite the
+# committed full-scale ones (CLAUDE.md convention).
+SUFFIX = "" if K == 8192 else f"_k{K}"
 ROUNDS_PER_SNAP = 32  # one merge/resample pass per snapshot
 N_SNAPS = 40
 N_SEEDS = 4
@@ -94,7 +97,7 @@ def main():
     # Exact closure trajectory on the snapshot grid.
     fn = make_dy_dt(compile_problem(TAG, CL_K))
     exact_ys = _common.cached(
-        "ex2_ensemble_crosscheck_exact.npz",
+        f"ex2_ensemble_crosscheck_exact{SUFFIX}.npz",
         lambda: np.asarray(
             solve(lambda y, t: fn(y), p0, ts, rtol=1e-10, atol=1e-12)),
         ts=ts)
@@ -102,7 +105,7 @@ def main():
 
     # Frontier trajectories (stochastic twin), N_SEEDS independent runs.
     emp_spds = _common.cached(
-        "ex2_ensemble_crosscheck_frontier.npz",
+        f"ex2_ensemble_crosscheck_frontier{SUFFIX}.npz",
         lambda: np.stack([
             frontier_trajectory(s, p0, dt_round) for s in range(N_SEEDS)
         ]))
@@ -128,10 +131,13 @@ def main():
               f"= {rel[1:].max():.3f}")
     # Self-validating: the seed-mean must track the exact closure.
     # Sampling error at K*L*N_SEEDS ~ 4M window draws and p >= 3e-3
-    # puts the statistical floor well under 10%.
-    assert worst < 0.10, f"frontier diverged from exact closure: {worst}"
+    # puts the statistical floor well under 10% at the full K=8192;
+    # reduced smoke runs scale the gate by the Monte-Carlo 1/sqrt(K).
+    gate = 0.10 * max(1.0, math.sqrt(8192 / K))
+    assert worst < gate, (
+        f"frontier diverged from exact closure: {worst} (gate {gate:.3f})")
     ax.set_title("ex2: exact SPD closure vs stochastic tape frontier")
-    finish(fig, ax, "ex2_ensemble_crosscheck.pdf",
+    finish(fig, ax, f"ex2_ensemble_crosscheck{SUFFIX}.pdf",
            ylabel=r"$\log_{10} p(\mathrm{D\,U^L\,D})$")
 
 

@@ -36,6 +36,9 @@ TAG, CL_K = "ex2-ferromagnetic-chain", 6
 B = int(os.environ.get("CKPE_EX2FP_B", "4096"))
 L, E, ROUNDS = 128, 4, 4800
 PATTERN = (1, 1, 1, 1)  # U U U U
+# Reduced smoke runs write suffixed artifacts; never overwrite the
+# committed full-scale ones (CLAUDE.md convention).
+SUFFIX = "" if B == 4096 else f"_b{B}"
 
 
 def main():
@@ -56,11 +59,16 @@ def main():
             (ROUNDS, E))
         return np.asarray(t_hit)
 
-    t_hit = _common.cached("ex2_first_passage.npz", compute, key="t_hit")
+    t_hit = _common.cached(f"ex2_first_passage{SUFFIX}.npz", compute,
+                           key="t_hit")
     frac_hit = np.isfinite(t_hit).mean()
-    print(f"hit fraction within t={t_max:.1f}: {frac_hit:.3f}; "
-          f"median first-passage "
-          f"t={np.median(t_hit[np.isfinite(t_hit)]):.2f}")
+    if frac_hit > 0:
+        print(f"hit fraction within t={t_max:.1f}: {frac_hit:.3f}; "
+              f"median first-passage "
+              f"t={np.median(t_hit[np.isfinite(t_hit)]):.2f}")
+    else:
+        print(f"hit fraction within t={t_max:.1f}: 0 — no member hit; "
+              "increase ROUNDS or B")
 
     ts = np.linspace(0.0, t_max, 200)
     surv = np.array([(t_hit > t).mean() for t in ts])
@@ -69,11 +77,16 @@ def main():
     # quasi-equilibrium and UUUU formation is a rare fluctuation, so
     # S(t) decays exponentially — the tail slope is the per-tape island
     # NUCLEATION RATE, an observable only the first-passage formulation
-    # exposes (occupancy saturates instead).
-    tail = ts > 0.5 * t_max
-    rate = -np.polyfit(ts[tail], np.log(surv[tail]), 1)[0]
-    print(f"late-time island nucleation rate per tape: {rate:.3e} "
-          f"(1/time; L={L} sites)")
+    # exposes (occupancy saturates instead). Fit only where S > 0 (at
+    # small B every member can hit before t_max, zeroing the tail).
+    tail = (ts > 0.5 * t_max) & (surv > 0)
+    if tail.sum() >= 2:
+        rate = -np.polyfit(ts[tail], np.log(surv[tail]), 1)[0]
+        print(f"late-time island nucleation rate per tape: {rate:.3e} "
+              f"(1/time; L={L} sites)")
+    else:
+        print("late-time tail fully absorbed — no nucleation-rate fit "
+              f"(B={B} too small for the survival tail)")
 
     # Exact closure occupancy proxy: p(D U^4 D)(t) needs cl_k >= 6.
     fn = make_dy_dt(compile_problem(TAG, CL_K))
@@ -92,7 +105,7 @@ def main():
                   " (occupancy, not first passage)")
     ax.set_ylim(-0.02, 1.02)
     ax.set_title("ex2: first passage to a length-4 island")
-    finish(fig, ax, "ex2_first_passage.pdf", ylabel="survival")
+    finish(fig, ax, f"ex2_first_passage{SUFFIX}.pdf", ylabel="survival")
 
 
 if __name__ == "__main__":

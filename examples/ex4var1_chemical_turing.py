@@ -67,7 +67,9 @@ def main():
             stack_projectors,
         )
 
-        seqs = [s for s, _, _ in curves] + [[0], [1], [2], [3]]
+        # curves[0..3] already project p(A)/p(B)/p(C)/p(D), so c_tot
+        # below reuses those columns instead of duplicating them.
+        seqs = [s for s, _, _ in curves]
         proj = stack_projectors(
             seq_prob_projector(seqs, SIZE_A, cl_k),
             markov_entropy_projector(SIZE_A, cl_k))
@@ -83,7 +85,7 @@ def main():
         for j, (_, style, label) in enumerate(curves):
             ax.plot(ode_ts[1:], log10(obs[1:, j]), style, label=label)
             print(f"{label}: p_final={obs[-1, j]}")
-        c_tot = obs[:, len(curves):len(curves) + 4].sum(axis=1)
+        c_tot = obs[:, 0:4].sum(axis=1)
         entropies = obs[:, -1]
     else:
         ode_ys = cached(

@@ -754,12 +754,14 @@ def test_weighted_first_passage_matches_unweighted_and_is_tau_invariant():
     # Weighted ensemble at matched cadence (1 round per block).
     surv = {}
     for tau in (1.0, 0.5):
-        s, ess, t_blocks, _, _, _ = ensemble.weighted_first_passage(
+        s, ess, t_blocks, _, _, _, n_uniq = ensemble.weighted_first_passage(
             jax.random.PRNGKey(8), (ptape, dtape), lw0, dm, pattern,
             (n_rounds, 1, E), tau=tau)
         surv[tau] = (np.asarray(s), t_blocks)
         if tau == 1.0:  # true branch law: weights stay uniform
             np.testing.assert_allclose(np.asarray(ess), K, rtol=1e-9)
+        nu = np.asarray(n_uniq)
+        assert nu.shape == (n_rounds,) and np.all((nu >= 1) & (nu <= K))
 
     s1, t_blocks = surv[1.0]
     for bi in (n_rounds // 2 - 1, n_rounds - 1):

@@ -292,3 +292,22 @@ def test_sharded_dense_end_to_end_solve_matches_single_device():
                            rtol=1e-9, atol=1e-12))
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(got.sum(axis=-1), 1.0, rtol=1e-9)
+
+
+def test_event_sharded_rejects_dual_programs():
+    """make_sharded_dy_dt builds one shared pyramid; a dual-SPD compile
+    must be rejected with a clear message, not a trace-time shape error."""
+    from chemical_kinetics_and_program_execution_tpu.engine.compile import (
+        compile_problem_dual,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_dy_dt,
+    )
+
+    dual = compile_problem_dual("ex1-radioactive-decay", 3)
+    mesh = make_mesh(n_batch=2, n_event=4)
+    with pytest.raises(ValueError, match="dual-SPD"):
+        make_sharded_dy_dt(dual, mesh)
