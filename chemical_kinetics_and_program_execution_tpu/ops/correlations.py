@@ -293,7 +293,7 @@ def correlation_length(spd, *, ctx=None, size_a=None, cl_k=None):
 
         op = LinearOperator((n_ctx, n_ctx), matvec=matvec,
                             rmatvec=rmatvec)
-        lam = np.sort(np.abs(eigs(op, k=2, which="LM",
+        lam = np.sort(np.abs(eigs(op, k=2, which="LM", tol=1e-12,
                                   return_eigenvectors=False)))[::-1]
         lam2 = lam[1]
     if lam2 <= 0:

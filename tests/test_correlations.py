@@ -184,6 +184,33 @@ def test_bridge_sampler_matches_ring_correlator():
                                                  want)
 
 
+def test_correlation_length_arnoldi_branch_matches_chain():
+    """n_ctx > 4096 takes the matrix-free scipy-Arnoldi path. An
+    order-1 chain lifted to cl_k=14 windows (next symbol depends on the
+    last symbol only) has a context operator whose nonzero spectrum IS
+    the 2x2 chain's, so xi must equal the chain's -1/ln|lambda_2|."""
+    rng = np.random.default_rng(5)
+    mpp1 = rng.random((2, 2)) + 0.2
+    mpp1 /= mpp1.sum(axis=1, keepdims=True)
+    lam = np.linalg.eigvals(mpp1)
+    lam2 = float(np.sort(np.abs(lam))[0])
+    ev, vecs = np.linalg.eig(mpp1.T)  # stationary dist of the chain
+    pi1 = np.real(vecs[:, np.argmax(np.real(ev))])
+    pi1 = np.abs(pi1) / np.abs(pi1).sum()
+
+    cl_k = 14  # n_ctx = 8192 > _DENSE_CTX_LIMIT
+    spd = pi1.copy()
+    for _ in range(cl_k - 1):
+        spd = spd[..., None] * mpp1[(None,) * (spd.ndim - 1) + (Ellipsis,)]
+    assert spd.shape == (2,) * cl_k
+    np.testing.assert_allclose(spd.sum(), 1.0, rtol=1e-12)
+    xi = corr.correlation_length(spd)
+    # The lifted operator is highly non-normal (a large nilpotent
+    # block), which limits Arnoldi's lambda_2 accuracy to ~1e-5 here;
+    # the dense branch is exact.
+    np.testing.assert_allclose(xi, -1.0 / np.log(lam2), rtol=1e-4)
+
+
 def test_ring_mode_rejects_oversized_contexts():
     spd = _random_markov_spd(2, 3, seed=4)
     with pytest.raises(ValueError, match="d must be >= 0"):
