@@ -267,3 +267,76 @@ def test_fresh_solve_against_independent_host_oracle():
     np.testing.assert_allclose(ys_jax, ys_ref, rtol=2e-7, atol=1e-11)
     # Sanity: the dynamics actually moved the state.
     assert np.abs(ys_ref[-1] - p0).max() > 1e-4
+
+
+def test_ex2_correlations_artifacts_on_analytic_curve():
+    """Committed ex2_correlations.npz steady states must put the spin
+    correlator ON the analytic Ising transfer-matrix curve and the
+    context-operator xi on -1/ln(lambda_2/lambda_1) — the claims in
+    RESULTS.md 'Spatial correlators', re-derived from the artifact at
+    every CI run (no solve needed; a correlations/markov regression
+    fails here without artifact regeneration)."""
+    from chemical_kinetics_and_program_execution_tpu.ops import (
+        correlations as corr,
+    )
+
+    path = os.path.join(ART_DIR, "ex2_correlations.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex2_correlations.py first")
+    spds = np.load(path)["spds"]
+    betas = np.linspace(0.2, 1.2, 11)
+    assert spds.shape == (len(betas), 16)
+    spin = {(0,): -1.0, (1,): 1.0}
+    ds = np.arange(1, 31)
+    s = np.array([-1.0, 1.0])
+    for bi in (2, 6, 10):  # beta = 0.4, 0.8, 1.2
+        beta = betas[bi]
+        T = np.exp(beta * (2.0 * np.outer(s, s)
+                           + 0.5 * -0.25 * (s[:, None] + s[None, :])))
+        lam, u = np.linalg.eigh(T)
+        order = np.argsort(lam)[::-1]
+        lam, u = lam[order], u[:, order]
+        amp = float(u[:, 0] @ (s * u[:, 1])) ** 2
+        want = amp * (lam[1] / lam[0]) ** ds.astype(float)
+        got = corr.observable_correlation(
+            spds[bi].reshape((2,) * 4), spin, spin, ds)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        xi = corr.correlation_length(spds[bi].reshape((2,) * 4))
+        np.testing.assert_allclose(
+            xi, -1.0 / np.log(lam[1] / lam[0]), rtol=1e-5)
+
+
+def test_ex2_autocorrelation_artifacts_hold_gates():
+    """Committed ex2_autocorrelation artifacts must reproduce the two
+    RESULTS.md claims: Var(M) on the exact spatial-correlator sum, and
+    the mid-tail regression rate on the cl_k-extrapolated lambda_1."""
+    from chemical_kinetics_and_program_execution_tpu.ops import (
+        correlations as corr,
+    )
+
+    mode_p = os.path.join(ART_DIR, "ex2_autocorrelation_mode.npz")
+    series_p = os.path.join(ART_DIR, "ex2_autocorrelation_series.npz")
+    if not (os.path.exists(mode_p) and os.path.exists(series_p)):
+        pytest.skip("run examples/ex2_autocorrelation.py first")
+    with np.load(mode_p) as z:
+        spd, lam_inf = z["spd"], float(z["laminf"])
+    ms = np.load(series_p)["ode_ys"]
+
+    L, E, rounds_per_snap = 64, 4, 8
+    spin = {(0,): -1.0, (1,): 1.0}
+    c_ring = corr.observable_correlation(
+        spd.reshape((2,) * 4), spin, spin, range(L), ring=L)
+    var_exact = float(c_ring.sum() / L)
+
+    x = ms - ms.mean()
+    var_meas = float((x * x).mean())
+    assert abs(var_meas / var_exact - 1.0) < 0.05
+
+    dt_snap = rounds_per_snap * (-np.log1p(-E / L))
+    taus = np.arange(min(len(ms) // 2,
+                         int(6.0 / (abs(lam_inf) * dt_snap))))
+    c = np.array([(x[: len(x) - t] * x[t:]).mean() for t in taus])
+    c /= c[0]
+    sel = (c < 0.6) & (c > 0.2) & (taus > 0)
+    rate = -np.polyfit(taus[sel] * dt_snap, np.log(c[sel]), 1)[0]
+    assert abs(rate / -lam_inf - 1.0) < 0.10
