@@ -286,7 +286,10 @@ def bench_branching_ensemble():
 
     dm = ensemble.compile_decision_machine("ex4-chemical-turing")
     assert any(isinstance(n, ensemble._Choose) for n in dm.nodes)
-    B = int(os.environ.get("CKPE_BENCH_EX4_B", "16384"))
+    # CKPE_BENCH_EX4_B overrides; otherwise follow the main ensemble's
+    # CKPE_BENCH_B so one knob reduces the whole bench (CPU smoke runs).
+    B = int(os.environ.get("CKPE_BENCH_EX4_B",
+                           os.environ.get("CKPE_BENCH_B", "16384")))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
     steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
     events = max(1, L // 16)
