@@ -117,16 +117,13 @@ def _merge_words(seq_a, seq_b, d):
     return out
 
 
-def _word_matrix(word, mpp, nctx):
-    """Dense operator of reading ``word``: E[c, c'] = P(word, end ctx c' |
-    start ctx c). Used by the cyclic trace formula only."""
+def _step_matrix(s, mpp, nctx):
+    """Dense one-symbol step operator E_s[c, c'] = mpp[c, s]·[c' =
+    shift(c, s)]. Used by the cyclic trace formula only."""
     n_ctx = mpp.shape[0]
-    E = np.eye(n_ctx)
-    for s in word:
-        step = np.zeros((n_ctx, n_ctx))
-        step[np.arange(n_ctx), nctx[:, s]] = mpp[:, s]
-        E = E @ step
-    return E
+    step = np.zeros((n_ctx, n_ctx))
+    step[np.arange(n_ctx), nctx[:, s]] = mpp[:, s]
+    return step
 
 
 def _transfer_dense(mpp, nctx):
@@ -137,8 +134,28 @@ def _transfer_dense(mpp, nctx):
     return T
 
 
+def ring_operators(ctx, L):
+    """Call-invariant cyclic-trace operators for rings of ``L`` sites:
+    ``(T, Z)`` with T the dense transfer operator and Z = tr(T^L) the
+    ring partition mass. Hoist out of separation/word loops —
+    :func:`observable_correlation` computes this once per call."""
+    mpp, nctx, _ = ctx
+    n_ctx = mpp.shape[0]
+    if n_ctx > _DENSE_CTX_LIMIT:
+        raise ValueError(
+            f"ring mode builds dense [n_ctx, n_ctx] operators; "
+            f"n_ctx={n_ctx} exceeds {_DENSE_CTX_LIMIT}. Use chain mode "
+            "(ring=None) for large alphabets/contexts.")
+    T = _transfer_dense(mpp, nctx)
+    Z = np.trace(np.linalg.matrix_power(T, int(L)))
+    if Z <= 0:
+        raise ValueError("cyclic measure has zero mass (periodic or "
+                         "degenerate chain); no ring correlator")
+    return T, Z
+
+
 def pair_prob(spd, seq_a, seq_b, d, *, ring=None, ctx=None,
-              size_a=None, cl_k=None):
+              size_a=None, cl_k=None, ring_ops=None):
     """P(word ``seq_a`` at position 0 AND word ``seq_b`` at position
     ``d >= 0``) under the SPD's Markov extension.
 
@@ -172,12 +189,9 @@ def pair_prob(spd, seq_a, seq_b, d, *, ring=None, ctx=None,
     L = int(ring)
     if len(seq_a) > L or len(seq_b) > L:
         raise ValueError("word longer than the ring")
+    T, Z = (ring_operators((mpp, nctx, pi), L) if ring_ops is None
+            else ring_ops)
     n_ctx = mpp.shape[0]
-    if n_ctx > _DENSE_CTX_LIMIT:
-        raise ValueError(
-            f"ring mode builds dense [n_ctx, n_ctx] operators; "
-            f"n_ctx={n_ctx} exceeds {_DENSE_CTX_LIMIT}. Use chain mode "
-            "(ring=None) for large alphabets/contexts.")
     d = d % L
     # Resolve overlaps (direct and wrap-around) by merging onto a ring
     # template of None-or-symbol cells.
@@ -189,30 +203,20 @@ def pair_prob(spd, seq_a, seq_b, d, *, ring=None, ctx=None,
         if cells[j] is not None and cells[j] != s:
             return 0.0
         cells[j] = s
-    T = _transfer_dense(mpp, nctx)
-    Z = np.trace(np.linalg.matrix_power(T, L))
-    if Z <= 0:
-        raise ValueError("cyclic measure has zero mass (periodic or "
-                         "degenerate chain); no ring correlator")
     # Walk the ring once, multiplying fixed-symbol step operators and
     # free-cell transfer steps in position order.
     op = np.eye(n_ctx)
     for cell in cells:
-        if cell is None:
-            op = op @ T
-        else:
-            step = np.zeros((n_ctx, n_ctx))
-            step[np.arange(n_ctx), nctx[:, cell]] = mpp[:, cell]
-            op = op @ step
+        op = op @ (T if cell is None else _step_matrix(cell, mpp, nctx))
     return float(np.trace(op) / Z)
 
 
 def word_prob(spd, word, *, ring=None, ctx=None, size_a=None,
-              cl_k=None):
+              cl_k=None, ring_ops=None):
     """P(word at a fixed position) — :func:`pair_prob` with an empty
     partner word."""
     return pair_prob(spd, word, (), 0, ring=ring, ctx=ctx,
-                     size_a=size_a, cl_k=cl_k)
+                     size_a=size_a, cl_k=cl_k, ring_ops=ring_ops)
 
 
 def observable_correlation(spd, f_words, g_words, ds, *, ring=None,
@@ -234,9 +238,12 @@ def observable_correlation(spd, f_words, g_words, ds, *, ring=None,
     g_words = {tuple(w): float(c) for w, c in dict(g_words).items()}
     ds = [int(d) for d in ds]
 
-    mean_f = sum(c * word_prob(spd, w, ring=ring, ctx=ctx)
+    ring_ops = None if ring is None else ring_operators(ctx, ring)
+    mean_f = sum(c * word_prob(spd, w, ring=ring, ctx=ctx,
+                               ring_ops=ring_ops)
                  for w, c in f_words.items())
-    mean_g = sum(c * word_prob(spd, w, ring=ring, ctx=ctx)
+    mean_g = sum(c * word_prob(spd, w, ring=ring, ctx=ctx,
+                               ring_ops=ring_ops)
                  for w, c in g_words.items())
     prod = mean_f * mean_g if connected else 0.0
 
@@ -244,7 +251,8 @@ def observable_correlation(spd, f_words, g_words, ds, *, ring=None,
     if ring is not None:
         for j, d in enumerate(ds):
             out[j] = sum(
-                cf * cg * pair_prob(spd, wf, wg, d, ring=ring, ctx=ctx)
+                cf * cg * pair_prob(spd, wf, wg, d, ring=ring, ctx=ctx,
+                                    ring_ops=ring_ops)
                 for wf, cf in f_words.items()
                 for wg, cg in g_words.items()) - prod
         return out

@@ -139,7 +139,9 @@ def magnetization_series(spd):
 
 
 def main():
-    mode_path = _common.out_path(f"ex2_autocorrelation_mode{SUFFIX}.npz")
+    # The steady state / eigenvalues are B-independent: one shared
+    # cache, so reduced smoke runs reuse the committed full-scale one.
+    mode_path = _common.out_path("ex2_autocorrelation_mode.npz")
     if os.access(mode_path, os.R_OK):
         with np.load(mode_path) as z:
             spd, lam_slow, lam5, lam6, lam_inf = (

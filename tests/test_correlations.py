@@ -217,3 +217,21 @@ def test_ring_mode_rejects_oversized_contexts():
         corr.pair_prob(spd, (0,), (1,), -1)
     with pytest.raises(ValueError, match="longer than the ring"):
         corr.pair_prob(spd, (0,) * 9, (1,), 0, ring=8)
+    # n_ctx > dense gate: ring mode must refuse BEFORE allocating the
+    # dense [n_ctx, n_ctx] operators (order-1 chain lifted to cl_k=14,
+    # n_ctx=8192 — same construction as the Arnoldi test).
+    rng = np.random.default_rng(6)
+    mpp1 = rng.random((2, 2)) + 0.2
+    mpp1 /= mpp1.sum(axis=1, keepdims=True)
+    ev, vecs = np.linalg.eig(mpp1.T)
+    pi1 = np.real(vecs[:, np.argmax(np.real(ev))])
+    pi1 = np.abs(pi1) / np.abs(pi1).sum()
+    big = pi1.copy()
+    for _ in range(13):
+        big = big[..., None] * mpp1[(None,) * (big.ndim - 1)
+                                    + (Ellipsis,)]
+    with pytest.raises(ValueError, match="ring mode builds dense"):
+        corr.pair_prob(big, (0,), (1,), 3, ring=64)
+    with pytest.raises(ValueError, match="ring mode builds dense"):
+        corr.observable_correlation(big, {(0,): 1.0}, {(1,): 1.0},
+                                    [2], ring=64)
