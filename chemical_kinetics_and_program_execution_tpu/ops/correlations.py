@@ -14,6 +14,14 @@ EVERY separation. This module computes them exactly:
   island indicators, ...).
 - :func:`correlation_length` — ξ = −1/ln|λ₂| from the subleading
   eigenvalue of the context transfer operator.
+- :func:`run_length_distribution` — exact distribution of runs of a
+  symbol CLASS (e.g. copolymer strand lengths, island sizes) at any
+  length, via class-summed transfer steps.
+
+Word positions may be ints (exactly that symbol) or iterables of ints
+(any symbol of the class): ``(0, (1, 2), 0)`` reads 'O, then A-or-M,
+then O'. Classes cost one extra scatter per member symbol — runs of
+length 100 are 100 matvecs either way.
 
 Everything here is host-side analysis math over tiny
 ``[A^(cl_k-1)]``-dimensional context vectors, in the same spirit as
@@ -80,13 +88,31 @@ def context_arrays(spd, *, size_a=None, cl_k=None, eps=None,
     return mpp, nctx, pi
 
 
+def _norm_word(word):
+    """Normalise a word to a tuple of symbol-CLASS tuples: each position
+    is an int (exactly that symbol) or an iterable of ints (any of
+    them) — e.g. ``(0, (1, 2), 0)`` reads 'O, then A-or-M, then O'."""
+    out = []
+    for cell in word:
+        if isinstance(cell, (int, np.integer)):
+            out.append((int(cell),))
+        else:
+            cls = tuple(sorted({int(c) for c in cell}))
+            if not cls:
+                raise ValueError("empty symbol class in word")
+            out.append(cls)
+    return tuple(out)
+
+
 def _emit(v, word, mpp, nctx):
-    """Multiply the context-mass vector by the word's step operators:
-    afterwards ``v[c]`` is P(previous mass ∧ word read ∧ context = c)."""
+    """Multiply the context-mass vector by the word's step operators
+    (summing within each position's symbol class): afterwards ``v[c]``
+    is P(previous mass ∧ word read ∧ context = c)."""
     n_ctx = v.shape[0]
-    for s in word:
+    for cls in _norm_word(word):
         out = np.zeros(n_ctx)
-        np.add.at(out, nctx[:, s], v * mpp[:, s])
+        for s in cls:
+            np.add.at(out, nctx[:, s], v * mpp[:, s])
         v = out
     return v
 
@@ -102,27 +128,43 @@ def _propagate(v, steps, mpp, nctx):
     return v
 
 
+def _merge_cells(a, b):
+    """Intersect two symbol classes (None = unconstrained)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    both = tuple(sorted(set(a) & set(b)))
+    return both or ()
+
+
 def _merge_words(seq_a, seq_b, d):
-    """Overlay word B at offset ``d`` onto word A (offset 0). Returns the
-    merged word, or None when the overlap disagrees."""
+    """Overlay word B at offset ``d`` onto word A (offset 0),
+    intersecting overlapping symbol classes. Returns the merged word,
+    or None when an overlap is contradictory (empty intersection)."""
     n = max(len(seq_a), d + len(seq_b))
     out = [None] * n
-    for i, s in enumerate(seq_a):
-        out[i] = s
-    for i, s in enumerate(seq_b):
+    for i, cls in enumerate(_norm_word(seq_a)):
+        out[i] = cls
+    for i, cls in enumerate(_norm_word(seq_b)):
         j = d + i
-        if out[j] is not None and out[j] != s:
+        merged = _merge_cells(out[j], cls)
+        if merged == ():
             return None
-        out[j] = s
-    return out
+        out[j] = merged
+    # Unconstrained interior cells (possible when B starts past A's
+    # end — chain mode never calls it that way) read as 'any symbol'.
+    return [c for c in out]
 
 
-def _step_matrix(s, mpp, nctx):
-    """Dense one-symbol step operator E_s[c, c'] = mpp[c, s]·[c' =
-    shift(c, s)]. Used by the cyclic trace formula only."""
+def _step_matrix(cls, mpp, nctx):
+    """Dense one-cell step operator summed over the symbol class:
+    E[c, c'] = Σ_{s∈cls} mpp[c, s]·[c' = shift(c, s)]. Used by the
+    cyclic trace formula only."""
     n_ctx = mpp.shape[0]
     step = np.zeros((n_ctx, n_ctx))
-    step[np.arange(n_ctx), nctx[:, s]] = mpp[:, s]
+    for s in cls:
+        step[np.arange(n_ctx), nctx[:, s]] += mpp[:, s]
     return step
 
 
@@ -163,11 +205,14 @@ def pair_prob(spd, seq_a, seq_b, d, *, ring=None, ctx=None,
     ``ring=L`` is the cyclic measure on rings of ``L`` sites — the
     measure the ensemble engine's bridge sampler draws
     (`ensemble.sample_tapes_from_spd(ring=True)`); positions are taken
-    mod L and overlaps (including wrap-around) are resolved by merging
-    the words, so any geometry is valid as long as both words fit the
-    ring. Cyclic mode builds dense ``[n_ctx, n_ctx]`` operators
+    mod L and overlaps (including wrap-around) are resolved by
+    intersecting the symbol classes cell-wise — words longer than the
+    ring simply wrap onto themselves (contradictory overlaps return
+    exactly 0). Cyclic mode builds dense ``[n_ctx, n_ctx]`` operators
     (trace formula) and is gated at n_ctx <= 4096.
 
+    Word positions are ints or symbol-class iterables (module
+    docstring); overlapping positions intersect their classes.
     ``ctx`` optionally passes precomputed :func:`context_arrays`.
     """
     if d < 0:
@@ -187,22 +232,24 @@ def pair_prob(spd, seq_a, seq_b, d, *, ring=None, ctx=None,
         return float(_emit(v, seq_b, mpp, nctx).sum())
 
     L = int(ring)
-    if len(seq_a) > L or len(seq_b) > L:
-        raise ValueError("word longer than the ring")
     T, Z = (ring_operators((mpp, nctx, pi), L) if ring_ops is None
             else ring_ops)
     n_ctx = mpp.shape[0]
     d = d % L
-    # Resolve overlaps (direct and wrap-around) by merging onto a ring
-    # template of None-or-symbol cells.
+    # Resolve overlaps (direct and wrap-around) by intersecting symbol
+    # classes onto a ring template of None-or-class cells.
     cells = [None] * L
-    for i, s in enumerate(seq_a):
-        cells[i % L] = s
-    for i, s in enumerate(seq_b):
-        j = (d + i) % L
-        if cells[j] is not None and cells[j] != s:
+    for i, cls in enumerate(_norm_word(seq_a)):
+        merged = _merge_cells(cells[i % L], cls)
+        if merged == ():
             return 0.0
-        cells[j] = s
+        cells[i % L] = merged
+    for i, cls in enumerate(_norm_word(seq_b)):
+        j = (d + i) % L
+        merged = _merge_cells(cells[j], cls)
+        if merged == ():
+            return 0.0
+        cells[j] = merged
     # Walk the ring once, multiplying fixed-symbol step operators and
     # free-cell transfer steps in position order.
     op = np.eye(n_ctx)
@@ -273,6 +320,46 @@ def observable_correlation(spd, f_words, g_words, ds, *, ring=None,
             for wg, cg in g_words.items():
                 out[j] += cf * cg * float(_emit(v, wg, mpp, nctx).sum())
     return out - prod
+
+
+def run_length_distribution(spd, inside, lengths, *, boundary=None,
+                            ring=None, size_a=None, cl_k=None):
+    """Exact run-length statistics of a symbol class: ``out[j]`` is the
+    per-site probability that a maximal run of ``inside`` symbols of
+    length exactly ``lengths[j]`` STARTS at a given position — i.e.
+    P(boundary, inside^l, boundary) for the word anchored one cell
+    before the run.
+
+    ``inside`` is an iterable of symbol indices (e.g. the non-solvent
+    monomers for copolymer strand lengths); ``boundary`` defaults to
+    its complement. Mass identity (useful as a self-check and for
+    conditioning): summing l·P(l) over ALL lengths recovers the total
+    ``inside`` symbol density, and P(l | a run starts) =
+    out[j] / sum(out). ``ring=L`` evaluates on the cyclic measure
+    (runs up to L−1; the all-``inside`` ring has no boundary and is
+    excluded by construction).
+    """
+    spd_t = _shape_spd(spd, size_a, cl_k)
+    size_a_ = spd_t.shape[-1]
+    inside = tuple(sorted({int(c) for c in inside}))
+    if boundary is None:
+        boundary = tuple(c for c in range(size_a_) if c not in inside)
+    boundary = tuple(sorted({int(c) for c in boundary}))
+    if not inside or not boundary:
+        raise ValueError("inside and boundary classes must be non-empty")
+    ctx = context_arrays(spd_t)
+    mpp, nctx, pi = ctx
+    ring_ops = None if ring is None else ring_operators(ctx, ring)
+    out = np.zeros(len(lengths))
+    for j, ell in enumerate(lengths):
+        ell = int(ell)
+        if ell < 1 or (ring is not None and ell > int(ring) - 1):
+            raise ValueError(f"run length {ell} invalid"
+                             + (f" on a ring of {ring}" if ring else ""))
+        word = (boundary,) + (inside,) * ell + (boundary,)
+        out[j] = pair_prob(spd_t, word, (), 0, ring=ring, ctx=ctx,
+                           ring_ops=ring_ops)
+    return out
 
 
 def correlation_length(spd, *, ctx=None, size_a=None, cl_k=None):

@@ -215,8 +215,13 @@ def test_ring_mode_rejects_oversized_contexts():
     spd = _random_markov_spd(2, 3, seed=4)
     with pytest.raises(ValueError, match="d must be >= 0"):
         corr.pair_prob(spd, (0,), (1,), -1)
-    with pytest.raises(ValueError, match="longer than the ring"):
-        corr.pair_prob(spd, (0,) * 9, (1,), 0, ring=8)
+    # Words longer than the ring wrap onto themselves: consistent
+    # cells intersect (same mass as the once-around word) and
+    # contradictory ones are exactly 0.
+    np.testing.assert_allclose(
+        corr.pair_prob(spd, (0,) * 9, (), 0, ring=8),
+        corr.pair_prob(spd, (0,) * 8, (), 0, ring=8), rtol=1e-12)
+    assert corr.pair_prob(spd, (0,) * 8 + (1,), (), 0, ring=8) == 0.0
     # n_ctx > dense gate: ring mode must refuse BEFORE allocating the
     # dense [n_ctx, n_ctx] operators (order-1 chain lifted to cl_k=14,
     # n_ctx=8192 — same construction as the Arnoldi test).
@@ -235,3 +240,52 @@ def test_ring_mode_rejects_oversized_contexts():
     with pytest.raises(ValueError, match="ring mode builds dense"):
         corr.observable_correlation(big, {(0,): 1.0}, {(1,): 1.0},
                                     [2], ring=64)
+
+
+def test_class_words_match_symbol_sums():
+    """A symbol-class position must equal the sum over its member
+    symbols, chain and ring modes, overlaps included."""
+    spd = _random_markov_spd(3, 3, seed=7)
+    for ring in (None, 9):
+        cls = corr.pair_prob(spd, (0, (1, 2)), ((0, 1),), 3, ring=ring)
+        plain = sum(
+            corr.pair_prob(spd, (0, m), (b,), 3, ring=ring)
+            for m in (1, 2) for b in (0, 1))
+        np.testing.assert_allclose(cls, plain, rtol=1e-12, atol=1e-16)
+    # Overlap intersection: class {1,2} over fixed 2 keeps only 2;
+    # class {0,1} over fixed 2 is contradictory.
+    got = corr.pair_prob(spd, (0, (1, 2)), (2,), 1)
+    np.testing.assert_allclose(got, corr.pair_prob(spd, (0, 2), (2,), 1),
+                               rtol=1e-12)
+    assert corr.pair_prob(spd, (0, (0, 1)), (2,), 1) == 0.0
+
+
+def test_run_length_distribution_mass_identity():
+    """On a ring, every 'inside' symbol belongs to exactly one maximal
+    bounded run unless the whole ring is inside: sum_l l*P_start(l) +
+    L*P(all-inside)/L == p(inside), exactly."""
+    size_a, cl_k, L = 3, 3, 10
+    spd = _random_markov_spd(size_a, cl_k, seed=8)
+    inside = (1, 2)
+    lens = np.arange(1, L)
+    p_run = corr.run_length_distribution(spd, inside, lens, ring=L)
+    p_all = corr.pair_prob(spd, (inside,) * L, (), 0, ring=L)
+    p_inside = sum(corr.pair_prob(spd, (m,), (), 0, ring=L)
+                   for m in inside)
+    np.testing.assert_allclose(
+        float((lens * p_run).sum()) + p_all, p_inside,
+        rtol=1e-11, atol=1e-14)
+
+
+def test_run_length_distribution_matches_brute_force_chain():
+    """Chain mode P(boundary, inside^l, boundary) vs direct enumeration
+    of all words of that length."""
+    import itertools
+
+    spd = _random_markov_spd(2, 3, seed=9)
+    for ell in (1, 2, 4):
+        got = corr.run_length_distribution(spd, (1,), [ell])[0]
+        want = 0.0
+        for word in itertools.product((0,), *[(1,)] * ell, (0,)):
+            want += markov.seq_prob(spd, list(word))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-16)
