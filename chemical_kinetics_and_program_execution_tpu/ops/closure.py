@@ -70,12 +70,14 @@ def markov_extend(p, size_a: int, cl_k: int):
 def _fns(tag, cl_k, compiled_pair):
     if compiled_pair is not None:
         return compiled_pair
-    from .. import compile_problem, make_dy_dt
-    from ..engine import dsl
+    from ..engine import build_dy_dt, dsl
 
+    # build_dy_dt auto-selects the dense transfer-matrix engine — the
+    # scalable path for the (cl_k+1)-sized flow (the gather-table
+    # compile materialises GB-scale event tables at large states).
     size_a = dsl.get_problem(tag).size_a
-    fn_k = make_dy_dt(compile_problem(tag, cl_k))
-    fn_k1 = make_dy_dt(compile_problem(tag, cl_k + 1))
+    fn_k, _ = build_dy_dt(tag, cl_k)
+    fn_k1, _ = build_dy_dt(tag, cl_k + 1)
     return fn_k, fn_k1, size_a
 
 
@@ -115,6 +117,12 @@ def closure_defect(tag: str, cl_k: int, p, *, compiled_pair=None,
     Integrate ν along a cl_k solve to estimate the accumulated
     k-marginal gap to the (never solved) cl_k+1 trajectory; measured
     factor ~2–3 conservative on ex2 (`examples/ex2_closure_error.py`).
+
+    ν covers the DYNAMICAL closure error only. A cl_k+1 run may also
+    differ because its initial state carries correlations the
+    extension of the cl_k initial state cannot represent — measure
+    that separately as ||p0_{k+1} − markov_extend(p0_k)||; on ex4 that
+    term dominates (`probes/ex4_closure_budget.py`).
     """
     fn_k, fn_k1, size_a = _fns(tag, cl_k, compiled_pair)
     p = np.asarray(p, dtype=np.float64).ravel()
