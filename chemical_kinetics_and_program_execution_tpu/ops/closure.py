@@ -133,3 +133,21 @@ def closure_defect(tag: str, cl_k: int, p, *, compiled_pair=None,
             - markov_extend(p - eps * v, size_a, cl_k)).ravel() / (2 * eps)
     f_up = np.asarray(fn_k1(markov_extend(p, size_a, cl_k).ravel()))
     return _norm(f_up - dext, norm)
+
+
+def integrate_defect(tag: str, cl_k: int, ts, ys, *, compiled_pair=None,
+                     norm: str = "l1"):
+    """Defect meter along a solved trajectory: evaluates ν at each
+    ``(ts[i], ys[i])`` sample and returns ``(nus, cumulative)`` with
+    ``cumulative[i] = ∫₀^{t_i} ν dt`` (trapezoid) — the running closure
+    error budget of the solve. One cl_k+1 RHS call per sample.
+    """
+    fns = _fns(tag, cl_k, compiled_pair)
+    ts = np.asarray(ts, dtype=np.float64)
+    nus = np.array([
+        closure_defect(tag, cl_k, ys[i], compiled_pair=fns, norm=norm)
+        for i in range(len(ts))
+    ])
+    cumulative = np.concatenate([[0.0], np.cumsum(
+        0.5 * (nus[1:] + nus[:-1]) * np.diff(ts))])
+    return nus, cumulative

@@ -50,11 +50,8 @@ def compute():
     p4 = np.asarray(solve(lambda y, t: fn4(y),
                           ferromagnet_p0(K + 1, p_pair=1 / 250).ravel(),
                           TS, rtol=1e-11, atol=1e-14))
-    pair = (fn3, fn4, SIZE_A)
-    nus = np.array([
-        closure.closure_defect(TAG, K, p3[i], compiled_pair=pair)
-        for i in range(len(TS))
-    ])
+    nus, _ = closure.integrate_defect(
+        TAG, K, TS, p3, compiled_pair=(fn3, fn4, SIZE_A))
     gaps = np.array([
         np.abs(p4[i].reshape((SIZE_A,) * (K + 1)).sum(axis=-1).ravel()
                - p3[i]).sum()
