@@ -152,9 +152,9 @@ def _merge_words(seq_a, seq_b, d):
         if merged == ():
             return None
         out[j] = merged
-    # Unconstrained interior cells (possible when B starts past A's
-    # end — chain mode never calls it that way) read as 'any symbol'.
-    return [c for c in out]
+    assert all(c is not None for c in out), \
+        "gap cells unsupported: chain mode guarantees d < len(seq_a)"
+    return out
 
 
 def _step_matrix(cls, mpp, nctx):
@@ -349,16 +349,37 @@ def run_length_distribution(spd, inside, lengths, *, boundary=None,
         raise ValueError("inside and boundary classes must be non-empty")
     ctx = context_arrays(spd_t)
     mpp, nctx, pi = ctx
-    ring_ops = None if ring is None else ring_operators(ctx, ring)
-    out = np.zeros(len(lengths))
-    for j, ell in enumerate(lengths):
-        ell = int(ell)
+    lengths = [int(ell) for ell in lengths]
+    for ell in lengths:
         if ell < 1 or (ring is not None and ell > int(ring) - 1):
             raise ValueError(f"run length {ell} invalid"
                              + (f" on a ring of {ring}" if ring else ""))
-        word = (boundary,) + (inside,) * ell + (boundary,)
-        out[j] = pair_prob(spd_t, word, (), 0, ring=ring, ctx=ctx,
-                           ring_ops=ring_ops)
+    out = np.zeros(len(lengths))
+    if ring is None:
+        for j, ell in enumerate(lengths):
+            word = (boundary,) + (inside,) * ell + (boundary,)
+            out[j] = pair_prob(spd_t, word, (), 0, ctx=ctx)
+        return out
+    # Ring mode in O(L) dense matmuls (not O(L^2) cell walks):
+    # P(run = l) = tr(E_b · E_in^l · E_b · T^(L-l-2)) / Z, with the
+    # l = L-1 run wrapping its two boundaries onto one cell:
+    # P = tr(E_b · E_in^(L-1)) / Z.
+    L = int(ring)
+    T, Z = ring_operators(ctx, L)
+    e_b = _step_matrix(boundary, mpp, nctx)
+    e_in = _step_matrix(inside, mpp, nctx)
+    t_pows = {0: np.eye(mpp.shape[0])}
+    for j in range(1, L - 1):
+        t_pows[j] = t_pows[j - 1] @ T
+    in_pows = {1: e_in}
+    for ell in range(2, max(lengths) + 1):
+        in_pows[ell] = in_pows[ell - 1] @ e_in
+    for j, ell in enumerate(lengths):
+        if ell == L - 1:
+            out[j] = np.trace(e_b @ in_pows[ell]) / Z
+        else:
+            out[j] = np.trace(
+                e_b @ in_pows[ell] @ e_b @ t_pows[L - ell - 2]) / Z
     return out
 
 

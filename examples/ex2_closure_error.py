@@ -19,7 +19,7 @@ the ground truth), and compares three curves:
 
 Gates: the integral is conservative (≥ true gap, as an error-source
 bound should be — decaying error components are not credited) and
-sharp to within 10× over the whole window. Measured: factor ~1.8–2.8.
+sharp to within 10× over the whole window. Measured: factor 1.5–2.9.
 
 Runs in ~1 min on one CPU. Output: `ex2_closure_error.pdf`.
 """
@@ -50,21 +50,19 @@ def compute():
     p4 = np.asarray(solve(lambda y, t: fn4(y),
                           ferromagnet_p0(K + 1, p_pair=1 / 250).ravel(),
                           TS, rtol=1e-11, atol=1e-14))
-    nus, _ = closure.integrate_defect(
+    nus, integ = closure.integrate_defect(
         TAG, K, TS, p3, compiled_pair=(fn3, fn4, SIZE_A))
     gaps = np.array([
         np.abs(p4[i].reshape((SIZE_A,) * (K + 1)).sum(axis=-1).ravel()
                - p3[i]).sum()
         for i in range(len(TS))
     ])
-    return np.stack([nus, gaps])
+    return np.stack([nus, integ, gaps])
 
 
 def main():
-    nus, gaps = _common.cached("ex2_closure_error.npz", compute,
-                               key="rows")
-    integ = np.concatenate([[0.0], np.cumsum(
-        0.5 * (nus[1:] + nus[:-1]) * np.diff(TS))])
+    nus, integ, gaps = _common.cached("ex2_closure_error.npz", compute,
+                                      key="rows", ts=TS)
 
     fig, ax = _common.pyplot.subplots(figsize=(9, 6))
     ax.semilogy(TS[1:], nus[1:], "-", color="C2",

@@ -77,7 +77,9 @@ def count_strands(tapes):
 
 
 def main():
-    path = _common.out_path(f"ex3_strand_lengths{SUFFIX}.npz")
+    # The trajectory is B-independent: one shared cache, so reduced
+    # smoke runs reuse the committed full-scale solve.
+    path = _common.out_path("ex3_strand_lengths.npz")
     if os.access(path, os.R_OK):
         with np.load(path) as z:
             ts, ys = z["ts"], z["ys"]
@@ -92,12 +94,12 @@ def main():
     for i, t_snap in enumerate(T_SNAPS):
         k = int(np.argmin(np.abs(ts - t_snap)))
         spd = ys[k].reshape((SIZE_A,) * CL_K)
-        p_run = corr.run_length_distribution(spd, INSIDE, LENS,
-                                             ring=L_RING)
-        # Ring mass identity: strands partition the monomers.
+        # Ring mass identity: strands partition the monomers. LENS is
+        # a prefix of all_lens, so one sweep serves both uses.
         all_lens = np.arange(1, L_RING)
         p_all = corr.run_length_distribution(spd, INSIDE, all_lens,
                                              ring=L_RING)
+        p_run = p_all[:len(LENS)]
         full = corr.pair_prob(spd, (INSIDE,) * L_RING, (), 0,
                               ring=L_RING)
         p_mono = sum(corr.pair_prob(spd, (m,), (), 0, ring=L_RING)

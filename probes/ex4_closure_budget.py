@@ -47,6 +47,11 @@ def main():
     pair = (fn5, fn6, SIZE_A)
     z5 = np.load("ex4_chemical_turing_a_k5.npz")["ode_ys"]
     z6 = np.load("ex4_chemical_turing_a_k6.npz")["ode_ys"]
+    # Index-as-time assumptions: k5 sampled at t=0..2000 step 1, k6 at
+    # step 40 — regenerated artifacts with other grids must not pass
+    # silently.
+    assert z5.shape[0] == 2001 and z6.shape[0] == 51, (z5.shape,
+                                                       z6.shape)
 
     p06 = chemical_turing_p0(K + 1, powered_fraction=0.04).ravel()
     ic = np.abs(p06 - closure.markov_extend(z5[0], SIZE_A, K).ravel())

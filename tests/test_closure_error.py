@@ -18,7 +18,7 @@ from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
 from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
 from chemical_kinetics_and_program_execution_tpu.ops import closure
 
-from tests.test_correlations import _random_markov_spd
+from test_correlations import _random_markov_spd
 
 
 def test_markov_extend_marginals_and_seq_prob():
