@@ -30,10 +30,15 @@ Two facts about the engine's closure, both computable at any state p
    components also decay), turning "is cl_k enough?" from an
    hours-long re-solve into one RHS call per checkpoint
    (`examples/ex2_closure_error.py` for the measured comparison).
-   Caveat: nu > 0 does not ALWAYS imply error (a rule whose k-window
-   flow never consults out-of-window context, e.g. ex1's single-site
-   rule, is exact at every cl_k regardless of manifold invariance);
-   nu ≈ 0 with identity (1) holding does imply local exactness.
+   Caveat: nu > 0 does not ALWAYS imply error in tracked observables
+   (a rule whose k-window flow never consults out-of-window context,
+   e.g. ex1's single-site rule, is exact at every cl_k regardless of
+   manifold invariance; and ex5's machine holds a steady nu ~ 1.6e-4
+   while its tracked observables agree k5↔k7 at ~1e-10 — the
+   off-manifold components decay without feeding the windows those
+   observables weight). nu ≈ 0 does imply local exactness; nu > 0 is
+   a conservative flag, sharp on ex2 (factor 2–3) and loose where
+   strong contraction eats the injected error.
 """
 
 from __future__ import annotations
@@ -55,14 +60,19 @@ def markov_extend(p, size_a: int, cl_k: int):
     (left marginal == right marginal) for both (k)-marginals of the
     result to recover it.
     """
-    p = np.asarray(p, dtype=np.float64).reshape((size_a,) * cl_k)
+    p = np.asarray(p)
+    if not np.iscomplexobj(p):
+        p = p.astype(np.float64)
+    p = p.reshape((size_a,) * cl_k)
     left = p.sum(axis=0)                    # m(s_2..s_k)
     # q = p(s1..sk) · cond(s_{k+1} | s2..sk) with
     # cond = p(s2..s_{k+1}) / m(s2..sk) (p reinterpreted one slot up).
+    # The guard branches on the REAL part so complex-step directional
+    # derivatives (closure_defect) differentiate the branch-fixed
+    # rational map — the one-sided tangent at zero-support boundaries.
+    live = np.real(left)[..., None] > 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        cond = np.where(left[..., None] > 0.0,
-                        p / np.where(left[..., None] > 0.0,
-                                     left[..., None], 1.0),
+        cond = np.where(live, p / np.where(live, left[..., None], 1.0),
                         0.0)
     return p[..., None] * cond[None, ...]
 
@@ -106,13 +116,17 @@ def consistency_residual(tag: str, cl_k: int, p, *, compiled_pair=None,
 
 
 def closure_defect(tag: str, cl_k: int, p, *, compiled_pair=None,
-                   norm: str = "l1", fd_eps: float = 1e-7):
+                   norm: str = "l1"):
     """Local truncation-error source rate ν(p) of the cl_k closure
     (module docstring, fact 2): the component of the (k+1)-flow at
     extend(p) that leaves the extension manifold. The tangent motion
-    D extend(p)[F_k(p)] is evaluated by central finite difference
-    (``fd_eps``; the extension is a smooth rational map, so 1e-7 on
-    O(1) states gives ~8 digits — far below any useful defect).
+    D extend(p)[F_k(p)] is evaluated by COMPLEX-STEP differentiation
+    of the extension (exact to machine precision, no subtractive
+    cancellation) with the zero-support guard branches frozen at the
+    real state — i.e. the one-sided tangent within the support
+    (sparse machine states sit ON the guard boundary, where a real FD
+    step could read branch jumps as defect; complex-step agrees with
+    central FD away from boundaries and is exact on them).
 
     Integrate ν along a cl_k solve to estimate the accumulated
     k-marginal gap to the (never solved) cl_k+1 trajectory; measured
@@ -127,10 +141,9 @@ def closure_defect(tag: str, cl_k: int, p, *, compiled_pair=None,
     fn_k, fn_k1, size_a = _fns(tag, cl_k, compiled_pair)
     p = np.asarray(p, dtype=np.float64).ravel()
     v = np.asarray(fn_k(p))
-    scale = max(1.0, float(np.abs(v).max()))
-    eps = fd_eps / scale
-    dext = (markov_extend(p + eps * v, size_a, cl_k)
-            - markov_extend(p - eps * v, size_a, cl_k)).ravel() / (2 * eps)
+    eps = 1e-200
+    dext = np.imag(
+        markov_extend(p + 1j * eps * v, size_a, cl_k)).ravel() / eps
     f_up = np.asarray(fn_k1(markov_extend(p, size_a, cl_k).ravel()))
     return _norm(f_up - dext, norm)
 
