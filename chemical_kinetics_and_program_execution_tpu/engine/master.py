@@ -1,0 +1,257 @@
+"""Exact finite-ring master equation: the microscopic oracle.
+
+The exact engine evolves WINDOW marginals of an infinite tape under a
+closure; the ensemble engine samples finite rings. This module closes
+the triangle with the third, approximation-free formulation: the full
+master equation over every configuration of a length-``L`` ring,
+
+    dP(x)/dt = Σ_sites Σ_outcomes  rate · [P(x') − P(x)] ,
+
+with the per-site outcome distribution enumerated straight from the
+DSL rule (each site fires as a rate-1 Poisson process and resolves its
+``choose`` branches by their normalised weights — the reference's
+semantics, `tape_multiverse.scm` reveal/choose, restricted to a
+concrete configuration). Nothing is truncated: at ``size_a^L``
+affordable (≈ 2^20), the state distribution is exact, so it
+simultaneously oracles
+
+- the ENSEMBLE engine's sampling dynamics (distribution over ring
+  states at time t, time calibration included), and
+- the CLOSURE's finite-size error (ring window marginals vs the
+  infinite-chain closure trajectory).
+
+Scope: single-tape rules (reads/writes on one tape — ex1/ex2-class;
+a rule touching both tapes raises, since the pair state space squares).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from . import dsl
+
+
+class _ConcreteDriver:
+    """Runs a rule on a concrete symbol window, DFS-enumerating every
+    ``choose`` branch. Reads grow the window lazily so the reach (span)
+    is discovered, not declared."""
+
+    def __init__(self, window: dict[int, int]):
+        self.window = window
+        self.script: list[tuple[int, int, float]] = []  # (pick, n, prob)
+        self.cursor = 0
+        self.writes: dict[int, int] = {}
+        self.tapes_read: set[bool] = set()
+        self.min_idx = 0
+        self.max_idx = 0
+
+    def tape_get(self, data_tape: bool, index: int) -> int:
+        self.tapes_read.add(data_tape)
+        if len(self.tapes_read) > 1:
+            raise ValueError(
+                "master equation supports single-tape rules only "
+                "(the rule read both tapes; a pair state space squares)")
+        self.min_idx = min(self.min_idx, index)
+        self.max_idx = max(self.max_idx, index)
+        if index in self.writes:
+            return self.writes[index]
+        # Reads beyond the provided window return symbol 0 and widen
+        # the recorded reach; window_outcome_table re-enumerates with
+        # the grown window until a full pass stays inside it.
+        return self.window.get(index, 0)
+
+    def tape_set(self, data_tape: bool, index: int, value: int) -> None:
+        self.min_idx = min(self.min_idx, index)
+        self.max_idx = max(self.max_idx, index)
+        self.writes[index] = value
+
+    def choose(self, probs: list[float]) -> int:
+        if self.cursor < len(self.script):
+            k = self.script[self.cursor][0]
+        else:
+            k = 0
+            self.script.append((0, len(probs), probs[0]))
+        self.script[self.cursor] = (k, len(probs), probs[k])
+        self.cursor += 1
+        return k
+
+
+def enumerate_window_outcomes(problem: dsl.Problem, window: dict[int, int]):
+    """All execution outcomes of the rule fired at offset 0 on a
+    concrete window: list of ``(prob, writes)`` with probs summing to 1
+    and writes a (possibly empty) {offset: new symbol index} dict.
+    Also returns the index reach ``(min_idx, max_idx)`` seen."""
+    outcomes = []
+    script: list[tuple[int, int, float]] = []
+    reach = [0, 0]
+    while True:
+        drv = _ConcreteDriver(dict(window))
+        drv.script = list(script)
+        drv.cursor = 0
+        tape = dsl.Tape(drv, problem.symbols)
+        problem.call(tape)
+        prob = 1.0
+        for _, _, p in drv.script[: drv.cursor]:
+            prob *= p
+        outcomes.append((prob, dict(drv.writes)))
+        reach[0] = min(reach[0], drv.min_idx)
+        reach[1] = max(reach[1], drv.max_idx)
+        # Odometer: advance the deepest un-exhausted choice.
+        script = list(drv.script[: drv.cursor])
+        while script:
+            k, n, _ = script[-1]
+            if k + 1 < n:
+                script[-1] = (k + 1, n, 0.0)
+                break
+            script.pop()
+        if not script:
+            break
+    return outcomes, tuple(reach)
+
+
+def window_outcome_table(tag: str):
+    """Outcome table over every concrete window of the rule's reach:
+    returns ``(span_lo, span_hi, table)`` where ``table[rank]`` (rank =
+    base-size_a encoding of the window, offsets span_lo..span_hi) is a
+    list of ``(prob, writes)``. Outcomes with prob 0 are dropped and
+    no-op writes pruned."""
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    # Discover the reach on the all-zeros window, then grow until no
+    # window extends it (branches may read further than the probe).
+    lo, hi = enumerate_window_outcomes(problem, {0: 0})[1]
+    while True:
+        grew = False
+        for syms in itertools.product(range(size_a),
+                                      repeat=hi - lo + 1):
+            window = dict(zip(range(lo, hi + 1), syms))
+            _, (l2, h2) = enumerate_window_outcomes(problem, window)
+            if l2 < lo or h2 > hi:
+                lo, hi = min(lo, l2), max(hi, h2)
+                grew = True
+                break
+        if not grew:
+            break
+    table = {}
+    for rank, syms in enumerate(itertools.product(
+            range(size_a), repeat=hi - lo + 1)):
+        window = dict(zip(range(lo, hi + 1), syms))
+        outs, _ = enumerate_window_outcomes(problem, window)
+        entries = []
+        for prob, writes in outs:
+            if prob <= 0.0:
+                continue
+            writes = {k: v for k, v in writes.items()
+                      if window[k] != v}
+            if writes:
+                entries.append((prob, writes))
+        table[rank] = entries
+    return lo, hi, table
+
+
+def build_ring_generator(tag: str, L: int, *, max_states: int = 2**21):
+    """Sparse master-equation generator ``Q [S, S]`` over all
+    ``S = size_a^L`` ring configurations (columns = from-state:
+    dP/dt = Q @ P). Site ``i`` of state ``x`` fires at rate 1 and maps
+    the window around it per the rule's outcome table; identity
+    outcomes cancel and never enter Q.
+    """
+    import scipy.sparse as sp
+
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    S = size_a ** L
+    if S > max_states:
+        raise ValueError(f"size_a^L = {S} exceeds max_states="
+                         f"{max_states}")
+    lo, hi, table = window_outcome_table(tag)
+    if hi - lo >= L:
+        raise ValueError(f"rule reach {hi - lo + 1} exceeds ring {L}")
+
+    # states digits [S, L] (digit 0 = leftmost site for readability).
+    digits = np.empty((S, L), dtype=np.int64)
+    rem = np.arange(S, dtype=np.int64)
+    for pos in range(L - 1, -1, -1):
+        digits[:, pos] = rem % size_a
+        rem //= size_a
+    pow_ = size_a ** np.arange(L - 1, -1, -1).astype(np.int64)
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(S)
+    offs = np.arange(lo, hi + 1)
+    for i in range(L):
+        # window rank at site i for every state
+        w_pos = (i + offs) % L
+        w_rank = np.zeros(S, dtype=np.int64)
+        for p in w_pos:
+            w_rank = w_rank * size_a + digits[:, p]
+        for rank, entries in table.items():
+            if not entries:
+                continue
+            sel = np.nonzero(w_rank == rank)[0]
+            if sel.size == 0:
+                continue
+            for prob, writes in entries:
+                delta = np.zeros(sel.size, dtype=np.int64)
+                for off, new in writes.items():
+                    p = (i + off) % L
+                    delta += (new - digits[sel, p]) * pow_[p]
+                rows.append(sel + delta)
+                cols.append(sel)
+                vals.append(np.full(sel.size, prob))
+                diag[sel] -= prob
+    rows.append(np.arange(S))
+    cols.append(np.arange(S))
+    vals.append(diag)
+    Q = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(S, S))
+    return Q
+
+
+def ring_gibbs_states(L: int, *, J_eff: float, h: float, beta: float):
+    """Exact Gibbs distribution over 2^L ring spin states (symbol 0 =
+    spin −1), the detailed-balance stationary law of the ex2 family."""
+    S = 2 ** L
+    digits = ((np.arange(S)[:, None] >>
+               np.arange(L - 1, -1, -1)[None, :]) & 1)
+    s = digits * 2.0 - 1.0
+    energy = -J_eff * (s * np.roll(s, -1, axis=1)).sum(axis=1) \
+        - h * s.sum(axis=1)
+    w = np.exp(-beta * (energy - energy.min()))
+    return w / w.sum()
+
+
+def solve_master(Q, p0, ts):
+    """Evolves the master equation with scipy's Krylov ``expm_multiply``
+    (exact linear propagation, no time-step error at the output times).
+    Returns ``[len(ts), S]``."""
+    import scipy.sparse.linalg as spla
+
+    ts = np.asarray(ts, dtype=np.float64)
+    out = [np.asarray(p0, dtype=np.float64)]
+    for dt in np.diff(ts):
+        out.append(spla.expm_multiply(Q * dt, out[-1]))
+    return np.stack(out)
+
+
+def state_window_marginals(p_states, L: int, size_a: int, cl_k: int):
+    """Translation-averaged length-``cl_k`` window distribution of a
+    ring-state distribution — the quantity the closure evolves, here
+    exact at finite L."""
+    S = p_states.shape[-1]
+    digits = np.empty((S, L), dtype=np.int64)
+    rem = np.arange(S, dtype=np.int64)
+    for pos in range(L - 1, -1, -1):
+        digits[:, pos] = rem % size_a
+        rem //= size_a
+    out = np.zeros(size_a ** cl_k)
+    for i in range(L):
+        rank = np.zeros(S, dtype=np.int64)
+        for j in range(cl_k):
+            rank = rank * size_a + digits[:, (i + j) % L]
+        np.add.at(out, rank, p_states)
+    return out / L

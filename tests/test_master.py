@@ -1,0 +1,144 @@
+"""engine/master: the exact finite-ring master equation as the
+microscopic oracle for both the ensemble and the closure."""
+
+import math
+
+import numpy as np
+import pytest
+
+from chemical_kinetics_and_program_execution_tpu.engine import master
+
+
+def test_outcome_table_matches_analytic_ex2_rates():
+    lo, hi, table = master.window_outcome_table("ex2-ferromagnetic-chain")
+    assert (lo, hi) == (-1, 1)
+    J, BETA, H = 1.0, 1.0, -0.25
+    for rank, (l, m, r) in enumerate(
+            (a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)):
+        e = (1 if l == m else -1) + (1 if m == r else -1)
+        fa = math.exp(-(BETA * J * (4 + 2 * e)))
+        fb = math.exp(-2 * BETA * abs(H)) if (H > 0) == (m == 1) else 1.0
+        entries = table[rank]
+        assert len(entries) == 1
+        prob, writes = entries[0]
+        np.testing.assert_allclose(prob, fa * fb, rtol=1e-12)
+        assert writes == {0: 1 - m}
+
+
+def test_generator_conserves_and_gibbs_is_stationary():
+    L = 8
+    Q = master.build_ring_generator("ex2-ferromagnetic-chain", L)
+    col = np.asarray(Q.sum(axis=0)).ravel()
+    assert np.abs(col).max() < 1e-12
+    pi = master.ring_gibbs_states(L, J_eff=2.0, h=-0.25, beta=1.0)
+    assert np.abs(Q @ pi).max() < 1e-15  # detailed balance, exactly
+
+
+def test_two_tape_rule_rejected():
+    with pytest.raises(ValueError, match="single-tape"):
+        master.window_outcome_table("ex4-chemical-turing")
+
+
+def _ring_measure_from_spd(spd, size_a, cl_k, L):
+    """Exact cyclic trace measure over ring states — the law the
+    bridge sampler draws (`ops/correlations.pair_prob(ring=L)`)."""
+    from chemical_kinetics_and_program_execution_tpu.ops import (
+        correlations as corr,
+    )
+
+    mpp, nctx, _ = corr.context_arrays(spd)
+    S = size_a ** L
+    digits = np.empty((S, L), dtype=np.int64)
+    rem = np.arange(S, dtype=np.int64)
+    for pos in range(L - 1, -1, -1):
+        digits[:, pos] = rem % size_a
+        rem //= size_a
+    m = cl_k - 1
+    w = np.ones(S)
+    for i in range(L):
+        ctx = np.zeros(S, dtype=np.int64)
+        for j in range(i - m, i):
+            ctx = ctx * size_a + digits[:, j % L]
+        w *= mpp[ctx, digits[:, i]]
+    return w / w.sum()
+
+
+def test_master_oracles_the_ensemble_dynamics():
+    """THE dynamics oracle: evolve the exact master equation and the
+    sampled ensemble from the SAME ring measure and compare cl_k=3
+    window marginals at t>0 — validates the ensemble's branch sampling
+    AND its Poisson time calibration against an approximation-free
+    ground truth (no closure anywhere)."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+
+    tag, size_a, cl_k, L, B = "ex2-ferromagnetic-chain", 2, 3, 12, 8192
+    spd = ferromagnet_p0(cl_k, p_pair=0.1).reshape((2,) * cl_k)
+
+    # Master side: exact ring measure -> expm evolution.
+    p0 = _ring_measure_from_spd(spd, size_a, cl_k, L)
+    Q = master.build_ring_generator(tag, L)
+    rounds, E = 18, 1  # stride L > 2*span(=3)
+    t_end = rounds * -math.log1p(-E / L)
+    p_t = master.solve_master(Q, p0, [0.0, t_end])[-1]
+    want = master.state_window_marginals(p_t, L, size_a, cl_k)
+
+    # Ensemble side: bridge-sampled rings -> lockstep rounds.
+    dm = ensemble.compile_decision_machine(tag)
+    key = jax.random.PRNGKey(5)
+    dtape = ensemble.sample_tapes_from_spd(
+        jax.random.fold_in(key, 0), spd, size_a, cl_k, B, L,
+        ring=True).astype(np.int32)
+    ptape = np.zeros((B, L), np.int32)
+    (ptape, dtape), _ = ensemble.run_ensemble(
+        jax.random.fold_in(key, 1), (ptape, dtape), dm, (rounds, E))
+    got = np.asarray(ensemble.weighted_window_counts(
+        np.asarray(dtape), np.full(B, 1.0 / B), size_a, cl_k))
+
+    # Binomial-scale gate: B*L correlated samples; allow 6 sigma with
+    # an O(dt^2) same-site-repeat allowance (dt = 0.105 per round).
+    se = np.sqrt(np.maximum(want, 1e-9) / (B * L / cl_k))
+    z = np.abs(got - want) / np.maximum(se, 1e-9)
+    assert float(z.max()) < 6.0, (float(z.max()),
+                                  np.abs(got - want).max())
+    # And the dynamics moved (the comparison is not vacuous).
+    start = master.state_window_marginals(p0, L, size_a, cl_k)
+    assert np.abs(want - start).max() > 1e-3
+
+
+def test_master_finite_size_approaches_closure():
+    """Ring window marginals converge to the infinite-chain closure
+    trajectory as L grows: |master_L(t) - closure(t)| must shrink
+    monotonically from L=6 to L=12 on ex2."""
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import (
+        solve,
+    )
+
+    tag, size_a, cl_k, t_end = "ex2-ferromagnetic-chain", 2, 3, 2.0
+    spd = ferromagnet_p0(cl_k, p_pair=0.1).reshape((2,) * cl_k)
+    fn = make_dy_dt(compile_problem(tag, cl_k))
+    closure_t = np.asarray(solve(lambda y, t: fn(y), spd.ravel(),
+                                 np.array([0.0, t_end]),
+                                 rtol=1e-11, atol=1e-14))[-1]
+    gaps = []
+    for L in (6, 9, 12):
+        p0 = _ring_measure_from_spd(spd, size_a, cl_k, L)
+        Q = master.build_ring_generator(tag, L)
+        p_t = master.solve_master(Q, p0, [0.0, t_end])[-1]
+        marg = master.state_window_marginals(p_t, L, size_a, cl_k)
+        gaps.append(float(np.abs(marg - closure_t).sum()))
+    assert gaps[0] > gaps[1] > gaps[2], gaps
+    assert gaps[2] < 0.5 * gaps[0], gaps
