@@ -394,7 +394,13 @@ def main():
             print(f"# frontier bench ({tag}) skipped: {e}",
                   file=sys.stderr)
     try:
-        k7 = int(os.environ.get("CKPE_BENCH_FRONTIER_K7", "10000000"))
+        # When a reduced frontier K is set (CPU smoke runs), scale the
+        # config-5 width with it instead of silently running the full
+        # 1e7-tape beam for tens of minutes off-TPU.
+        k_reduced = os.environ.get("CKPE_BENCH_FRONTIER_K")
+        k7 = int(os.environ.get(
+            "CKPE_BENCH_FRONTIER_K7",
+            k_reduced if k_reduced is not None else "10000000"))
         fr, finfo = bench_frontier("ex2-ferromagnetic-chain", K=k7,
                                    blocks=2, n_rep=2)
         print(f"# frontier (blocked, 1e7-tape config 5): {fr:.3e} "

@@ -925,15 +925,17 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
         events_per_step must divide L with L/E > 2·window span.
 
     ``independent_sites=True`` draws the lattice phase PER MEMBER
-    (two take_along_axis rolls per round per tape) instead of the
+    (one delta-composed take_along_axis roll per tape per round)
+    instead of the
     default common-random-sites design. Per-member marginals are
     identical either way; the difference is cross-member statistics:
     with shared sites, observables tied to RARE tape patterns have a
-    heavy-tailed per-key law (measured on a fuzz rule at L=12: 94% of
-    12-round site sequences carry exactly zero p(111) while the mean
-    stays exact — `tests/test_master.py`), so few-key estimates of
-    rare structures can read hard zero. Use the independent mode (or
-    many keys) when measuring rare patterns; the shared mode is the
+    heavy-tailed per-key law (measured on a fuzz rule at L=12: 88% of
+    100 12-round site sequences carry exactly zero p(111) against an
+    exact 4.8e-3, while the across-key mean stays exact —
+    `probes/shared_site_tail.py`), so few-key estimates of rare
+    structures can read hard zero. Use the independent mode (or many
+    keys) when measuring rare patterns; the shared mode is the
     dense-data-path hot kernel.
 
     Returns:
@@ -981,32 +983,38 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
             else _apply_lattice_round
 
         def step(carry, k):
-            pt, dti = carry
+            pt, dti, phase = carry
             k1, k2 = jax.random.split(k)
             uniforms = jax.random.uniform(k2, (B, events), dtype=u_dtype)
             if independent_sites:
-                # Per-member phase: roll each member so its own lattice
-                # sits at phase 0, run the shared round, roll back.
+                # Per-member phase: keep each member ROLLED so its own
+                # lattice sits at phase 0 across rounds — one delta
+                # gather per tape per round (the final unroll happens
+                # once, after the scan) instead of a roll/unroll pair.
                 shifts = jax.random.randint(k1, (B,), 0, L,
                                             dtype=jnp.int32)
-                pt = _roll_rows(pt, shifts)
-                dti = _roll_rows(dti, shifts)
+                delta = (shifts - phase) % L
+                pt = _roll_rows(pt, delta)
+                dti = _roll_rows(dti, delta)
                 pt, dti = round_fn(dtable, pt, dti,
                                    jnp.int32(0), uniforms)
-                pt = _roll_rows(pt, -shifts)
-                dti = _roll_rows(dti, -shifts)
+                phase = shifts
             else:
                 shift = jax.random.randint(k1, (), 0, L,
                                            dtype=jnp.int32)
                 pt, dti = round_fn(dtable, pt, dti, shift, uniforms)
-            return (pt, dti), None
+            return (pt, dti, phase), None
 
         carry = (ptape, dtape)
         if is_machine:
             # Symbols fit int8; narrow tapes halve the bandwidth of the
             # rolls and FSM passes that dominate the round.
             carry = tuple(t.astype(jnp.int8) for t in carry)
-        (ptape, dtape), _ = jax.lax.scan(step, carry, keys)
+        carry = carry + (jnp.zeros((B,), jnp.int32),)
+        (ptape, dtape, phase), _ = jax.lax.scan(step, carry, keys)
+        if independent_sites:
+            ptape = _roll_rows(ptape, -phase)
+            dtape = _roll_rows(dtape, -phase)
         if is_machine:
             ptape = ptape.astype(jnp.int32)
             dtape = dtape.astype(jnp.int32)

@@ -43,16 +43,24 @@ class _ConcreteDriver:
         self.script: list[tuple[int, int, float]] = []  # (pick, n, prob)
         self.cursor = 0
         self.writes: dict[int, int] = {}
-        self.tapes_read: set[bool] = set()
+        self.tapes_touched: set[bool] = set()
         self.min_idx = 0
         self.max_idx = 0
 
-    def tape_get(self, data_tape: bool, index: int) -> int:
-        self.tapes_read.add(data_tape)
-        if len(self.tapes_read) > 1:
+    def _touch(self, data_tape: bool) -> None:
+        # Reads AND writes share one tape: a rule that e.g. reads the
+        # data tape but writes the program tape is out of scope, and
+        # letting it through would silently apply the write to the
+        # data ring (and alias into later reads of the same index).
+        self.tapes_touched.add(data_tape)
+        if len(self.tapes_touched) > 1:
             raise ValueError(
                 "master equation supports single-tape rules only "
-                "(the rule read both tapes; a pair state space squares)")
+                "(the rule touched both tapes; a pair state space "
+                "squares)")
+
+    def tape_get(self, data_tape: bool, index: int) -> int:
+        self._touch(data_tape)
         self.min_idx = min(self.min_idx, index)
         self.max_idx = max(self.max_idx, index)
         if index in self.writes:
@@ -63,6 +71,7 @@ class _ConcreteDriver:
         return self.window.get(index, 0)
 
     def tape_set(self, data_tape: bool, index: int, value: int) -> None:
+        self._touch(data_tape)
         self.min_idx = min(self.min_idx, index)
         self.max_idx = max(self.max_idx, index)
         self.writes[index] = value
@@ -151,6 +160,40 @@ def window_outcome_table(tag: str):
     return lo, hi, table
 
 
+def _ring_digits(L: int, size_a: int) -> np.ndarray:
+    """``[size_a**L, L]`` base-``size_a`` digit decode of every ring
+    state (digit 0 = leftmost site)."""
+    S = size_a ** L
+    digits = np.empty((S, L), dtype=np.int64)
+    rem = np.arange(S, dtype=np.int64)
+    for pos in range(L - 1, -1, -1):
+        digits[:, pos] = rem % size_a
+        rem //= size_a
+    return digits
+
+
+def ring_trace_measure(spd, size_a: int, cl_k: int, L: int):
+    """Exact cyclic trace measure over ring states induced by an SPD's
+    Markov extension — the law the circular-bridge sampler draws
+    (`engine/ensemble.sample_tapes_from_spd(ring=True)`; same
+    normalisation as `ops/correlations.pair_prob(ring=L)`). Lives here
+    so the master-equation oracles (tests and examples) compare against
+    ONE committed construction of the initial law."""
+    from ..ops import correlations as corr
+
+    mpp, _, _ = corr.context_arrays(spd)
+    digits = _ring_digits(L, size_a)
+    S = digits.shape[0]
+    m = cl_k - 1
+    w = np.ones(S)
+    for i in range(L):
+        ctx = np.zeros(S, dtype=np.int64)
+        for j in range(i - m, i):
+            ctx = ctx * size_a + digits[:, j % L]
+        w *= mpp[ctx, digits[:, i]]
+    return w / w.sum()
+
+
 def build_ring_generator(tag: str, L: int, *, max_states: int = 2**21):
     """Sparse master-equation generator ``Q [S, S]`` over all
     ``S = size_a^L`` ring configurations (columns = from-state:
@@ -170,12 +213,7 @@ def build_ring_generator(tag: str, L: int, *, max_states: int = 2**21):
     if hi - lo >= L:
         raise ValueError(f"rule reach {hi - lo + 1} exceeds ring {L}")
 
-    # states digits [S, L] (digit 0 = leftmost site for readability).
-    digits = np.empty((S, L), dtype=np.int64)
-    rem = np.arange(S, dtype=np.int64)
-    for pos in range(L - 1, -1, -1):
-        digits[:, pos] = rem % size_a
-        rem //= size_a
+    digits = _ring_digits(L, size_a)
     pow_ = size_a ** np.arange(L - 1, -1, -1).astype(np.int64)
 
     rows, cols, vals = [], [], []
@@ -243,11 +281,7 @@ def state_window_marginals(p_states, L: int, size_a: int, cl_k: int):
     ring-state distribution — the quantity the closure evolves, here
     exact at finite L."""
     S = p_states.shape[-1]
-    digits = np.empty((S, L), dtype=np.int64)
-    rem = np.arange(S, dtype=np.int64)
-    for pos in range(L - 1, -1, -1):
-        digits[:, pos] = rem % size_a
-        rem //= size_a
+    digits = _ring_digits(L, size_a)
     out = np.zeros(size_a ** cl_k)
     for i in range(L):
         rank = np.zeros(S, dtype=np.int64)

@@ -42,9 +42,6 @@ from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
     ferromagnet_p0,
 )
 from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
-from chemical_kinetics_and_program_execution_tpu.ops import (
-    correlations as corr,
-)
 
 TAG, SIZE_A, CL_K = "ex2-ferromagnetic-chain", 2, 5
 L, E = 12, 1
@@ -53,21 +50,6 @@ B = int(os.environ.get("CKPE_EX2MO_B", "8192"))
 SUFFIX = "" if B == 8192 else f"_b{B}"
 DUD = (0, 1, 0)
 L_SWEEP = (6, 8, 10, 12, 14, 16)
-
-
-def _ring_measure(spd, L):
-    mpp, nctx, _ = corr.context_arrays(spd)
-    S = SIZE_A ** L
-    digits = ((np.arange(S)[:, None]
-               >> np.arange(L - 1, -1, -1)[None, :]) & 1)
-    m = CL_K - 1
-    w = np.ones(S)
-    for i in range(L):
-        ctx = np.zeros(S, dtype=np.int64)
-        for j in range(i - m, i):
-            ctx = ctx * SIZE_A + digits[:, j % L]
-        w *= mpp[ctx, digits[:, i]]
-    return w / w.sum()
 
 
 def _word_prob_states(p_states, L, word):
@@ -102,9 +84,14 @@ def ensemble_traj(spd, ts_rounds):
 
     out = [dud(dtape)]
     for snap in range(N_SNAPS):
+        # independent_sites: per-member site histories, so the members
+        # are genuinely independent draws and the binomial-floor gate
+        # below is honest (the default shared-site mode would leave a
+        # cross-member correlated component that does not shrink with
+        # B — see RESULTS.md "master equation").
         (ptape, dtape), _ = ensemble.run_ensemble(
             jax.random.fold_in(key, 1 + snap), (ptape, dtape), dm,
-            (ROUNDS_PER_SNAP, E))
+            (ROUNDS_PER_SNAP, E), independent_sites=True)
         out.append(dud(dtape))
     return np.asarray(out)
 
@@ -115,7 +102,7 @@ def main():
     spd = ferromagnet_p0(CL_K, p_pair=0.1).reshape((2,) * CL_K)
 
     # Microscopic exact at L.
-    p0 = _ring_measure(spd, L)
+    p0 = master.ring_trace_measure(spd, SIZE_A, CL_K, L)
     Q = master.build_ring_generator(TAG, L)
     p_states = master.solve_master(Q, p0, ts)
     exact_fin = np.array([_word_prob_states(p_states[i], L, DUD)
@@ -163,7 +150,7 @@ def main():
     closure3 = closure5_t2.reshape((2,) * CL_K).sum(axis=(3, 4)).ravel()
     gaps = []
     for Ls in L_SWEEP:
-        p0s = _ring_measure(spd, Ls)
+        p0s = master.ring_trace_measure(spd, SIZE_A, CL_K, Ls)
         Qs = master.build_ring_generator(TAG, Ls)
         pt = master.solve_master(Qs, p0s, [0.0, 2.0])[-1]
         marg = master.state_window_marginals(pt, Ls, SIZE_A, 3)

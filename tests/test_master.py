@@ -39,28 +39,37 @@ def test_two_tape_rule_rejected():
         master.window_outcome_table("ex4-chemical-turing")
 
 
-def _ring_measure_from_spd(spd, size_a, cl_k, L):
-    """Exact cyclic trace measure over ring states — the law the
-    bridge sampler draws (`ops/correlations.pair_prob(ring=L)`)."""
-    from chemical_kinetics_and_program_execution_tpu.ops import (
-        correlations as corr,
-    )
+def test_cross_tape_write_rejected():
+    """Reads on one tape + a WRITE on the other must raise too:
+    before the fix the write slipped through the read-only guard, was
+    silently applied to the data ring, and aliased into later reads of
+    the same index — a wrong generator with no error."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dsl
 
-    mpp, nctx, _ = corr.context_arrays(spd)
-    S = size_a ** L
-    digits = np.empty((S, L), dtype=np.int64)
-    rem = np.arange(S, dtype=np.int64)
-    for pos in range(L - 1, -1, -1):
-        digits[:, pos] = rem % size_a
-        rem //= size_a
-    m = cl_k - 1
-    w = np.ones(S)
-    for i in range(L):
-        ctx = np.zeros(S, dtype=np.int64)
-        for j in range(i - m, i):
-            ctx = ctx * size_a + digits[:, j % L]
-        w *= mpp[ctx, digits[:, i]]
-    return w / w.sum()
+    tag = "_master-cross-tape-write"
+    if tag not in dsl.registered_problems():
+        @dsl.register_problem(tag, symbols=("a", "b"))
+        def rule(t):
+            v = t.get(True, 0)
+            t.set(False, 0, 1 - v)
+
+    with pytest.raises(ValueError, match="single-tape"):
+        master.window_outcome_table(tag)
+
+
+def test_write_only_single_tape_rule_accepted():
+    """A rule that only writes (touching one tape) stays in scope."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dsl
+
+    tag = "_master-write-only"
+    if tag not in dsl.registered_problems():
+        @dsl.register_problem(tag, symbols=("a", "b"))
+        def rule(t):
+            t.set(True, 0, 1)
+
+    lo, hi, table = master.window_outcome_table(tag)
+    assert (lo, hi) == (0, 0)
+    assert table[0] == [(1.0, {0: 1})] and table[1] == []
 
 
 def test_master_oracles_the_ensemble_dynamics():
@@ -82,7 +91,7 @@ def test_master_oracles_the_ensemble_dynamics():
     spd = ferromagnet_p0(cl_k, p_pair=0.1).reshape((2,) * cl_k)
 
     # Master side: exact ring measure -> expm evolution.
-    p0 = _ring_measure_from_spd(spd, size_a, cl_k, L)
+    p0 = master.ring_trace_measure(spd, size_a, cl_k, L)
     Q = master.build_ring_generator(tag, L)
     rounds, E = 18, 1  # stride L > 2*span(=3)
     t_end = rounds * -math.log1p(-E / L)
@@ -143,7 +152,7 @@ def test_master_finite_size_approaches_closure():
                                  rtol=1e-11, atol=1e-14))[-1]
     gaps = []
     for L in (6, 9, 12):
-        p0 = _ring_measure_from_spd(spd, size_a, cl_k, L)
+        p0 = master.ring_trace_measure(spd, size_a, cl_k, L)
         Q = master.build_ring_generator(tag, L)
         p_t = master.solve_master(Q, p0, [0.0, t_end])[-1]
         marg = master.state_window_marginals(p_t, L, size_a, cl_k)
@@ -200,12 +209,13 @@ def test_fuzz_master_oracles_random_rule_ensembles(seed):
 
     The run uses ``independent_sites=True``: the default shared-site
     design preserves per-member marginals but makes RARE-pattern
-    statistics key-heavy-tailed — measured here before the mode
-    existed: 94% of 12-round shared site sequences carry exactly zero
-    p(111) on seed 2's rule while the ensemble-mean stays exact, so a
-    16-key estimate read a hard 0 against an exact 0.005. Independent
-    sites restore per-member decorrelation and the plain binomial
-    floor, rare windows included. (The continuous-time Poisson
+    statistics key-heavy-tailed — measured by
+    `probes/shared_site_tail.py` on seed 2's rule: 88% of 100 shared
+    12-round site sequences carry exactly zero p(111) against an
+    exact 4.8e-3 while the across-key mean stays exact, so a few-key
+    estimate can read a hard 0. Independent sites restore per-member
+    decorrelation and the plain binomial floor, rare windows
+    included. (The continuous-time Poisson
     calibration — same-site repeats excluded within a round, an
     O(dt^2/2) effect measurably ~dt/2 for non-involutive random rules
     at L=12 — is validated separately on ex2 in
