@@ -20,8 +20,15 @@ simultaneously oracles
 - the CLOSURE's finite-size error (ring window marginals vs the
   infinite-chain closure trajectory).
 
-Scope: single-tape rules (reads/writes on one tape — ex1/ex2-class;
-a rule touching both tapes raises, since the pair state space squares).
+Scope: the single-tape path (`build_ring_generator`) covers rules that
+touch one tape (ex1/ex2-class; touching both raises there). TWO-TAPE
+rules get the exact treatment at squared cost via
+`build_pair_ring_generator` — the full master equation over all
+``size_a^(2L)`` states of a tethered (program, data) ring pair, the
+microscopic law of CONCRETE tape pairs that the dual-SPD closure's
+well-mixed reveal semantics deliberately does not model (DESIGN.md
+"tethered vs well-mixed"). That oracles the ensemble's joint two-tape
+dynamics — copies, cross-tape branching, fuel depletion included.
 """
 
 from __future__ import annotations
@@ -87,16 +94,46 @@ class _ConcreteDriver:
         return k
 
 
-def enumerate_window_outcomes(problem: dsl.Problem, window: dict[int, int]):
-    """All execution outcomes of the rule fired at offset 0 on a
-    concrete window: list of ``(prob, writes)`` with probs summing to 1
-    and writes a (possibly empty) {offset: new symbol index} dict.
-    Also returns the index reach ``(min_idx, max_idx)`` seen."""
+class _ConcretePairDriver(_ConcreteDriver):
+    """Two-tape concrete driver: independent windows, writes, and
+    reach per tape (False = program, True = data). Same DFS ``choose``
+    machinery as the single-tape driver."""
+
+    def __init__(self, window_p: dict[int, int],
+                 window_d: dict[int, int]):
+        super().__init__({})
+        self.pair_window = {False: window_p, True: window_d}
+        self.pair_writes: dict[bool, dict[int, int]] = {
+            False: {}, True: {}}
+        self.pair_reach = {False: [0, 0], True: [0, 0]}
+
+    def _span(self, data_tape: bool, index: int) -> None:
+        r = self.pair_reach[data_tape]
+        r[0] = min(r[0], index)
+        r[1] = max(r[1], index)
+
+    def tape_get(self, data_tape: bool, index: int) -> int:
+        data_tape = bool(data_tape)
+        self._span(data_tape, index)
+        if index in self.pair_writes[data_tape]:
+            return self.pair_writes[data_tape][index]
+        return self.pair_window[data_tape].get(index, 0)
+
+    def tape_set(self, data_tape: bool, index: int, value: int) -> None:
+        data_tape = bool(data_tape)
+        self._span(data_tape, index)
+        self.pair_writes[data_tape][index] = value
+
+
+def _dfs_outcomes(problem: dsl.Problem, make_driver):
+    """Runs the rule once per ``choose``-branch combination (odometer
+    over the deepest un-exhausted choice) and returns
+    ``[(prob, driver)]`` — the shared DFS core of the single-tape and
+    pair enumerators."""
     outcomes = []
     script: list[tuple[int, int, float]] = []
-    reach = [0, 0]
     while True:
-        drv = _ConcreteDriver(dict(window))
+        drv = make_driver()
         drv.script = list(script)
         drv.cursor = 0
         tape = dsl.Tape(drv, problem.symbols)
@@ -104,9 +141,7 @@ def enumerate_window_outcomes(problem: dsl.Problem, window: dict[int, int]):
         prob = 1.0
         for _, _, p in drv.script[: drv.cursor]:
             prob *= p
-        outcomes.append((prob, dict(drv.writes)))
-        reach[0] = min(reach[0], drv.min_idx)
-        reach[1] = max(reach[1], drv.max_idx)
+        outcomes.append((prob, drv))
         # Odometer: advance the deepest un-exhausted choice.
         script = list(drv.script[: drv.cursor])
         while script:
@@ -117,7 +152,42 @@ def enumerate_window_outcomes(problem: dsl.Problem, window: dict[int, int]):
             script.pop()
         if not script:
             break
+    return outcomes
+
+
+def enumerate_window_outcomes(problem: dsl.Problem, window: dict[int, int]):
+    """All execution outcomes of the rule fired at offset 0 on a
+    concrete window: list of ``(prob, writes)`` with probs summing to 1
+    and writes a (possibly empty) {offset: new symbol index} dict.
+    Also returns the index reach ``(min_idx, max_idx)`` seen."""
+    runs = _dfs_outcomes(problem, lambda: _ConcreteDriver(dict(window)))
+    outcomes = [(prob, dict(drv.writes)) for prob, drv in runs]
+    reach = [0, 0]
+    for _, drv in runs:
+        reach[0] = min(reach[0], drv.min_idx)
+        reach[1] = max(reach[1], drv.max_idx)
     return outcomes, tuple(reach)
+
+
+def enumerate_pair_outcomes(problem: dsl.Problem,
+                            window_p: dict[int, int],
+                            window_d: dict[int, int]):
+    """Two-tape analogue of :func:`enumerate_window_outcomes`: all
+    outcomes of the rule fired at offset 0 on concrete
+    (program, data) windows — ``[(prob, writes_p, writes_d)]`` plus
+    the per-tape index reaches."""
+    runs = _dfs_outcomes(
+        problem,
+        lambda: _ConcretePairDriver(dict(window_p), dict(window_d)))
+    outcomes = [(prob, dict(drv.pair_writes[False]),
+                 dict(drv.pair_writes[True])) for prob, drv in runs]
+    reach_p, reach_d = [0, 0], [0, 0]
+    for _, drv in runs:
+        for acc, seen in ((reach_p, drv.pair_reach[False]),
+                          (reach_d, drv.pair_reach[True])):
+            acc[0] = min(acc[0], seen[0])
+            acc[1] = max(acc[1], seen[1])
+    return outcomes, tuple(reach_p), tuple(reach_d)
 
 
 def window_outcome_table(tag: str):
@@ -248,6 +318,158 @@ def build_ring_generator(tag: str, L: int, *, max_states: int = 2**21):
          (np.concatenate(rows), np.concatenate(cols))),
         shape=(S, S))
     return Q
+
+
+def pair_outcome_table(tag: str):
+    """Outcome table over every concrete (program, data) window pair
+    of a TWO-TAPE rule: returns ``(span_p, span_d, table)`` where
+    ``span_* = (lo, hi)`` and ``table[(rank_p, rank_d)]`` (each rank a
+    base-size_a encoding over its tape's offsets lo..hi) is a list of
+    ``(prob, writes_p, writes_d)``. Zero-probability outcomes are
+    dropped and no-op writes pruned; window pairs whose every outcome
+    is a no-op get an empty list."""
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    _, rp, rd = enumerate_pair_outcomes(problem, {0: 0}, {0: 0})
+    lo_p, hi_p = rp
+    lo_d, hi_d = rd
+    while True:
+        grew = False
+        for syms_p in itertools.product(range(size_a),
+                                        repeat=hi_p - lo_p + 1):
+            win_p = dict(zip(range(lo_p, hi_p + 1), syms_p))
+            for syms_d in itertools.product(range(size_a),
+                                            repeat=hi_d - lo_d + 1):
+                win_d = dict(zip(range(lo_d, hi_d + 1), syms_d))
+                _, rp, rd = enumerate_pair_outcomes(problem, win_p,
+                                                    win_d)
+                if (rp[0] < lo_p or rp[1] > hi_p
+                        or rd[0] < lo_d or rd[1] > hi_d):
+                    lo_p, hi_p = min(lo_p, rp[0]), max(hi_p, rp[1])
+                    lo_d, hi_d = min(lo_d, rd[0]), max(hi_d, rd[1])
+                    grew = True
+                    break
+            if grew:
+                break
+        if not grew:
+            break
+    table = {}
+    for rank_p, syms_p in enumerate(itertools.product(
+            range(size_a), repeat=hi_p - lo_p + 1)):
+        win_p = dict(zip(range(lo_p, hi_p + 1), syms_p))
+        for rank_d, syms_d in enumerate(itertools.product(
+                range(size_a), repeat=hi_d - lo_d + 1)):
+            win_d = dict(zip(range(lo_d, hi_d + 1), syms_d))
+            outs, _, _ = enumerate_pair_outcomes(problem, win_p, win_d)
+            entries = []
+            for prob, wr_p, wr_d in outs:
+                if prob <= 0.0:
+                    continue
+                wr_p = {k: v for k, v in wr_p.items()
+                        if win_p[k] != v}
+                wr_d = {k: v for k, v in wr_d.items()
+                        if win_d[k] != v}
+                if wr_p or wr_d:
+                    entries.append((prob, wr_p, wr_d))
+            if entries:
+                table[(rank_p, rank_d)] = entries
+    return (lo_p, hi_p), (lo_d, hi_d), table
+
+
+def build_pair_ring_generator(tag: str, L: int, *,
+                              max_states: int = 2**21):
+    """Sparse master-equation generator over all
+    ``S = size_a^(2L)`` states of a (program ring, data ring) PAIR —
+    the exact microscopic law of a two-tape rule on concrete tethered
+    tapes (combined state index = rank_p * size_a^L + rank_d). Site
+    ``i`` fires at rate 1 and applies the rule's pair outcome table to
+    BOTH windows around it (the ensemble's semantics: one site, two
+    tapes). Columns = from-state: dP/dt = Q @ P."""
+    import scipy.sparse as sp
+
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    S = size_a ** (2 * L)
+    if S > max_states:
+        raise ValueError(f"size_a^(2L) = {S} exceeds max_states="
+                         f"{max_states}")
+    (lo_p, hi_p), (lo_d, hi_d), table = pair_outcome_table(tag)
+    if hi_p - lo_p >= L or hi_d - lo_d >= L:
+        raise ValueError(
+            f"rule reach p={hi_p - lo_p + 1}/d={hi_d - lo_d + 1} "
+            f"exceeds ring {L}")
+
+    # Combined digits: columns 0..L-1 = program ring, L..2L-1 = data.
+    digits = _ring_digits(2 * L, size_a)
+    pow_ = size_a ** np.arange(2 * L - 1, -1, -1).astype(np.int64)
+    n_dwin = size_a ** (hi_d - lo_d + 1)
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(S)
+    offs_p = np.arange(lo_p, hi_p + 1)
+    offs_d = np.arange(lo_d, hi_d + 1)
+    keys = sorted(table)
+    for i in range(L):
+        w_rank_p = np.zeros(S, dtype=np.int64)
+        for off in offs_p:
+            w_rank_p = w_rank_p * size_a + digits[:, (i + off) % L]
+        w_rank_d = np.zeros(S, dtype=np.int64)
+        for off in offs_d:
+            w_rank_d = (w_rank_d * size_a
+                        + digits[:, L + (i + off) % L])
+        # One stable sort groups the states by composite window key;
+        # per-key nonzero scans over S would be O(S · n_keys).
+        w_key = w_rank_p * n_dwin + w_rank_d
+        order = np.argsort(w_key, kind="stable")
+        sorted_keys = w_key[order]
+        for (rank_p, rank_d) in keys:
+            kk = rank_p * n_dwin + rank_d
+            a = np.searchsorted(sorted_keys, kk, side="left")
+            b = np.searchsorted(sorted_keys, kk, side="right")
+            if a == b:
+                continue
+            sel = order[a:b]
+            for prob, wr_p, wr_d in table[(rank_p, rank_d)]:
+                delta = np.zeros(sel.size, dtype=np.int64)
+                for off, new in wr_p.items():
+                    p = (i + off) % L
+                    delta += (new - digits[sel, p]) * pow_[p]
+                for off, new in wr_d.items():
+                    p = L + (i + off) % L
+                    delta += (new - digits[sel, p]) * pow_[p]
+                rows.append(sel + delta)
+                cols.append(sel)
+                vals.append(np.full(sel.size, prob))
+                diag[sel] -= prob
+    rows.append(np.arange(S))
+    cols.append(np.arange(S))
+    vals.append(diag)
+    Q = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(S, S))
+    return Q
+
+
+def pair_state_window_marginals(p_states, L: int, size_a: int,
+                                cl_k: int):
+    """Translation-averaged JOINT window distribution of a pair-ring
+    state distribution: per-site combined symbol
+    ``c = p_sym * size_a + d_sym`` (alphabet size_a²), window rank
+    base-size_a² over ``cl_k`` consecutive sites — directly comparable
+    to ``ensemble.weighted_window_counts(ptape * size_a + dtape, ...,
+    size_a**2, cl_k)``."""
+    digits = _ring_digits(2 * L, size_a)
+    comb = digits[:, :L] * size_a + digits[:, L:]
+    A = size_a * size_a
+    S = comb.shape[0]
+    out = np.zeros(A ** cl_k)
+    for i in range(L):
+        rank = np.zeros(S, dtype=np.int64)
+        for j in range(cl_k):
+            rank = rank * A + comb[:, (i + j) % L]
+        np.add.at(out, rank, p_states)
+    return out / L
 
 
 def ring_gibbs_states(L: int, *, J_eff: float, h: float, beta: float):

@@ -161,6 +161,52 @@ def test_master_finite_size_approaches_closure():
     assert gaps[2] < 0.5 * gaps[0], gaps
 
 
+def test_pair_generator_reduces_to_single_on_one_tape_rules():
+    """A single-tape rule run through the PAIR machinery must evolve
+    the data marginal exactly as the single-tape generator does (the
+    untouched program ring is a spectator): kron-product initial law,
+    same window marginals after a nontrivial time."""
+    tag, size_a, cl_k, L, t_end = "ex2-ferromagnetic-chain", 2, 3, 6, 1.5
+    Qs = master.build_ring_generator(tag, L)
+    Qp = master.build_pair_ring_generator(tag, L)
+    S = size_a ** L
+    rng = np.random.RandomState(3)
+    q0 = rng.rand(S)
+    q0 /= q0.sum()
+    p0_pair = np.kron(np.full(S, 1.0 / S), q0)
+    marg_single = master.state_window_marginals(
+        master.solve_master(Qs, q0, [0.0, t_end])[-1], L, size_a, cl_k)
+    pair_t = master.solve_master(Qp, p0_pair, [0.0, t_end])[-1]
+    joint = master.pair_state_window_marginals(pair_t, L, size_a, cl_k)
+    # Marginalise the joint (size_a^2 alphabet) windows to data-only.
+    A = size_a * size_a
+    joint = joint.reshape((A,) * cl_k)
+    marg_pair = np.zeros((size_a,) * cl_k)
+    for idx in np.ndindex(*joint.shape):
+        d_idx = tuple(c % size_a for c in idx)
+        marg_pair[d_idx] += joint[idx]
+    np.testing.assert_allclose(marg_pair.ravel(), marg_single,
+                               atol=1e-12)
+
+
+def test_ex3_pair_outcome_table_analytic_entry():
+    """ex3 (two-tape copolymerisation) at the window pair
+    program=(O,A,O), data=(O,O,M,O,O): isolated compatible monomer
+    with BOTH chain-end sides free — exactly two outcomes at prob 1/2
+    each, consuming the program monomer A and depositing it on the
+    chosen side of the data chain (`problems.py` ex3; reference
+    problems.scm)."""
+    span_p, span_d, table = master.pair_outcome_table(
+        "ex3-copolymerization")
+    assert span_p == (-1, 1) and span_d == (-2, 2)
+    O, A, M = 0, 1, 2
+    rank_p = (O * 4 + A) * 4 + O
+    rank_d = (((O * 4 + O) * 4 + M) * 4 + O) * 4 + O
+    entries = sorted(table[(rank_p, rank_d)],
+                     key=lambda e: sorted(e[2]))
+    assert entries == [(0.5, {0: O}, {-1: A}), (0.5, {0: O}, {1: A})]
+
+
 def _register_random_single_tape(seed, size_a):
     """Random replayable DATA-tape-only rule (the master equation's
     scope), reusing the fuzz statement grammar with the tape selector
@@ -261,7 +307,87 @@ def test_fuzz_master_oracles_random_rule_ensembles(seed):
     reps = np.stack(reps)
     got = reps.mean(axis=0)
     sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
-    z = np.abs(got - want) / np.maximum(sem, 1e-6)
+    # Floor the empirical sem at the binomial floor (valid: members
+    # are iid under independent_sites): a rare window can read zero
+    # in EVERY key, collapsing the empirical sem to nothing and
+    # turning an expected O(1e-4) miss into a spurious huge z.
+    floor = np.sqrt(np.maximum(want, 1e-9) * np.clip(1.0 - want, 0, 1)
+                    / (n_keys * B_k * L / cl_k))
+    z = np.abs(got - want) / np.maximum(sem, floor)
     assert float(z.max()) < 6.0, (seed, float(z.max()))
     # The rare-window tail is populated (the shared-site mode read 0).
     assert got[want > 1e-3].min() > 0.0, got
+
+
+@pytest.mark.parametrize("seed,L", [(700, 8), (727, 8), (702, 10)])
+def test_fuzz_pair_master_oracles_two_tape_ensembles(seed, L):
+    """Random TWO-TAPE rules — copies and cross-tape branching left
+    UNPINNED (exactly the statements the single-tape fuzz oracle must
+    pin away): the ensemble's joint (program, data) sampled process
+    must match the exact discrete round kernel I + Q/L of the
+    pair-ring master equation, compared on JOINT windows (combined
+    per-site symbol p*size_a + d). At E=1 the comparison has no
+    time-discretisation allowance; gated at the empirical MC floor.
+
+    Seeds chosen by scan: 700/727 write BOTH tapes through the
+    decision-machine path; 702 exceeds the machine's write-spec
+    packing and exercises the transition-table path (span 4 → L=10,
+    a 2^20-state pair generator)."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+    from tests.test_fuzz import _register_random
+
+    size_a = 2
+    tag = _register_random(seed, size_a)
+    cl_k = 3
+    try:
+        dm = ensemble.compile_decision_machine(tag)
+    except ValueError:  # too many write specs for the packed machine
+        dm = ensemble.device_table(ensemble.compile_transition_table(tag))
+    assert L > 2 * dm.span, (seed, dm.span)
+
+    Q = master.build_pair_ring_generator(tag, L)
+    assert np.abs(np.asarray(Q.sum(axis=0)).ravel()).max() < 1e-12
+
+    # Uniform initial PAIRS (exactly representable on both sides).
+    S = size_a ** (2 * L)
+    p = np.full(S, 1.0 / S)
+    rounds, E = 12, 1
+    for _ in range(rounds):  # exact round kernel: p <- (I + Q/L) p
+        p = p + (Q @ p) / L
+    want = master.pair_state_window_marginals(p, L, size_a, cl_k)
+
+    n_keys, B_k = 8, 512
+    reps = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(900 + 41 * seed + kk)
+        ptape = jax.random.randint(jax.random.fold_in(key, 0),
+                                   (B_k, L), 0, size_a,
+                                   dtype=np.int32)
+        dtape = jax.random.randint(jax.random.fold_in(key, 1),
+                                   (B_k, L), 0, size_a,
+                                   dtype=np.int32)
+        (ptape, dtape), _ = ensemble.run_ensemble(
+            jax.random.fold_in(key, 2), (ptape, dtape), dm,
+            (rounds, E), independent_sites=True)
+        comb = np.asarray(ptape) * size_a + np.asarray(dtape)
+        reps.append(np.asarray(ensemble.weighted_window_counts(
+            comb, np.full(B_k, 1.0 / B_k), size_a * size_a, cl_k)))
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    # Binomial-floor the sem (members iid under independent_sites):
+    # rare JOINT windows (64 of them at cl_k=3) can read zero in
+    # every key, collapsing the empirical sem and inflating z by
+    # orders of magnitude on an expected O(1e-4) miss.
+    floor = np.sqrt(np.maximum(want, 1e-9) * np.clip(1.0 - want, 0, 1)
+                    / (n_keys * B_k * L / cl_k))
+    z = np.abs(got - want) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, (seed, float(z.max()))
+    # Both tapes actually moved (the joint comparison is not vacuous).
+    uni = master.pair_state_window_marginals(
+        np.full(S, 1.0 / S), L, size_a, cl_k)
+    assert np.abs(want - uni).max() > 1e-3, "rule left uniform fixed"
