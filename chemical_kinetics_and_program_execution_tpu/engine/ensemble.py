@@ -947,7 +947,15 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
     B, L = ptape.shape
     if L % events:
         raise ValueError(f"events_per_step={events} must divide L={L}")
-    if L // events <= 2 * dtable.span:
+    if events == 1:
+        # A single site per round has nothing to conflict with; the
+        # only requirement is that the window fits the ring (wide
+        # rules on small rings, e.g. ex3 at L=5 vs the pair master
+        # equation).
+        if dtable.span > L:
+            raise ValueError(
+                f"window span {dtable.span} exceeds tape length {L}")
+    elif L // events <= 2 * dtable.span:
         raise ValueError(
             f"stride {L // events} too small for window span "
             f"{dtable.span}; lower events_per_step"

@@ -320,19 +320,34 @@ def build_ring_generator(tag: str, L: int, *, max_states: int = 2**21):
     return Q
 
 
-def pair_outcome_table(tag: str):
+def pair_outcome_table(tag: str, *, max_windows: int = 2**22):
     """Outcome table over every concrete (program, data) window pair
     of a TWO-TAPE rule: returns ``(span_p, span_d, table)`` where
     ``span_* = (lo, hi)`` and ``table[(rank_p, rank_d)]`` (each rank a
     base-size_a encoding over its tape's offsets lo..hi) is a list of
     ``(prob, writes_p, writes_d)``. Zero-probability outcomes are
     dropped and no-op writes pruned; window pairs whose every outcome
-    is a no-op get an empty list."""
+    is a no-op get an empty list.
+
+    ``max_windows`` bounds ``size_a^(width_p + width_d)`` — each window
+    pair costs one Python rule enumeration, so a wide-alphabet rule
+    (ex4's 7 symbols) must fail fast instead of hanging the growth
+    loop."""
     problem = dsl.get_problem(tag)
     size_a = problem.size_a
     _, rp, rd = enumerate_pair_outcomes(problem, {0: 0}, {0: 0})
     lo_p, hi_p = rp
     lo_d, hi_d = rd
+
+    def _check_width():
+        n = size_a ** ((hi_p - lo_p + 1) + (hi_d - lo_d + 1))
+        if n > max_windows:
+            raise ValueError(
+                f"{tag!r}: {n} concrete window pairs (size_a={size_a},"
+                f" widths {hi_p - lo_p + 1}+{hi_d - lo_d + 1}) exceed"
+                f" max_windows={max_windows}")
+
+    _check_width()
     while True:
         grew = False
         for syms_p in itertools.product(range(size_a),
@@ -347,6 +362,7 @@ def pair_outcome_table(tag: str):
                         or rd[0] < lo_d or rd[1] > hi_d):
                     lo_p, hi_p = min(lo_p, rp[0]), max(hi_p, rp[1])
                     lo_d, hi_d = min(lo_d, rd[0]), max(hi_d, rd[1])
+                    _check_width()
                     grew = True
                     break
             if grew:

@@ -35,6 +35,15 @@ def out_path(name: str) -> str:
     return os.path.join(OUT_DIR, name)
 
 
+def iid_spd(probs, cl_k: int):
+    """``[size_a]^cl_k`` product SPD of iid per-site symbols."""
+    probs = np.asarray(probs, dtype=np.float64)
+    out = probs
+    for _ in range(cl_k - 1):
+        out = np.multiply.outer(out, probs)
+    return out
+
+
 def cached(filename: str, compute, key: str = "ode_ys",
            ts: np.ndarray | None = None) -> np.ndarray:
     """Idempotent .npz cache: recompute only if the file is absent.

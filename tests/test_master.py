@@ -391,3 +391,48 @@ def test_fuzz_pair_master_oracles_two_tape_ensembles(seed, L):
     uni = master.pair_state_window_marginals(
         np.full(S, 1.0 / S), L, size_a, cl_k)
     assert np.abs(want - uni).max() > 1e-3, "rule left uniform fixed"
+
+
+def test_wide_rule_on_master_sized_ring_at_e1():
+    """E=1 relaxes the stride > 2*span guard (one site per round has
+    nothing to conflict with): ex3's width-5 window runs on an L=5
+    ring — the geometry the pair master equation needs — and one
+    device round from a concrete pair matches the exact kernel column
+    K = I + Q/L at the MC floor."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+
+    tag, size_a, L, B = "ex3-copolymerization", 4, 5, 4096
+    dm = ensemble.compile_decision_machine(tag)
+    assert dm.span == 5  # the whole ring — rejected before round 2
+    Q = master.build_pair_ring_generator(tag, L).tocsc()
+
+    # A state where the rule actually fires: isolated A monomer on the
+    # program tape over a same-site M monomer with free data sides.
+    xp = np.array([0, 1, 0, 0, 0], np.int32)
+    xd = np.array([0, 2, 0, 0, 0], np.int32)
+    x = 0
+    for v in xp:
+        x = x * size_a + int(v)
+    for v in xd:
+        x = x * size_a + int(v)
+    pt = np.tile(xp, (B, 1))
+    dt = np.tile(xd, (B, 1))
+    (pt2, dt2), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(3), (pt, dt), dm, (1, 1),
+        independent_sites=True)
+    ranks = np.zeros(B, np.int64)
+    for i in range(L):
+        ranks = ranks * size_a + np.asarray(pt2)[:, i]
+    for i in range(L):
+        ranks = ranks * size_a + np.asarray(dt2)[:, i]
+    emp = np.bincount(ranks, minlength=size_a ** (2 * L)) / B
+    col = np.zeros(size_a ** (2 * L))
+    col[x] = 1.0
+    col += np.asarray(Q[:, x].todense()).ravel() / L
+    tv = 0.5 * np.abs(emp - col).sum()
+    assert tv < 0.05, tv
+    assert col[x] < 1.0  # the rule fired with positive probability
