@@ -488,6 +488,40 @@ def pair_state_window_marginals(p_states, L: int, size_a: int,
     return out / L
 
 
+def ring_contains_pattern(L: int, size_a: int, pattern) -> np.ndarray:
+    """[size_a^L] bool: does ``pattern`` occur (circularly) anywhere on
+    each ring state? The state-space mirror of
+    `ensemble.contains_pattern`."""
+    digits = _ring_digits(L, size_a)
+    S = digits.shape[0]
+    hit = np.zeros(S, dtype=bool)
+    for i in range(L):
+        m = np.ones(S, dtype=bool)
+        for j, s in enumerate(pattern):
+            m &= digits[:, (i + j) % L] == int(s)
+        hit |= m
+    return hit
+
+
+def discrete_survival(Q, p0, hit_mask, rounds: int, L: int):
+    """EXACT first-passage survival curve under the ensemble's own
+    detection semantics: `ensemble.first_passage_times` checks the
+    pattern after each E=1 round (kernel K = I + Q/L), so
+    ``S[r] = P(pattern-free through round r)`` is the mass that stays
+    in pattern-free states under the projected kernel
+    ``P_free · K · P_free`` — with ``S[0]`` the initial pattern-free
+    mass (the t=0 check). Members hit earlier keep evolving in the
+    ensemble; the survival functional only needs the projected flow."""
+    keep = ~np.asarray(hit_mask)
+    p = np.where(keep, np.asarray(p0, dtype=np.float64), 0.0)
+    out = [p.sum()]
+    for _ in range(rounds):
+        p = p + (Q @ p) / L
+        p = np.where(keep, p, 0.0)
+        out.append(p.sum())
+    return np.asarray(out)
+
+
 def ring_gibbs_states(L: int, *, J_eff: float, h: float, beta: float):
     """Exact Gibbs distribution over 2^L ring spin states (symbol 0 =
     spin −1), the detailed-balance stationary law of the ex2 family."""

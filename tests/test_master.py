@@ -436,3 +436,59 @@ def test_wide_rule_on_master_sized_ring_at_e1():
     tv = 0.5 * np.abs(emp - col).sum()
     assert tv < 0.05, tv
     assert col[x] < 1.0  # the rule fired with positive probability
+
+
+def test_first_passage_oracled_by_absorbing_master():
+    """EXACT first-passage oracle: `ensemble.first_passage_times`
+    detects the pattern at round boundaries, so its survival curve
+    must equal the projected discrete kernel P_free (I + Q/L) P_free
+    — approximation-free, path-functional validation the internal
+    weighted-vs-per-round crosscheck cannot provide. Per-member path
+    law is exact even with the shared per-round site draw (one member
+    sees one uniform iid site per round); keys supply the scatter."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+    from chemical_kinetics_and_program_execution_tpu.models.initial_states import (
+        ferromagnet_p0,
+    )
+
+    tag, size_a, cl_k, L = "ex2-ferromagnetic-chain", 2, 3, 12
+    pattern, rounds, E = (1, 1, 1), 60, 1
+    spd = ferromagnet_p0(cl_k, p_pair=0.3).reshape((2,) * cl_k)
+
+    p0 = master.ring_trace_measure(spd, size_a, cl_k, L)
+    hit = master.ring_contains_pattern(L, size_a, pattern)
+    Q = master.build_ring_generator(tag, L)
+    S_exact = master.discrete_survival(Q, p0, hit, rounds, L)
+    assert S_exact[0] == 1.0  # pair-seeded p0 carries no initial hits
+    assert S_exact[-1] < 0.85  # the comparison is not vacuous
+
+    dm = ensemble.compile_decision_machine(tag)
+    dt_round = -math.log1p(-E / L)
+    n_keys, B_k = 16, 512
+    curves = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(40 + kk)
+        dtape = ensemble.sample_tapes_from_spd(
+            jax.random.fold_in(key, 0), spd, size_a, cl_k, B_k, L,
+            ring=True).astype(np.int32)
+        ptape = np.zeros((B_k, L), np.int32)
+        t_hit, _, _ = ensemble.first_passage_times(
+            jax.random.fold_in(key, 1), (ptape, dtape), dm, pattern,
+            (rounds, E))
+        t_hit = np.asarray(t_hit)
+        curves.append([
+            float((t_hit >= dt_round * (r + 0.5)).mean())
+            for r in range(rounds + 1)
+        ])
+    curves = np.stack(curves)
+    got = curves.mean(axis=0)
+    sem = curves.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    floor = np.sqrt(np.maximum(S_exact * (1 - S_exact), 1e-9)
+                    / (n_keys * B_k))
+    z = np.abs(got - S_exact) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, (float(z.max()),
+                                  np.abs(got - S_exact).max())
