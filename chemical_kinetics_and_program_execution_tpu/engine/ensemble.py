@@ -897,6 +897,26 @@ def _roll_rows(tape, shifts):
     return jnp.take_along_axis(tape, idx, axis=1)
 
 
+def _check_round_geometry(L: int, events: int, span: int) -> None:
+    """Round-lattice geometry gate shared by `run_ensemble` and
+    `first_passage_times`. ``events`` must divide L. At E=1 a round
+    fires a SINGLE site per member — nothing to conflict with — so the
+    only requirement is that the rule's window fits the ring (wide
+    rules on master-equation-sized rings, e.g. ex3 at L=5). At E>1 the
+    stratified lattice sites must sit > 2·span apart so no event can
+    see another's writes within a round."""
+    if L % events:
+        raise ValueError(f"events_per_step={events} must divide L={L}")
+    if events == 1:
+        if span > L:
+            raise ValueError(
+                f"window span {span} exceeds tape length {L}")
+    elif L // events <= 2 * span:
+        raise ValueError(
+            f"stride {L // events} too small for window span {span}; "
+            "lower events_per_step")
+
+
 @partial(jax.jit, static_argnums=(3,), static_argnames=("independent_sites",))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
                  *, independent_sites: bool = False):
@@ -922,7 +942,9 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
       tapes: (ptape [B, L] int32, dtape [B, L] int32).
       dtable: compiled device table (pytree).
       steps_events: (num_steps, events_per_step), static.
-        events_per_step must divide L with L/E > 2·window span.
+        events_per_step must divide L; at E>1 additionally
+        L/E > 2·window span (at E=1 one site fires per round, so only
+        span ≤ L is required — wide rules on master-sized rings).
 
     ``independent_sites=True`` draws the lattice phase PER MEMBER
     (one delta-composed take_along_axis roll per tape per round)
@@ -945,21 +967,7 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
     num_steps, events = steps_events
     ptape, dtape = tapes
     B, L = ptape.shape
-    if L % events:
-        raise ValueError(f"events_per_step={events} must divide L={L}")
-    if events == 1:
-        # A single site per round has nothing to conflict with; the
-        # only requirement is that the window fits the ring (wide
-        # rules on small rings, e.g. ex3 at L=5 vs the pair master
-        # equation).
-        if dtable.span > L:
-            raise ValueError(
-                f"window span {dtable.span} exceeds tape length {L}")
-    elif L // events <= 2 * dtable.span:
-        raise ValueError(
-            f"stride {L // events} too small for window span "
-            f"{dtable.span}; lower events_per_step"
-        )
+    _check_round_geometry(L, events, dtable.span)
 
     is_machine = isinstance(dtable, DeviceMachine)
     u_dtype = jnp.float32 if is_machine else dtable.out_cum.dtype
@@ -1063,7 +1071,8 @@ def first_passage_times(key, tapes, dm, pattern, plan, *,
       dm: compiled :class:`DeviceMachine`.
       pattern: symbol-index sequence to detect (circularly).
       plan: static (max_rounds, events_per_round); events must divide
-        L with L/events > 2·span.
+        L; at E>1 additionally L/events > 2·span (E=1 needs only
+        span ≤ L).
       data_tape: search the data tape (True) or the program tape.
 
     Returns:
@@ -1073,12 +1082,7 @@ def first_passage_times(key, tapes, dm, pattern, plan, *,
     max_rounds, events = plan
     ptape, dtape = tapes
     B, L = ptape.shape
-    if L % events:
-        raise ValueError(f"events_per_round={events} must divide L={L}")
-    if L // events <= 2 * dm.span:
-        raise ValueError(
-            f"stride {L // events} too small for window span {dm.span}"
-        )
+    _check_round_geometry(L, events, dm.span)
     dt_round = -math.log1p(-events / L)
     pt = jnp.asarray(ptape).astype(jnp.int8)
     dt_ = jnp.asarray(dtape).astype(jnp.int8)

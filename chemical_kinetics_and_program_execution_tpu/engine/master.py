@@ -512,7 +512,8 @@ def discrete_survival(Q, p0, hit_mask, rounds: int, L: int):
     ``P_free · K · P_free`` — with ``S[0]`` the initial pattern-free
     mass (the t=0 check). Members hit earlier keep evolving in the
     ensemble; the survival functional only needs the projected flow."""
-    keep = ~np.asarray(hit_mask)
+    keep = ~np.asarray(hit_mask, dtype=bool)  # bool coercion: ~ on an
+    # int 0/1 mask would give all-nonzero values and never project
     p = np.where(keep, np.asarray(p0, dtype=np.float64), 0.0)
     out = [p.sum()]
     for _ in range(rounds):

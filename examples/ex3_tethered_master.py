@@ -113,12 +113,23 @@ def main():
     dt_snap = ROUNDS_PER_SNAP * (-math.log1p(-E / L))
     ts = np.arange(N_SNAPS + 1) * dt_snap
 
-    # EXACT TETHERED: pair master equation at L=5 (4^10 states).
+    # EXACT TETHERED: pair master equation at L=5 (4^10 states) — the
+    # continuous-time law for the physics panels, and the DISCRETE
+    # round kernel (I + Q/L)^r for the ensemble gate (the ensemble IS
+    # r rounds; gating it against e^{Qt} would mix in the O(1/(2L^2))
+    # same-site-repeat term, ~2%/round at L=5).
     p0 = np.kron(iid_ring_measure(P_PROG), iid_ring_measure(P_DATA))
     Q = master.build_pair_ring_generator(TAG, L)
     p_states = master.solve_master(Q, p0, ts)
     joints = np.stack([joint_site(p_states[i]) for i in range(len(ts))])
     mi_exact = np.array([mutual_information(j) for j in joints])
+    p_disc = p0.copy()
+    joints_disc = [joint_site(p_disc)]
+    for _ in range(N_SNAPS):
+        for _ in range(ROUNDS_PER_SNAP):
+            p_disc = p_disc + (Q @ p_disc) / L
+        joints_disc.append(joint_site(p_disc))
+    joints_disc = np.stack(joints_disc)
 
     # WELL-MIXED: dual-SPD closure (infinite chain, zero cross-tape
     # correlation by construction).
@@ -140,15 +151,20 @@ def main():
     emp = _common.cached(f"ex3_tethered_master{SUFFIX}.npz",
                          lambda: ensemble_joints(ts), ts=ts)
 
-    # Gate the ensemble against the master at the MC floor (binomial;
-    # members iid under independent_sites, L sites per member).
-    se = np.sqrt(np.maximum(joints, 1e-9)
-                 * np.clip(1.0 - joints, 0, 1) / (B * L))
-    z = np.abs(emp - joints) / np.maximum(se, 1e-9)
-    gate = 6.0 * max(1.0, math.sqrt(8192 / B))
-    print(f"ensemble vs pair master: max z over "
+    # Gate the ensemble against the DISCRETE kernel at the MC floor.
+    # se counts each member once (members iid under independent_sites;
+    # the L sites within a member are correlated, so B samples is the
+    # conservative count) — no systematic term, so the 6-sigma gate is
+    # honest at ANY B.
+    se = np.sqrt(np.maximum(joints_disc, 1e-9)
+                 * np.clip(1.0 - joints_disc, 0, 1) / B)
+    z = np.abs(emp - joints_disc) / np.maximum(se, 1e-9)
+    print(f"ensemble vs discrete pair kernel: max z over "
           f"{len(ts)}x16 joint-site entries = {z.max():.2f}")
-    assert z.max() < gate, (z.max(), gate)
+    assert z.max() < 6.0, z.max()
+    disc_vs_cont = np.abs(joints_disc - joints).max()
+    print(f"discrete-round vs continuous master (same-site-repeat "
+          f"term): max |Δ| = {disc_vs_cont:.4f}")
 
     mi_emp = np.array([mutual_information(j) for j in emp])
     prog_nonO = 1.0 - joints.sum(axis=2)[:, 0]

@@ -14,7 +14,6 @@ Usage: python ex6_mini_bff.py [--threshold 1e-4] [--cl-k 3]
 """
 
 import argparse
-import itertools
 
 import numpy as np
 
@@ -24,15 +23,6 @@ from chemical_kinetics_and_program_execution_tpu.engine import dense, dsl
 from chemical_kinetics_and_program_execution_tpu.ode.integrate import solve
 
 TAG = "ex6-mini-bff"
-
-
-def iid_spd(psym: np.ndarray, cl_k: int) -> np.ndarray:
-    """SPD of i.i.d. symbols: p(window) = Π p(symbol)."""
-    a = len(psym)
-    return np.array([
-        np.prod([psym[s] for s in w])
-        for w in itertools.product(range(a), repeat=cl_k)
-    ])
 
 
 def main():
@@ -48,7 +38,7 @@ def main():
     # Mostly-quiescent tape: dominant symbol 0, everything else rare.
     psym = np.full(a, 0.1 / (a - 1))
     psym[0] = 0.9
-    p0 = iid_spd(psym, cl_k)
+    p0 = _common.iid_spd(psym, cl_k).ravel()
 
     # Adaptive pruned solve: enumeration is cheap (milliseconds), so the
     # kept multiverse is re-selected against the *current* distribution
