@@ -340,3 +340,52 @@ def test_ex2_autocorrelation_artifacts_hold_gates():
     sel = (c < 0.6) & (c > 0.2) & (taus > 0)
     rate = -np.polyfit(taus[sel] * dt_snap, np.log(c[sel]), 1)[0]
     assert abs(rate / -lam_inf - 1.0) < 0.10
+
+
+def test_ex3_tethered_artifacts_gate_on_exact_pair_kernel():
+    """Committed ex3_tethered_master.npz (empirical joint site
+    distributions of the sampled tethered pairs) must gate against a
+    FRESHLY computed exact discrete pair kernel — the claims in
+    RESULTS.md 'Tethered vs well-mixed' re-derived every CI run: a
+    pair-master or ensemble regression fails here without artifact
+    regeneration."""
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        master,
+    )
+
+    path = os.path.join(ART_DIR, "ex3_tethered_master.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex3_tethered_master.py first")
+    emp = np.load(path)["ode_ys"]  # [N_SNAPS+1, 4, 4]
+    assert emp.shape == (11, 4, 4)
+    B, L, rounds_per_snap = 8192, 5, 3
+    P_PROG = np.array([0.55, 0.15, 0.15, 0.15])
+    P_DATA = np.array([0.82, 0.06, 0.06, 0.06])
+
+    def iid_ring(probs):
+        d = master._ring_digits(L, 4)
+        w = np.ones(4 ** L)
+        for i in range(L):
+            w = w * probs[d[:, i]]
+        return w
+
+    p = np.kron(iid_ring(P_PROG), iid_ring(P_DATA))
+    Q = master.build_pair_ring_generator("ex3-copolymerization", L)
+    want = [master.pair_state_window_marginals(p, L, 4, 1)]
+    for _ in range(emp.shape[0] - 1):
+        for _ in range(rounds_per_snap):
+            p = p + (Q @ p) / L
+        want.append(master.pair_state_window_marginals(p, L, 4, 1))
+    want = np.stack(want).reshape(emp.shape)
+    se = np.sqrt(np.maximum(want, 1e-9)
+                 * np.clip(1.0 - want, 0, 1) / B)
+    z = np.abs(emp - want) / np.maximum(se, 1e-9)
+    assert float(z.max()) < 6.0, float(z.max())
+    # The measured mutual-information claim: grows from ~0 to >2e-3.
+    def mi(j):
+        pP, pD = j.sum(axis=1), j.sum(axis=0)
+        m = j > 0
+        return float((j[m] * np.log(
+            j[m] / (pP[:, None] * pD[None, :])[m])).sum())
+    exact_mi = mi(want[-1])
+    assert exact_mi > 2e-3, exact_mi
