@@ -173,6 +173,68 @@ def ex3var2_copolymerization(t):
                     t.set_sym(DATA, i, p0)
 
 
+@register_problem("ex3var1-copolymerization-p", ("O", "A", "M", "N"),
+                  params={"q_reject": 0.75})
+def ex3var1_copolymerization_parametric(t, params):
+    """Parametric ex3var1: identical physics to
+    `ex3var1-copolymerization` (`problems.scm:89-126`) with the
+    alternation-preference rejection probability ``q_reject`` (default
+    3/4, the reference's 75:25 weights) as a runtime rate parameter —
+    d(copolymer statistics)/d(preference) through the multiverse
+    compile (`engine/parametric.py`)."""
+    q = params["q_reject"]
+    p0 = t.get_sym(PROGRAM, 0)
+    if (p0 != "O" and t.get_sym(PROGRAM, -1) == "O"
+            and t.get_sym(PROGRAM, +1) == "O"):
+        d0 = t.get_sym(DATA, 0)
+        if ((p0 == "A" and d0 in ("M", "N"))
+                or (d0 == "A" and p0 in ("M", "N"))):
+            i = t.choose([(1.0, -1), (1.0, +1)])
+            if (t.get_sym(DATA, i) == "O"
+                    and t.get_sym(DATA, 2 * i) == "O"):
+                if (p0 != "A" and t.get_sym(DATA, -i) == p0
+                        and t.choose([(q, True), (1.0 - q, False)])):
+                    pass  # alternation preference: reject
+                else:
+                    t.set_sym(PROGRAM, 0, "O")
+                    t.set_sym(DATA, i, p0)
+
+
+@register_problem("ex3var2-copolymerization-p", ("O", "A", "M", "N"),
+                  params={"k_rev": 1.0 / 50.0})
+def ex3var2_copolymerization_parametric(t, params):
+    """Parametric ex3var2: identical physics to
+    `ex3var2-copolymerization` (`problems.scm:130-181`) with the
+    chain-end depolymerization rate ``k_rev`` relative to addition
+    (default 1/50, the reference's 1:50 weights) as a runtime rate
+    parameter — reversibility sensitivities of strand statistics."""
+    k = params["k_rev"]
+    p0 = t.get_sym(PROGRAM, 0)
+    if p0 == "O":
+        if (t.get_sym(PROGRAM, -1) == "O"
+                and t.get_sym(PROGRAM, +1) == "O"):
+            d0 = t.get_sym(DATA, 0)
+            if d0 != "O":
+                d1_right = t.get_sym(DATA, 1)
+                d1_left = t.get_sym(DATA, -1)
+                if ((0 if d1_left == "O" else 1)
+                        + (0 if d1_right == "O" else 1)) == 1:
+                    if t.choose([(k, True), (1.0, False)]):
+                        t.set_sym(PROGRAM, 0, d0)
+                        t.set_sym(DATA, 0, "O")
+    else:
+        if (t.get_sym(PROGRAM, -1) == "O"
+                and t.get_sym(PROGRAM, +1) == "O"):
+            d0 = t.get_sym(DATA, 0)
+            if ((p0 == "A" and d0 in ("M", "N"))
+                    or (d0 == "A" and p0 in ("M", "N"))):
+                i = t.choose([(1.0, -1), (1.0, +1)])
+                if (t.get_sym(DATA, i) == "O"
+                        and t.get_sym(DATA, 2 * i) == "O"):
+                    t.set_sym(PROGRAM, 0, "O")
+                    t.set_sym(DATA, i, p0)
+
+
 # --- Example 4: chemical Turing machine (`problems.scm:186-434`) ------------
 
 _EX4_SYMBOLS = ("A", "B", "C", "D", "I", "O", "P", "X", "S")

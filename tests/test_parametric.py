@@ -230,3 +230,44 @@ def test_time_dependent_protocol_gradient():
         e = jnp.zeros(3).at[j].set(eps)
         fd = (float(obs(theta0 + e)) - float(obs(theta0 - e))) / (2 * eps)
         np.testing.assert_allclose(float(g[j]), fd, rtol=1e-6)
+
+
+@pytest.mark.parametrize("ptag,btag,param,default", [
+    ("ex3var1-copolymerization-p", "ex3var1-copolymerization",
+     "q_reject", 0.75),
+    ("ex3var2-copolymerization-p", "ex3var2-copolymerization",
+     "k_rev", 1.0 / 50.0),
+])
+def test_parametric_ex3_matches_baked_and_fd(ptag, btag, param, default):
+    """The ex3 parametric family: at the declared defaults each
+    parametric RHS equals the plain baked twin (exact weight-product
+    parity through the replay), and the declared knob's RHS gradient
+    matches central finite differences."""
+    cl_k = 4
+    pd, _ = parametric.make_parametric_dense(ptag, cl_k)
+    dfn, _ = build_dy_dt(btag, cl_k)
+    # iid p0 (Markov-consistent) with mass on adjacent same-comonomer
+    # windows — the dilute isolated-monomer p0 gives var1's rejection
+    # branch zero support and a legitimately zero gradient.
+    psym = np.array([0.7, 0.1, 0.1, 0.1])
+    p = psym
+    for _ in range(cl_k - 1):
+        p = np.multiply.outer(p, psym)
+    p = jnp.asarray(p.ravel())
+    got = np.asarray(pd(p, get_problem(ptag).param_defaults))
+    want = np.asarray(dfn(p))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-16)
+
+    # Random fixed probe covector: an index-affine probe (linspace) is
+    # exactly orthogonal to this flow's index first moment and reads 0.
+    v = jnp.asarray(np.random.RandomState(0).rand(p.shape[0]))
+
+    def scalar(x):
+        return jnp.vdot(v, pd(p, {param: x}))
+
+    g = jax.grad(scalar)(jnp.asarray(default, jnp.float64))
+    eps = 1e-6
+    fd = (float(scalar(default + eps))
+          - float(scalar(default - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-6)
+    assert abs(float(g)) > 1e-6  # the knob actually moves the flow
