@@ -503,6 +503,24 @@ def ring_contains_pattern(L: int, size_a: int, pattern) -> np.ndarray:
     return hit
 
 
+def pair_ring_contains_pattern(L: int, size_a: int, pattern, *,
+                               data_tape: bool = True) -> np.ndarray:
+    """[size_a^(2L)] bool: does ``pattern`` occur (circularly) on the
+    chosen tape of each (program, data) pair state? The pair-state
+    mirror of `ensemble.contains_pattern`, for two-tape first-passage
+    oracles via :func:`discrete_survival` with a pair generator."""
+    digits = _ring_digits(2 * L, size_a)
+    cols = digits[:, L:] if data_tape else digits[:, :L]
+    S = digits.shape[0]
+    hit = np.zeros(S, dtype=bool)
+    for i in range(L):
+        m = np.ones(S, dtype=bool)
+        for j, s in enumerate(pattern):
+            m &= cols[:, (i + j) % L] == int(s)
+        hit |= m
+    return hit
+
+
 def discrete_survival(Q, p0, hit_mask, rounds: int, L: int):
     """EXACT first-passage survival curve under the ensemble's own
     detection semantics: `ensemble.first_passage_times` checks the

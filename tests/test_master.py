@@ -492,3 +492,66 @@ def test_first_passage_oracled_by_absorbing_master():
     z = np.abs(got - S_exact) / np.maximum(sem, floor)
     assert float(z.max()) < 6.0, (float(z.max()),
                                   np.abs(got - S_exact).max())
+
+
+def test_two_tape_first_passage_oracled_by_pair_kernel():
+    """First passage on a TWO-TAPE rule, exactly: when does the first
+    A-M bond assemble on the ex3 strand? The survival
+    curve of `first_passage_times` (data-tape detection, E=1 rounds on
+    concrete pairs) must equal the projected discrete PAIR kernel —
+    the pair-state mirror of the single-tape oracle, covering the
+    cross-tape write path the single-tape mask cannot express."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+
+    tag, size_a, L = "ex3-copolymerization", 4, 5
+    # First A-M bond: program A monomers over an M-bearing strand tape
+    # with no A on the data side, so every hit is DYNAMICAL (S0 = 1).
+    pattern, rounds = (1, 2), 60  # A M
+    P_PROG = np.array([0.6, 0.4, 0.0, 0.0])
+    P_DATA = np.array([0.7, 0.0, 0.3, 0.0])
+
+    def iid_ring(probs):
+        d = master._ring_digits(L, size_a)
+        w = np.ones(size_a ** L)
+        for i in range(L):
+            w = w * probs[d[:, i]]
+        return w
+
+    p0 = np.kron(iid_ring(P_PROG), iid_ring(P_DATA))
+    hit = master.pair_ring_contains_pattern(L, size_a, pattern)
+    Q = master.build_pair_ring_generator(tag, L)
+    S_exact = master.discrete_survival(Q, p0, hit, rounds, L)
+    assert 0.02 < 1.0 - S_exact[-1] < 0.9  # hits happen, not instantly
+
+    dm = ensemble.compile_decision_machine(tag)
+    dt_round = -math.log1p(-1 / L)
+    n_keys, B_k = 16, 512
+    curves = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(800 + kk)
+        ptape = np.asarray(jax.random.choice(
+            jax.random.fold_in(key, 0), size_a, (B_k, L),
+            p=P_PROG)).astype(np.int32)
+        dtape = np.asarray(jax.random.choice(
+            jax.random.fold_in(key, 1), size_a, (B_k, L),
+            p=P_DATA)).astype(np.int32)
+        t_hit, _, _ = ensemble.first_passage_times(
+            jax.random.fold_in(key, 2), (ptape, dtape), dm, pattern,
+            (rounds, 1))
+        t_hit = np.asarray(t_hit)
+        curves.append([
+            float((t_hit >= dt_round * (r + 0.5)).mean())
+            for r in range(rounds + 1)
+        ])
+    curves = np.stack(curves)
+    got = curves.mean(axis=0)
+    sem = curves.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    floor = np.sqrt(np.maximum(S_exact * (1 - S_exact), 1e-9)
+                    / (n_keys * B_k))
+    z = np.abs(got - S_exact) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, (float(z.max()),
+                                  np.abs(got - S_exact).max())
