@@ -508,17 +508,15 @@ def pair_ring_contains_pattern(L: int, size_a: int, pattern, *,
     """[size_a^(2L)] bool: does ``pattern`` occur (circularly) on the
     chosen tape of each (program, data) pair state? The pair-state
     mirror of `ensemble.contains_pattern`, for two-tape first-passage
-    oracles via :func:`discrete_survival` with a pair generator."""
-    digits = _ring_digits(2 * L, size_a)
-    cols = digits[:, L:] if data_tape else digits[:, :L]
-    S = digits.shape[0]
-    hit = np.zeros(S, dtype=bool)
-    for i in range(L):
-        m = np.ones(S, dtype=bool)
-        for j, s in enumerate(pattern):
-            m &= cols[:, (i + j) % L] == int(s)
-        hit |= m
-    return hit
+    oracles via :func:`discrete_survival` with a pair generator.
+
+    The pair index is ``rank_p * size_a**L + rank_d``, so a mask that
+    only reads one tape is the single-tape mask tiled (data tape: low
+    digits) or repeated (program tape: high digits) across the other
+    tape's axis — no size_a^(2L) rescan needed."""
+    single = ring_contains_pattern(L, size_a, pattern)
+    reps = size_a ** L
+    return np.tile(single, reps) if data_tape else np.repeat(single, reps)
 
 
 def discrete_survival(Q, p0, hit_mask, rounds: int, L: int):

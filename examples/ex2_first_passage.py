@@ -124,9 +124,14 @@ def main():
     s_emp = np.array([(t_hit2 >= dt2 * (r + 0.5)).mean()
                       for r in range(rounds2 + 1)])
     gap = np.abs(s_emp - s_exact).max()
+    # NOTE the quoted floor assumes B independent members; the default
+    # instrument shares one site draw per round across the batch, so a
+    # single key can legitimately exceed it (the CI oracle test
+    # averages 16 keys for exactly this reason).
     print(f"exact-oracle panel (L={L2}): max |S_emp - S_exact| = "
-          f"{gap:.4f} over {rounds2 + 1} rounds (MC floor ~"
-          f"{3 * math.sqrt(0.25 / B):.4f})")
+          f"{gap:.4f} over {rounds2 + 1} rounds (independent-member "
+          f"floor ~{3 * math.sqrt(0.25 / B):.4f}; shared-site draws "
+          "correlate the batch, so a single key may sit above it)")
 
     fig, (ax, ax2) = _common.pyplot.subplots(1, 2, figsize=(18, 8))
     ax.plot(ts, surv, "k-",

@@ -56,8 +56,13 @@ def main():
     mam = [seq_idx((M, A, M, b)) for b in range(4)]
     man = [seq_idx((M, A, N, b)) for b in range(4)]
 
+    # One RHS object for every solve: odeint_fixed keys its jit cache
+    # on the function's identity, so a fresh lambda per call would
+    # recompile the whole RK program each time.
+    rhs = lambda y, t, w: pd.dy_dt(y, w)
+
     def traj(q):
-        ys = odeint_fixed(lambda y, t, w: pd.dy_dt(y, w), p0, ts,
+        ys = odeint_fixed(rhs, p0, ts,
                           n_sub=8, args=pd.consts({"q_reject": q}))
         # alternation triad ratio p(MAM)/p(MAN) along the trajectory
         return ys[:, mam].sum(axis=1) / ys[:, man].sum(axis=1)

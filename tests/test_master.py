@@ -525,6 +525,12 @@ def test_two_tape_first_passage_oracled_by_pair_kernel():
     hit = master.pair_ring_contains_pattern(L, size_a, pattern)
     Q = master.build_pair_ring_generator(tag, L)
     S_exact = master.discrete_survival(Q, p0, hit, rounds, L)
+    # The premise the docstring states: no initial hits, every hit is
+    # dynamical (guards against later edits giving A data-side mass).
+    # p0 carries kron rounding at the 1e-16 level, so check the hit
+    # mass (exact zeros by construction) rather than S[0] == 1.0.
+    assert float(p0[hit].sum()) == 0.0
+    assert S_exact[0] > 1.0 - 1e-12, S_exact[0]
     assert 0.02 < 1.0 - S_exact[-1] < 0.9  # hits happen, not instantly
 
     dm = ensemble.compile_decision_machine(tag)

@@ -11,6 +11,7 @@ not been produced yet (they are committed to the repository once run).
 """
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -356,36 +357,34 @@ def test_ex3_tethered_artifacts_gate_on_exact_pair_kernel():
     path = os.path.join(ART_DIR, "ex3_tethered_master.npz")
     if not os.path.exists(path):
         pytest.skip("run examples/ex3_tethered_master.py first")
-    emp = np.load(path)["ode_ys"]  # [N_SNAPS+1, 4, 4]
-    assert emp.shape == (11, 4, 4)
-    B, L, rounds_per_snap = 8192, 5, 3
-    P_PROG = np.array([0.55, 0.15, 0.15, 0.15])
-    P_DATA = np.array([0.82, 0.06, 0.06, 0.06])
+    # Single source of truth: the example module that WROTE the
+    # artifact provides the geometry, initial laws, and helpers, so
+    # this gate cannot drift from the script it certifies.
+    sys.path.insert(0, os.path.abspath(ART_DIR))
+    try:
+        import ex3_tethered_master as ex3tm
+    finally:
+        sys.path.pop(0)
+    if ex3tm.SUFFIX:
+        pytest.skip("CKPE_EX3TM_B set: module B doesn't describe the "
+                    "committed (unsuffixed) artifact")
+    L, a = ex3tm.L, ex3tm.SIZE_A
+    emp = np.load(path)["ode_ys"]  # [N_SNAPS+1, a, a]
+    assert emp.shape == (ex3tm.N_SNAPS + 1, a, a)
 
-    def iid_ring(probs):
-        d = master._ring_digits(L, 4)
-        w = np.ones(4 ** L)
-        for i in range(L):
-            w = w * probs[d[:, i]]
-        return w
-
-    p = np.kron(iid_ring(P_PROG), iid_ring(P_DATA))
-    Q = master.build_pair_ring_generator("ex3-copolymerization", L)
-    want = [master.pair_state_window_marginals(p, L, 4, 1)]
+    p = np.kron(ex3tm.iid_ring_measure(ex3tm.P_PROG),
+                ex3tm.iid_ring_measure(ex3tm.P_DATA))
+    Q = master.build_pair_ring_generator(ex3tm.TAG, L)
+    want = [master.pair_state_window_marginals(p, L, a, 1)]
     for _ in range(emp.shape[0] - 1):
-        for _ in range(rounds_per_snap):
+        for _ in range(ex3tm.ROUNDS_PER_SNAP):
             p = p + (Q @ p) / L
-        want.append(master.pair_state_window_marginals(p, L, 4, 1))
+        want.append(master.pair_state_window_marginals(p, L, a, 1))
     want = np.stack(want).reshape(emp.shape)
     se = np.sqrt(np.maximum(want, 1e-9)
-                 * np.clip(1.0 - want, 0, 1) / B)
+                 * np.clip(1.0 - want, 0, 1) / ex3tm.B)
     z = np.abs(emp - want) / np.maximum(se, 1e-9)
     assert float(z.max()) < 6.0, float(z.max())
     # The measured mutual-information claim: grows from ~0 to >2e-3.
-    def mi(j):
-        pP, pD = j.sum(axis=1), j.sum(axis=0)
-        m = j > 0
-        return float((j[m] * np.log(
-            j[m] / (pP[:, None] * pD[None, :])[m])).sum())
-    exact_mi = mi(want[-1])
+    exact_mi = ex3tm.mutual_information(want[-1])
     assert exact_mi > 2e-3, exact_mi
