@@ -326,6 +326,56 @@ def bench_branching_ensemble():
         "machine": f"{dm.tag}: {len(dm.nodes)} nodes"}
 
 
+def bench_bff():
+    """Faithful mini-BFF interpreter throughput (`engine/bff.py`): the
+    rule no other engine can run un-pruned. Site events/s, with 10
+    executed register-machine ops per event."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import bff
+
+    m = bff.compile_bff("ex6-mini-bff")
+    B = int(os.environ.get("CKPE_BENCH_BFF_B",
+                           os.environ.get("CKPE_BENCH_B", "16384")))
+    L = int(os.environ.get("CKPE_BENCH_L", "4096"))
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
+    events = max(1, L // 64)  # stride 64 > 2*span = 62
+
+    key = jax.random.PRNGKey(0)
+    ptape = jax.random.randint(key, (B, L), 0, m.size_a, dtype=jnp.int32)
+    dtape = jax.random.randint(jax.random.fold_in(key, 1), (B, L), 0,
+                               m.size_a, dtype=jnp.int32)
+
+    def checksum(pt, dtp):
+        return int(jnp.sum(pt.astype(jnp.int64)) +
+                   jnp.sum(dtp.astype(jnp.int64)))
+
+    (pt, dtp), _ = bff.run_ensemble_bff(
+        jax.random.PRNGKey(1), (ptape, dtape), m, (steps, events))
+    checksum(pt, dtp)
+
+    n_rep = 3
+    rates = []
+    for i in range(n_rep):
+        t0 = time.time()
+        (pt, dtp), (ops, _) = bff.run_ensemble_bff(
+            jax.random.PRNGKey(2 + i), (pt, dtp), m, (steps, events))
+        checksum(pt, dtp)
+        elapsed = time.time() - t0
+        rates.append(B * events * steps / elapsed)
+    rates.sort()
+    med = rates[n_rep // 2]
+    return med, {
+        "B": B, "L": L, "steps": steps, "events_per_step": events,
+        "ops_per_event": m.fuel,
+        "ops_per_s": f"{med * m.fuel:.3e}",
+        "rates": [f"{r:.3e}" for r in rates],
+        "machine": m.summary(),
+    }
+
+
 def _probe_backend(timeout_s: int = 240) -> None:
     """Fail fast when the accelerator tunnel is dead.
 
@@ -385,6 +435,12 @@ def main():
               f"{binfo}", file=sys.stderr)
     except Exception as e:
         print(f"# branching ensemble bench skipped: {e}", file=sys.stderr)
+    try:
+        bf, bfinfo = bench_bff()
+        print(f"# bff interpreter (faithful ex6): {bf:.3e} site "
+              f"events/s {bfinfo}", file=sys.stderr)
+    except Exception as e:
+        print(f"# bff bench skipped: {e}", file=sys.stderr)
     for tag in ("ex5-msrtf-machine", "ex2-ferromagnetic-chain"):
         try:
             fr, finfo = bench_frontier(tag)

@@ -1,0 +1,314 @@
+"""Device interpreter for the mini-BFF register-machine family (ex6).
+
+The reference registers `ex6-mini-bff` (`problems.scm:529-629`) but its
+form is defective and no example exercises it (SURVEY §2.3); this repo's
+repaired rule (`models/problems._ex6_rule`) is *faithful-parameter
+unenumerable*: every tape reveal splits the multiverse 12 ways, so the
+exact engine can only run it pruned (`examples/ex6_mini_bff.py`,
+measured un-enumerated mass).
+
+On CONCRETE tapes the same rule is deterministic: every branch of the
+register machine recurses exactly once per budget unit and all
+branching is on read symbols, so firing one site is `fuel` unrolled
+steps of pure vectorized select logic — no decision tree, no choose
+sampling, no enumeration. This module compiles that interpreter, making
+the tape ensemble the one engine that executes the FULL, un-pruned
+mini-BFF language at scale.
+
+Machine state per site (mirroring the rule's loop variables): program
+counter offset ``pc``, data heads ``d0``/``d1``, bracket scan mode
+``mode`` (<0: scanning left for the |mode|-th '[', >0: scanning right
+for the mode-th ']', 0: executing). Offsets after ``i`` steps are
+bounded by ``i``, so a static window of ``2*fuel-1`` program cells and
+``(d1_start + 2*fuel - 1)``-reach data cells covers every read and
+write; the program tape is never written.
+
+Validated bit-exactly against the host DSL rule itself
+(`master.enumerate_pair_outcomes` on random windows, faithful + lite
+parameters), against the decision-machine FSM round on the enumerable
+lite variant, and against a conditioned-on-program master equation
+(`master.build_conditioned_ring_generator`) — see `tests/test_bff.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import dsl
+from .ensemble import _check_round_geometry, _roll_cols, _roll_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class BffMachine:
+    """Static interpreter metadata for one registered BFF-family rule.
+
+    Hashable (all-int fields) so jitted entry points can close over it
+    as a static argument.
+    """
+
+    tag: str
+    fuel: int
+    d1_start: int
+    size_a: int
+    # Window extents (inclusive offsets relative to the firing site).
+    p_lo: int
+    p_hi: int
+    d_lo: int
+    d_hi: int
+    # Opcode symbol indices.
+    lt: int
+    gt: int
+    cl: int
+    cr: int
+    minus: int
+    plus: int
+    dot: int
+    comma: int
+    bl: int
+    br: int
+    zero: int
+
+    @property
+    def n_p(self) -> int:
+        return self.p_hi - self.p_lo + 1
+
+    @property
+    def n_d(self) -> int:
+        return self.d_hi - self.d_lo + 1
+
+    @property
+    def span(self) -> int:
+        """Conflict radius, same convention as `DeviceTable.span`."""
+        return max(self.p_hi - self.p_lo, self.d_hi - self.d_lo) + 1
+
+    def summary(self) -> str:
+        return (f"{self.tag}: fuel {self.fuel}, heads {self.d1_start} "
+                f"apart, window P[{self.p_lo}..{self.p_hi}] "
+                f"D[{self.d_lo}..{self.d_hi}]")
+
+
+def compile_bff(tag: str) -> BffMachine:
+    """Compiles a registered BFF-family problem to interpreter metadata.
+
+    The problem must carry the ``native_ex6 = (fuel, d1_start)``
+    attribute on its rule (set by `models/problems` for the faithful
+    and lite registrations) — the declaration that it IS the mini-BFF
+    register machine, whose semantics this interpreter hard-codes.
+    """
+    problem = dsl.get_problem(tag)
+    meta = getattr(problem.rule, "native_ex6", None)
+    if meta is None:
+        raise ValueError(
+            f"{tag!r} is not a mini-BFF-family rule (no native_ex6 "
+            "declaration); use compile_decision_machine / "
+            "compile_transition_table for general rules.")
+    fuel, d1_start = meta
+    # After i executed ops every head has moved at most i cells, and
+    # the op at step i is read before the move — so reads/writes reach
+    # at most fuel-1 cells from each head's start.
+    r = fuel - 1
+    idx = problem.symbol_index
+    return BffMachine(
+        tag=tag, fuel=fuel, d1_start=d1_start, size_a=problem.size_a,
+        p_lo=-r, p_hi=r,
+        d_lo=min(-r, d1_start - r), d_hi=max(r, d1_start + r),
+        lt=idx("lt"), gt=idx("gt"), cl=idx("cl"), cr=idx("cr"),
+        minus=idx("minus"), plus=idx("plus"), dot=idx("dot"),
+        comma=idx("comma"), bl=idx("bl"), br=idx("br"),
+        zero=idx("zero"),
+    )
+
+
+def _sel(cells, idx):
+    """Gather-free dynamic pick along the (small) last window axis:
+    one-hot mask + sum, the same trick as the ensemble FSM kernels."""
+    n = cells.shape[-1]
+    oh = jnp.arange(n, dtype=jnp.int32) == idx[..., None]
+    # dtype pinned: under x64 an integer sum() promotes to int64, which
+    # would ripple into an int64 write-back scatter on the int32 tape.
+    return jnp.where(oh, cells, 0).sum(axis=-1, dtype=jnp.int32)
+
+
+def bff_fire(mach: BffMachine, p_cells, d_cells):
+    """Fires the register machine once at offset 0 of every window.
+
+    Args:
+      mach: static machine metadata.
+      p_cells: [..., n_p] int program window (offsets p_lo..p_hi).
+      d_cells: [..., n_d] int data window (offsets d_lo..d_hi).
+
+    Returns:
+      (new_d_cells, op_counts) — the data window after the event (the
+      program tape is read-only in this language) and [..., size_a]
+      int32 per-site counts of executed opcodes (scan-mode reads
+      count toward the symbol read; useful as an execution-mix
+      observable, nearly free to compute).
+    """
+    shape = p_cells.shape[:-1]
+    i32 = jnp.int32
+    p_cells = p_cells.astype(i32)
+    d_cells = d_cells.astype(i32)
+    pc = jnp.zeros(shape, i32)
+    d0 = jnp.zeros(shape, i32)
+    d1 = jnp.full(shape, mach.d1_start, i32)
+    mode = jnp.zeros(shape, i32)
+    op_counts = jnp.zeros(shape + (mach.size_a,), i32)
+    A = mach.size_a
+
+    for _ in range(mach.fuel):
+        op = _sel(p_cells, pc - mach.p_lo)
+        op_counts = op_counts + (
+            jnp.arange(A, dtype=i32) == op[..., None]).astype(i32)
+        in_l = mode < 0
+        in_r = mode > 0
+        ex = mode == 0
+        is_bl = op == mach.bl
+        is_br = op == mach.br
+
+        # Scan left for the |mode|-th '[' (problems.py loop, mode < 0).
+        l_done = is_bl & (mode == -1)
+        mode_l = jnp.where(
+            l_done, 0,
+            mode + is_bl.astype(i32) - is_br.astype(i32))
+        pc_l = pc + jnp.where(l_done, 1, -1)
+
+        # Scan right for the mode-th ']' (mode > 0).
+        r_done = is_br & (mode == 1)
+        mode_r = jnp.where(
+            r_done, 0,
+            mode - is_br.astype(i32) + is_bl.astype(i32))
+        pc_r = pc + 1
+
+        # Execute (mode == 0).
+        d0v = _sel(d_cells, d0 - mach.d_lo)
+        d1v = _sel(d_cells, d1 - mach.d_lo)
+        z = d0v == mach.zero
+        is_lt = op == mach.lt
+        is_gt = op == mach.gt
+        is_cl = op == mach.cl
+        is_cr = op == mach.cr
+        is_plus = op == mach.plus
+        is_minus = op == mach.minus
+        is_dot = op == mach.dot
+        is_comma = op == mach.comma
+        mode_e = jnp.where(is_bl & z, 1, jnp.where(is_br & ~z, -1, 0))
+        pc_e = pc + jnp.where(is_br & ~z, -1, 1)
+        d0_e = d0 + is_gt.astype(i32) - is_lt.astype(i32)
+        d1_e = d1 + is_cr.astype(i32) - is_cl.astype(i32)
+
+        # Data-tape write (execute mode only; the only mutation in the
+        # language): plus/minus/comma write at d0, dot writes at d1.
+        w_en = ex & (is_plus | is_minus | is_dot | is_comma)
+        w_idx = jnp.where(is_dot, d1, d0)
+        w_val = jnp.where(
+            is_plus, (d0v + 1) % A,
+            jnp.where(is_minus, (d0v - 1) % A,
+                      jnp.where(is_dot, d0v, d1v)))
+        oh = (jnp.arange(mach.n_d, dtype=i32)
+              == (w_idx - mach.d_lo)[..., None]) & w_en[..., None]
+        d_cells = jnp.where(oh, w_val[..., None], d_cells)
+
+        pc = jnp.where(in_l, pc_l, jnp.where(in_r, pc_r, pc_e))
+        mode = jnp.where(in_l, mode_l, jnp.where(in_r, mode_r, mode_e))
+        d0 = jnp.where(ex, d0_e, d0)
+        d1 = jnp.where(ex, d1_e, d1)
+
+    return d_cells, op_counts
+
+
+def apply_bff_round(mach: BffMachine, ptape, dtape, shift, *,
+                    events: int, want_op_counts: bool = False):
+    """One stratified lattice round of BFF events on the whole batch.
+
+    Same dense roll/reshape tape access as
+    `ensemble._apply_lattice_round` (sites form a randomly shifted
+    lattice, stride > 2*span so events are conflict-free), with the
+    outcome resolution replaced by the unrolled register-machine
+    interpreter. The program tape is read-only, so only the data tape
+    is written back.
+
+    Args:
+      ptape, dtape: [B, L] int32 ring tapes.
+      shift: scalar int32 round shift.
+      events: static sites per member per round (must divide L).
+    Returns:
+      (ptape, dtape) — ptape passed through unchanged — plus, when
+      ``want_op_counts``, the [size_a] int64 executed-opcode totals of
+      the round.
+    """
+    B, L = ptape.shape
+    stride = L // events
+    rp = _roll_cols(ptape, shift + mach.p_lo).reshape(B, events, stride)
+    rd = _roll_cols(dtape, shift + mach.d_lo).reshape(B, events, stride)
+    new_d, ops = bff_fire(mach, rp[:, :, :mach.n_p], rd[:, :, :mach.n_d])
+    rd = rd.at[:, :, :mach.n_d].set(new_d)
+    dtape = _roll_cols(rd.reshape(B, L), -(shift + mach.d_lo))
+    if want_op_counts:
+        return ptape, dtape, ops.sum(axis=(0, 1), dtype=jnp.int64)
+    return ptape, dtape
+
+
+@partial(jax.jit, static_argnums=(2, 3),
+         static_argnames=("independent_sites",))
+def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
+                     *, independent_sites: bool = False):
+    """Advances a batch of tape pairs under the BFF interpreter.
+
+    The `run_ensemble` contract (stratified lattice rounds, Poisson
+    time calibration dt = -ln(1 - E/L) per round, common random sites;
+    ``independent_sites=True`` draws the lattice phase per member for
+    rare-pattern statistics, same tradeoff as `run_ensemble`) with the
+    decision machine replaced by the register-machine interpreter —
+    the path for rules whose decision trees cannot be enumerated at
+    all.
+
+    Args:
+      key: PRNG key.
+      tapes: (ptape [B, L] int32, dtape [B, L] int32) ring tapes.
+      mach: compiled :class:`BffMachine` (static).
+      steps_events: static (num_steps, events_per_step).
+
+    Returns:
+      ((ptape, dtape), (op_totals [num_steps, size_a] int64 executed
+      opcodes per round, times [num_steps] cumulative)).
+    """
+    num_steps, events = steps_events
+    ptape, dtape = tapes
+    B, L = ptape.shape
+    _check_round_geometry(L, events, mach.span)
+    keys = jax.random.split(key, num_steps)
+
+    def step(carry, k):
+        pt, dt_, phase = carry
+        if independent_sites:
+            # Per-member phase, kept rolled across rounds (one delta
+            # gather per tape per round; unroll once after the scan) —
+            # the same trick as `run_ensemble`.
+            shifts = jax.random.randint(k, (B,), 0, L, dtype=jnp.int32)
+            delta = (shifts - phase) % L
+            pt = _roll_rows(pt, delta)
+            dt_ = _roll_rows(dt_, delta)
+            pt, dt_, ops = apply_bff_round(mach, pt, dt_, jnp.int32(0),
+                                           events=events,
+                                           want_op_counts=True)
+            phase = shifts
+        else:
+            shift = jax.random.randint(k, (), 0, L, dtype=jnp.int32)
+            pt, dt_, ops = apply_bff_round(mach, pt, dt_, shift,
+                                           events=events,
+                                           want_op_counts=True)
+        return (pt, dt_, phase), ops
+
+    carry = (ptape.astype(jnp.int32), dtape.astype(jnp.int32),
+             jnp.zeros((B,), jnp.int32))
+    (ptape, dtape, phase), op_totals = jax.lax.scan(step, carry, keys)
+    if independent_sites:
+        ptape = _roll_rows(ptape, -phase)
+        dtape = _roll_rows(dtape, -phase)
+    dt_round = -jnp.log1p(-events / L)
+    times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
+    return (ptape, dtape), (op_totals, times)

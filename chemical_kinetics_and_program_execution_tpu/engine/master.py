@@ -467,6 +467,83 @@ def build_pair_ring_generator(tag: str, L: int, *,
     return Q
 
 
+def build_conditioned_ring_generator(tag: str, program_ring, *,
+                                     max_states: int = 2**21):
+    """Sparse master-equation generator over the ``S = size_a^L``
+    DATA-ring states of a two-tape rule, conditioned on one concrete
+    (frozen) PROGRAM ring.
+
+    Exact whenever the rule never writes the program tape (checked per
+    outcome): given the program ring, the data ring is then itself a
+    Markov jump process and this Q is its full master equation — the
+    microscopic oracle for read-only-program machines (the mini-BFF
+    family, `engine/bff.py`) whose PAIR state space ``size_a^(2L)``
+    is far out of reach at any useful L. Site ``i`` fires at rate 1;
+    ``dP/dt = Q @ P`` with columns = from-state, the same conventions
+    as :func:`build_ring_generator` (so :func:`solve_master`,
+    :func:`discrete_survival`, and :func:`state_window_marginals`
+    apply unchanged).
+
+    Windows handed to the rule cover the whole ring with a generous
+    aliased offset range (offset ``o`` reads ring cell ``(i+o) % L``),
+    so reads can never escape the window and no reach-growth loop is
+    needed; write offsets are asserted distinct modulo L.
+    """
+    import scipy.sparse as sp
+
+    problem = dsl.get_problem(tag)
+    size_a = problem.size_a
+    pr = [int(s) for s in program_ring]
+    L = len(pr)
+    S = size_a ** L
+    if S > max_states:
+        raise ValueError(f"size_a^L = {S} exceeds max_states="
+                         f"{max_states}")
+    digits = _ring_digits(L, size_a)
+    pow_ = size_a ** np.arange(L - 1, -1, -1).astype(np.int64)
+    win_offs = range(-4 * L, 4 * L + 1)
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(S)
+    for i in range(L):
+        window_p = {o: pr[(i + o) % L] for o in win_offs}
+        for s in range(S):
+            window_d = {o: int(digits[s, (i + o) % L])
+                        for o in win_offs}
+            outcomes, _, _ = enumerate_pair_outcomes(
+                problem, window_p, window_d)
+            for prob, wr_p, wr_d in outcomes:
+                if prob <= 0.0:
+                    continue
+                if wr_p:
+                    raise ValueError(
+                        f"{tag!r} wrote the program tape at site {i}; "
+                        "the conditioned-ring generator is only exact "
+                        "for read-only-program rules")
+                cells = {(i + o) % L for o in wr_d}
+                if len(cells) != len(wr_d):
+                    raise ValueError(
+                        f"{tag!r}: write offsets alias modulo L={L}; "
+                        "use a longer ring")
+                tgt = s
+                for o, new in wr_d.items():
+                    p = (i + o) % L
+                    tgt += (new - int(digits[s, p])) * int(pow_[p])
+                if tgt != s:
+                    rows.append(tgt)
+                    cols.append(s)
+                    vals.append(prob)
+                    diag[s] -= prob
+    Q = sp.csr_matrix(
+        (np.concatenate([np.asarray(vals, dtype=np.float64), diag]),
+         (np.concatenate([np.asarray(rows, dtype=np.int64),
+                          np.arange(S)]),
+          np.concatenate([np.asarray(cols, dtype=np.int64),
+                          np.arange(S)]))),
+        shape=(S, S))
+    return Q
+
+
 def pair_state_window_marginals(p_states, L: int, size_a: int,
                                 cl_k: int):
     """Translation-averaged JOINT window distribution of a pair-ring

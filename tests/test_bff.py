@@ -1,0 +1,187 @@
+"""BFF device-interpreter tests (`engine/bff.py`).
+
+The faithful ex6 mini-BFF rule is un-enumerable: the exact engine can
+only run it pruned, the decision machine exceeds its spec packing even
+for the LITE variant (85 write specs > 6 bits), and the transition
+table would need 12^7 rows — so the interpreter is the only device
+path for the whole family, and it cannot be cross-checked against
+another device kernel. It is validated against the host stack instead:
+
+1. bit-exactly against the DSL rule itself on random windows
+   (`master.enumerate_pair_outcomes` executes `models/problems
+   ._ex6_rule` directly), faithful AND lite parameters;
+2. bit-exactly at the ROUND level against a host application of the
+   same stratified lattice semantics (validates the roll/reshape/
+   write-back assembly, faithful parameters);
+3. statistically against the conditioned-on-program master equation
+   (`master.build_conditioned_ring_generator`) — the exact microscopic
+   law of the data ring given a frozen program ring.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from chemical_kinetics_and_program_execution_tpu.engine import (
+    bff,
+    dsl,
+    master,
+)
+
+
+@pytest.mark.parametrize("tag", ["ex6-mini-bff", "ex6-mini-bff-lite"])
+def test_bff_fire_matches_host_rule(tag):
+    """The unrolled interpreter is bit-exact against direct host
+    execution of the DSL rule on random concrete windows."""
+    m = bff.compile_bff(tag)
+    problem = dsl.get_problem(tag)
+    rng = np.random.default_rng(hash(tag) % 2**31)
+    N = 200
+    P = rng.integers(0, m.size_a, (N, m.n_p)).astype(np.int32)
+    D = rng.integers(0, m.size_a, (N, m.n_d)).astype(np.int32)
+    new_d, ops = (np.asarray(x) for x in bff.bff_fire(m, P, D))
+    # Exactly fuel ops execute per event (every branch recurses).
+    assert (ops.sum(axis=-1) == m.fuel).all()
+    for i in range(N):
+        wp = {o: int(P[i, o - m.p_lo]) for o in range(m.p_lo, m.p_hi + 1)}
+        wd = {o: int(D[i, o - m.d_lo]) for o in range(m.d_lo, m.d_hi + 1)}
+        outs, reach_p, reach_d = master.enumerate_pair_outcomes(
+            problem, wp, wd)
+        # Deterministic language: one outcome, program tape read-only,
+        # reads/writes inside the static window compile_bff declared.
+        assert len(outs) == 1 and outs[0][0] == 1.0
+        assert not outs[0][1], outs[0][1]
+        assert m.p_lo <= reach_p[0] and reach_p[1] <= m.p_hi
+        assert m.d_lo <= reach_d[0] and reach_d[1] <= m.d_hi
+        want = D[i].copy()
+        for o, v in outs[0][2].items():
+            want[o - m.d_lo] = v
+        assert np.array_equal(want, new_d[i]), i
+
+
+def test_bff_round_matches_host_application():
+    """One stratified lattice round (faithful parameters, span 31) is
+    bit-exact against serially applying the host rule at the same
+    lattice sites — validating the roll/reshape window extraction and
+    data-tape write-back around the interpreter."""
+    import jax.numpy as jnp
+
+    m = bff.compile_bff("ex6-mini-bff")
+    problem = dsl.get_problem("ex6-mini-bff")
+    rng = np.random.default_rng(11)
+    B, L, E = 8, 256, 2  # stride 128 > 2*span = 62
+    stride = L // E
+    pt = rng.integers(0, m.size_a, (B, L)).astype(np.int32)
+    dt = rng.integers(0, m.size_a, (B, L)).astype(np.int32)
+    for shift in (0, 31, 255):
+        p2, d2 = bff.apply_bff_round(m, jnp.asarray(pt), jnp.asarray(dt),
+                                     jnp.int32(shift), events=E)
+        assert np.array_equal(np.asarray(p2), pt)  # program read-only
+        want = dt.copy()
+        for b in range(B):
+            for e in range(E):
+                site = (shift + e * stride) % L
+                wp = {o: int(pt[b, (site + o) % L])
+                      for o in range(m.p_lo, m.p_hi + 1)}
+                wd = {o: int(want[b, (site + o) % L])
+                      for o in range(m.d_lo, m.d_hi + 1)}
+                outs, _, _ = master.enumerate_pair_outcomes(
+                    problem, wp, wd)
+                for o, v in outs[0][2].items():
+                    want[b, (site + o) % L] = v
+        assert np.array_equal(np.asarray(d2), want), shift
+
+
+def test_conditioned_generator_is_a_generator():
+    """Column sums vanish (probability conservation) and identity
+    outcomes never enter Q."""
+    rng = np.random.default_rng(1)
+    pr = rng.integers(0, 12, 4)
+    Q = master.build_conditioned_ring_generator("ex6-mini-bff-lite", pr)
+    assert Q.shape == (12**4, 12**4)
+    assert np.abs(np.asarray(Q.sum(axis=0)).ravel()).max() == 0.0
+    assert (Q.diagonal() <= 0).all()
+
+
+def test_conditioned_generator_rejects_program_writers():
+    """A rule that writes the program tape (ex3 consumes the monomer)
+    must be refused — the conditioned law would not be Markov."""
+    with pytest.raises(ValueError, match="program tape"):
+        master.build_conditioned_ring_generator(
+            "ex3-copolymerization", [0, 1, 0, 2])
+
+
+def test_bff_ensemble_matches_conditioned_master():
+    """The sampled BFF ensemble (lite rule, E=1 rounds, one frozen
+    program ring shared by all members) must match the exact discrete
+    kernel I + Q/L of the conditioned-on-program master equation on
+    data-window marginals — no closure, no time-discretisation
+    allowance, the same gating as the single-tape fuzz oracle."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+
+    tag, L, cl_k = "ex6-mini-bff-lite", 4, 2
+    m = bff.compile_bff(tag)
+    assert m.span <= L  # E=1 needs only span <= L
+    size_a = m.size_a
+    rng = np.random.default_rng(3)
+    pr = rng.integers(0, size_a, L)
+    Q = master.build_conditioned_ring_generator(tag, pr)
+
+    S = size_a ** L
+    p = np.full(S, 1.0 / S)  # uniform iid data rings, exact both sides
+    rounds, E = 24, 1
+    for _ in range(rounds):
+        p = p + (Q @ p) / L
+    want = master.state_window_marginals(p, L, size_a, cl_k)
+
+    n_keys, B_k = 8, 1024
+    ptape = np.tile(np.asarray(pr, np.int32), (B_k, 1))
+    reps = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(4200 + kk)
+        dtape = jax.random.randint(jax.random.fold_in(key, 0),
+                                   (B_k, L), 0, size_a, dtype=np.int32)
+        (_, dt_), _ = bff.run_ensemble_bff(
+            jax.random.fold_in(key, 1), (ptape, dtape), m, (rounds, E),
+            independent_sites=True)
+        reps.append(np.asarray(ensemble.weighted_window_counts(
+            np.asarray(dt_), np.full(B_k, 1.0 / B_k), size_a, cl_k)))
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    floor = np.sqrt(np.maximum(want, 1e-9) * np.clip(1.0 - want, 0, 1)
+                    / (n_keys * B_k * L / cl_k))
+    z = np.abs(got - want) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, float(z.max())
+
+
+def test_run_ensemble_bff_contract():
+    """Shapes, time calibration, op accounting, and geometry gates."""
+    import jax
+
+    m = bff.compile_bff("ex6-mini-bff")
+    B, L, E, steps = 16, 256, 4, 3
+    key = jax.random.PRNGKey(0)
+    pt = jax.random.randint(jax.random.fold_in(key, 0), (B, L), 0,
+                            m.size_a, dtype=np.int32)
+    dt = jax.random.randint(jax.random.fold_in(key, 1), (B, L), 0,
+                            m.size_a, dtype=np.int32)
+    (p_out, d_out), (ops, times) = bff.run_ensemble_bff(
+        jax.random.fold_in(key, 2), (pt, dt), m, (steps, E))
+    assert np.array_equal(np.asarray(p_out), np.asarray(pt))
+    assert ops.shape == (steps, m.size_a)
+    # fuel ops per site event, B*E events per round.
+    assert (np.asarray(ops).sum(axis=1) == B * E * m.fuel).all()
+    dt_round = -math.log1p(-E / L)
+    assert np.allclose(np.asarray(times),
+                       dt_round * np.arange(1, steps + 1))
+    with pytest.raises(ValueError, match="stride"):
+        bff.run_ensemble_bff(key, (pt, dt), m, (1, 8))  # stride 32 < 62
+    with pytest.raises(ValueError, match="not a mini-BFF"):
+        bff.compile_bff("ex2-ferromagnetic-chain")

@@ -388,3 +388,29 @@ def test_ex3_tethered_artifacts_gate_on_exact_pair_kernel():
     # The measured mutual-information claim: grows from ~0 to >2e-3.
     exact_mi = ex3tm.mutual_information(want[-1])
     assert exact_mi > 2e-3, exact_mi
+
+
+def test_ex6_bff_artifacts_head_geometry_claims():
+    """Committed ex6_bff_ensemble.npz must support the RESULTS claims:
+    the machine's head geometry imprints an MI bump at d = 12 with a
+    copy-of-copy echo at d = 24, zero-gated control flow enriches the
+    'zero' marginal, and the bump height scales with the program's
+    copy-op density."""
+    path = os.path.join(ART_DIR, "ex6_bff_ensemble.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex6_bff_ensemble.py first")
+    d = np.load(path)
+    ds, mi = np.asarray(d["ds"]), np.asarray(d["mi_hist"])
+    final = mi[-1]
+    shoulder = final[ds >= 17].mean()
+    assert final[ds == 12][0] > 50 * shoulder, (final, shoulder)
+    # Echo at two head separations (copies of copies).
+    assert final[ds == 24][0] > 5 * final[ds == 19][0]
+    # MI(12) grew by orders of magnitude from the iid start.
+    assert final[ds == 12][0] > 100 * mi[0][ds == 12][0]
+    # 'zero' (symbol 10 of _EX6_SYMBOLS) is the most enriched symbol.
+    marg = np.asarray(d["marg_hist"])[-1]
+    dev = marg - 1.0 / marg.size
+    assert int(dev.argmax()) == 10 and dev.max() > 0.03, dev
+    # Copy-rich programs build a taller bump.
+    assert d["mi_hi"][ds == 12][0] > 1.1 * d["mi_lo"][ds == 12][0]
