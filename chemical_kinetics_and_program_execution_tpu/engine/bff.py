@@ -28,6 +28,14 @@ Validated bit-exactly against the host DSL rule itself
 parameters), against the decision-machine FSM round on the enumerable
 lite variant, and against a conditioned-on-program master equation
 (`master.build_conditioned_ring_generator`) — see `tests/test_bff.py`.
+
+SELF-MODIFYING variants (`ex6-mini-bff-self[-lite]`, beyond
+reference): opcodes and data share ONE ring, so writes land in the
+instruction stream — 'dot' copies the cell under d0 to d1_start cells
+downstream, i.e. code copies code. The interpreter handles this by
+fetching each step's opcode from the live data window (a write at
+step i changes what step i+1 decodes); the exact oracle is then the
+plain single-ring master equation (`master.build_ring_generator`).
 """
 
 from __future__ import annotations
@@ -71,6 +79,11 @@ class BffMachine:
     bl: int
     br: int
     zero: int
+    # Single-tape machine: opcodes are fetched from the DATA cells, so
+    # writes land in the instruction stream (self-modifying code). The
+    # p_* extents then equal the d_* extents and the program-tape
+    # arguments of the entry points are dropped.
+    self_modifying: bool = False
 
     @property
     def n_p(self) -> int:
@@ -86,6 +99,10 @@ class BffMachine:
         return max(self.p_hi - self.p_lo, self.d_hi - self.d_lo) + 1
 
     def summary(self) -> str:
+        if self.self_modifying:
+            return (f"{self.tag}: fuel {self.fuel}, heads "
+                    f"{self.d1_start} apart, SELF-MODIFYING, window "
+                    f"[{self.d_lo}..{self.d_hi}]")
         return (f"{self.tag}: fuel {self.fuel}, heads {self.d1_start} "
                 f"apart, window P[{self.p_lo}..{self.p_hi}] "
                 f"D[{self.d_lo}..{self.d_hi}]")
@@ -101,25 +118,34 @@ def compile_bff(tag: str) -> BffMachine:
     """
     problem = dsl.get_problem(tag)
     meta = getattr(problem.rule, "native_ex6", None)
-    if meta is None:
+    self_meta = getattr(problem.rule, "native_ex6_self", None)
+    if meta is None and self_meta is None:
         raise ValueError(
             f"{tag!r} is not a mini-BFF-family rule (no native_ex6 "
             "declaration); use compile_decision_machine / "
             "compile_transition_table for general rules.")
-    fuel, d1_start = meta
+    fuel, d1_start = meta if meta is not None else self_meta
     # After i executed ops every head has moved at most i cells, and
     # the op at step i is read before the move — so reads/writes reach
     # at most fuel-1 cells from each head's start.
     r = fuel - 1
     idx = problem.symbol_index
+    if self_meta is not None:
+        # One combined window: pc stays in [-r, r], d0 in [-r, r], d1
+        # in [d1_start - r, d1_start + r], all on the same ring.
+        lo = min(-r, d1_start - r)
+        hi = max(r, d1_start + r)
+        p_lo, p_hi, d_lo, d_hi = lo, hi, lo, hi
+    else:
+        p_lo, p_hi = -r, r
+        d_lo, d_hi = min(-r, d1_start - r), max(r, d1_start + r)
     return BffMachine(
         tag=tag, fuel=fuel, d1_start=d1_start, size_a=problem.size_a,
-        p_lo=-r, p_hi=r,
-        d_lo=min(-r, d1_start - r), d_hi=max(r, d1_start + r),
+        p_lo=p_lo, p_hi=p_hi, d_lo=d_lo, d_hi=d_hi,
         lt=idx("lt"), gt=idx("gt"), cl=idx("cl"), cr=idx("cr"),
         minus=idx("minus"), plus=idx("plus"), dot=idx("dot"),
         comma=idx("comma"), bl=idx("bl"), br=idx("br"),
-        zero=idx("zero"),
+        zero=idx("zero"), self_modifying=self_meta is not None,
     )
 
 
@@ -139,18 +165,26 @@ def bff_fire(mach: BffMachine, p_cells, d_cells):
     Args:
       mach: static machine metadata.
       p_cells: [..., n_p] int program window (offsets p_lo..p_hi).
+        MUST be None for self-modifying machines — opcodes are then
+        fetched from ``d_cells``, so writes feed back into fetches.
       d_cells: [..., n_d] int data window (offsets d_lo..d_hi).
 
     Returns:
       (new_d_cells, op_counts) — the data window after the event (the
-      program tape is read-only in this language) and [..., size_a]
+      program tape is read-only in this language; for self-modifying
+      machines the one window carries both roles) and [..., size_a]
       int32 per-site counts of executed opcodes (scan-mode reads
       count toward the symbol read; useful as an execution-mix
       observable, nearly free to compute).
     """
-    shape = p_cells.shape[:-1]
+    if mach.self_modifying != (p_cells is None):
+        raise ValueError(
+            "self-modifying machines take p_cells=None (opcodes fetch "
+            "from d_cells); two-tape machines require a program window")
+    shape = d_cells.shape[:-1]
     i32 = jnp.int32
-    p_cells = p_cells.astype(i32)
+    if p_cells is not None:
+        p_cells = p_cells.astype(i32)
     d_cells = d_cells.astype(i32)
     pc = jnp.zeros(shape, i32)
     d0 = jnp.zeros(shape, i32)
@@ -160,7 +194,11 @@ def bff_fire(mach: BffMachine, p_cells, d_cells):
     A = mach.size_a
 
     for _ in range(mach.fuel):
-        op = _sel(p_cells, pc - mach.p_lo)
+        # Opcode fetch: from the (frozen) program window, or — for
+        # self-modifying machines — from the live data window, so a
+        # write at step i can change the op decoded at step i+1.
+        op = (_sel(d_cells, pc - mach.d_lo) if mach.self_modifying
+              else _sel(p_cells, pc - mach.p_lo))
         op_counts = op_counts + (
             jnp.arange(A, dtype=i32) == op[..., None]).astype(i32)
         in_l = mode < 0
@@ -252,6 +290,25 @@ def apply_bff_round(mach: BffMachine, ptape, dtape, shift, *,
     return ptape, dtape
 
 
+def apply_bff_self_round(mach: BffMachine, tape, shift, *,
+                         events: int, want_op_counts: bool = False):
+    """Single-tape twin of :func:`apply_bff_round` for self-modifying
+    machines: the one ring carries opcodes AND data, so the round's
+    write-back goes to the same tape the interpreter fetched from
+    (fetch/write interleaving *within* an event is handled inside
+    `bff_fire`; *across* events the stride > 2*span lattice keeps
+    windows disjoint, so order is immaterial)."""
+    B, L = tape.shape
+    stride = L // events
+    rd = _roll_cols(tape, shift + mach.d_lo).reshape(B, events, stride)
+    new_d, ops = bff_fire(mach, None, rd[:, :, :mach.n_d])
+    rd = rd.at[:, :, :mach.n_d].set(new_d)
+    tape = _roll_cols(rd.reshape(B, L), -(shift + mach.d_lo))
+    if want_op_counts:
+        return tape, ops.sum(axis=(0, 1), dtype=jnp.int64)
+    return tape
+
+
 @partial(jax.jit, static_argnums=(2, 3),
          static_argnames=("independent_sites",))
 def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
@@ -268,15 +325,20 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
 
     Args:
       key: PRNG key.
-      tapes: (ptape [B, L] int32, dtape [B, L] int32) ring tapes.
+      tapes: (ptape [B, L] int32, dtape [B, L] int32) ring tapes — or
+        a single [B, L] tape for self-modifying machines.
       mach: compiled :class:`BffMachine` (static).
       steps_events: static (num_steps, events_per_step).
 
     Returns:
       ((ptape, dtape), (op_totals [num_steps, size_a] int64 executed
-      opcodes per round, times [num_steps] cumulative)).
+      opcodes per round, times [num_steps] cumulative)) — a single
+      tape in place of the pair for self-modifying machines.
     """
     num_steps, events = steps_events
+    if mach.self_modifying:
+        return _run_ensemble_bff_self(key, tapes, mach, num_steps,
+                                      events, independent_sites)
     ptape, dtape = tapes
     B, L = ptape.shape
     _check_round_geometry(L, events, mach.span)
@@ -312,3 +374,38 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
     return (ptape, dtape), (op_totals, times)
+
+
+def _run_ensemble_bff_self(key, tape, mach, num_steps, events,
+                           independent_sites):
+    """Single-tape scan body of :func:`run_ensemble_bff` (already
+    inside its jit; mach/num_steps/events are static here)."""
+    B, L = tape.shape
+    _check_round_geometry(L, events, mach.span)
+    keys = jax.random.split(key, num_steps)
+
+    def step(carry, k):
+        t_, phase = carry
+        if independent_sites:
+            shifts = jax.random.randint(k, (B,), 0, L, dtype=jnp.int32)
+            delta = (shifts - phase) % L
+            t_ = _roll_rows(t_, delta)
+            t_, ops = apply_bff_self_round(mach, t_, jnp.int32(0),
+                                           events=events,
+                                           want_op_counts=True)
+            phase = shifts
+        else:
+            shift = jax.random.randint(k, (), 0, L, dtype=jnp.int32)
+            t_, ops = apply_bff_self_round(mach, t_, shift,
+                                           events=events,
+                                           want_op_counts=True)
+        return (t_, phase), ops
+
+    carry = (jnp.asarray(tape).astype(jnp.int32),
+             jnp.zeros((B,), jnp.int32))
+    (tape, phase), op_totals = jax.lax.scan(step, carry, keys)
+    if independent_sites:
+        tape = _roll_rows(tape, -phase)
+    dt_round = -jnp.log1p(-events / L)
+    times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
+    return tape, (op_totals, times)

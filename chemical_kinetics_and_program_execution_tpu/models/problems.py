@@ -515,12 +515,20 @@ _EX6_SYMBOLS = ("lt", "gt", "cl", "cr", "minus", "plus", "dot", "comma",
                 "bl", "br", "zero", "nop")
 
 
-def _ex6_rule(fuel: int, d1_start: int = 12):
+def _ex6_rule(fuel: int, d1_start: int = 12, *,
+              code_tape: bool = PROGRAM, data_tape: bool = DATA):
+    """The mini-BFF register machine as a DSL rule. ``code_tape`` /
+    ``data_tape`` select where opcodes are fetched and where the data
+    heads read/write; passing the SAME tape for both yields the
+    single-tape SELF-MODIFYING variant (the computational-life setting
+    the BFF language comes from: writes land in the instruction stream,
+    so code can rewrite — and copy — code)."""
+
     def rule(t):
         def loop(budget, p_off, d0_off, d1_off, scan_mode):
             if budget == 0:
                 return
-            op = t.get_sym(PROGRAM, p_off)
+            op = t.get_sym(code_tape, p_off)
             if scan_mode < 0:
                 # Looking left for the (-scan_mode)-th '[' bracket.
                 if op == "bl":
@@ -555,22 +563,23 @@ def _ex6_rule(fuel: int, d1_start: int = 12):
                     loop(budget - 1, p_off + 1, d0_off,
                          d1_off + (-1 if op == "cl" else +1), 0)
                 elif op in ("plus", "minus"):
-                    t.set(DATA, d0_off,
-                          (t.get(DATA, d0_off)
+                    t.set(data_tape, d0_off,
+                          (t.get(data_tape, d0_off)
                            + (1 if op == "plus" else -1))
                           % len(_EX6_SYMBOLS))
                     loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
                 elif op == "dot":
-                    t.set(DATA, d1_off, t.get(DATA, d0_off))
+                    t.set(data_tape, d1_off, t.get(data_tape, d0_off))
                     loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
                 elif op == "comma":
-                    t.set(DATA, d0_off, t.get(DATA, d1_off))
+                    t.set(data_tape, d0_off, t.get(data_tape, d1_off))
                     loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
                 elif op == "bl":
                     loop(budget - 1, p_off + 1, d0_off, d1_off,
-                         +1 if t.get_sym(DATA, d0_off) == "zero" else 0)
+                         +1 if t.get_sym(data_tape, d0_off) == "zero"
+                         else 0)
                 elif op == "br":
-                    if t.get_sym(DATA, d0_off) == "zero":
+                    if t.get_sym(data_tape, d0_off) == "zero":
                         loop(budget - 1, p_off + 1, d0_off, d1_off, 0)
                     else:
                         loop(budget - 1, p_off - 1, d0_off, d1_off, -1)
@@ -596,3 +605,20 @@ register_problem("ex6-mini-bff", _EX6_SYMBOLS)(_ex6_faithful)
 _ex6_lite = _ex6_rule(fuel=2, d1_start=1)
 _ex6_lite.native_ex6 = (2, 1)
 register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(_ex6_lite)
+
+# Single-tape SELF-MODIFYING variants (beyond reference): opcodes and
+# data live on ONE ring, so plus/minus/comma/dot writes land in the
+# instruction stream — 'dot' copies the cell under d0 to d1_start cells
+# downstream, i.e. code can copy code. This is the computational-life
+# setting the BFF language comes from (Agüera y Arcas et al. 2024,
+# PAPERS.md); the reference's two-tape ex6 freezes the program by
+# construction. `native_ex6_self` marks them for the device
+# interpreter (`engine/bff.py`); the lite variant stays within
+# single-ring master-equation reach for exact gating.
+_ex6_self = _ex6_rule(fuel=10, code_tape=DATA, data_tape=DATA)
+_ex6_self.native_ex6_self = (10, 12)
+register_problem("ex6-mini-bff-self", _EX6_SYMBOLS)(_ex6_self)
+_ex6_self_lite = _ex6_rule(fuel=2, d1_start=1,
+                           code_tape=DATA, data_tape=DATA)
+_ex6_self_lite.native_ex6_self = (2, 1)
+register_problem("ex6-mini-bff-self-lite", _EX6_SYMBOLS)(_ex6_self_lite)

@@ -161,6 +161,122 @@ def test_bff_ensemble_matches_conditioned_master():
     assert float(z.max()) < 6.0, float(z.max())
 
 
+@pytest.mark.parametrize(
+    "tag", ["ex6-mini-bff-self", "ex6-mini-bff-self-lite"])
+def test_bff_self_fire_matches_host_rule(tag):
+    """The self-modifying interpreter (opcode fetch from the live data
+    window) is bit-exact against direct host execution of the
+    single-tape DSL rule on random concrete windows — including the
+    feedback path where an executed write changes a later opcode."""
+    m = bff.compile_bff(tag)
+    assert m.self_modifying and m.n_p == m.n_d
+    problem = dsl.get_problem(tag)
+    rng = np.random.default_rng(hash(tag) % 2**31)
+    N = 200
+    D = rng.integers(0, m.size_a, (N, m.n_d)).astype(np.int32)
+    new_d, ops = (np.asarray(x) for x in bff.bff_fire(m, None, D))
+    assert (ops.sum(axis=-1) == m.fuel).all()
+    for i in range(N):
+        wd = {o: int(D[i, o - m.d_lo]) for o in range(m.d_lo, m.d_hi + 1)}
+        outs, reach = master.enumerate_window_outcomes(problem, wd)
+        assert len(outs) == 1 and outs[0][0] == 1.0
+        assert m.d_lo <= reach[0] and reach[1] <= m.d_hi
+        want = D[i].copy()
+        for o, v in outs[0][1].items():
+            want[o - m.d_lo] = v
+        assert np.array_equal(want, new_d[i]), i
+
+
+def test_bff_self_writes_reach_the_instruction_stream():
+    """A handcrafted window where step 1's write overwrites the opcode
+    step 2 fetches — live fetch (correct self-modifying semantics) and
+    stale fetch (two-tape semantics) give DIFFERENT final tapes."""
+    m = bff.compile_bff("ex6-mini-bff-self-lite")  # fuel 2, d1 at +1
+    # Offsets -1, 0, +1, +2. Step 1: 'dot' at pc=0 copies cell[d0=0]
+    # (the 'dot' itself) to cell[d1=+1], clobbering the 'plus' there.
+    # Step 2 fetches pc=+1: live semantics see the new 'dot' (copies
+    # 'dot' onto +1 again, a no-op); stale semantics would execute the
+    # original 'plus' and increment cell[d0=0] to 'comma'.
+    D = np.asarray([[m.zero, m.dot, m.plus, m.zero]], np.int32)
+    new_d, _ = bff.bff_fire(m, None, D)
+    want = np.asarray([[m.zero, m.dot, m.dot, m.zero]], np.int32)
+    assert np.array_equal(np.asarray(new_d), want)
+
+
+def test_bff_self_round_matches_host_application():
+    """One stratified lattice round of the faithful SELF machine
+    (span 31) is bit-exact against serially applying the host
+    single-tape rule at the same lattice sites."""
+    import jax.numpy as jnp
+
+    m = bff.compile_bff("ex6-mini-bff-self")
+    problem = dsl.get_problem("ex6-mini-bff-self")
+    rng = np.random.default_rng(12)
+    B, L, E = 8, 256, 2  # stride 128 > 2*span = 62
+    stride = L // E
+    t0 = rng.integers(0, m.size_a, (B, L)).astype(np.int32)
+    for shift in (0, 31, 255):
+        t2 = bff.apply_bff_self_round(m, jnp.asarray(t0),
+                                      jnp.int32(shift), events=E)
+        want = t0.copy()
+        for b in range(B):
+            for e in range(E):
+                site = (shift + e * stride) % L
+                wd = {o: int(want[b, (site + o) % L])
+                      for o in range(m.d_lo, m.d_hi + 1)}
+                outs, _ = master.enumerate_window_outcomes(problem, wd)
+                for o, v in outs[0][1].items():
+                    want[b, (site + o) % L] = v
+        assert np.array_equal(np.asarray(t2), want), shift
+
+
+def test_bff_self_ensemble_matches_ring_master():
+    """The sampled self-modifying ensemble (lite rule, E=1 rounds) must
+    match the exact discrete kernel I + Q/L of the plain single-ring
+    master equation on window marginals — the oracle the single-tape
+    formulation unlocks (no conditioning needed: there is no frozen
+    program)."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+
+    tag, L, cl_k = "ex6-mini-bff-self-lite", 4, 2
+    m = bff.compile_bff(tag)
+    assert m.span <= L  # E=1 needs only span <= L
+    size_a = m.size_a
+    Q = master.build_ring_generator(tag, L)
+    assert np.abs(np.asarray(Q.sum(axis=0)).ravel()).max() < 1e-12
+
+    S = size_a ** L
+    p = np.full(S, 1.0 / S)
+    rounds, E = 24, 1
+    for _ in range(rounds):
+        p = p + (Q @ p) / L
+    want = master.state_window_marginals(p, L, size_a, cl_k)
+
+    n_keys, B_k = 8, 1024
+    reps = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(5200 + kk)
+        tape = jax.random.randint(jax.random.fold_in(key, 0),
+                                  (B_k, L), 0, size_a, dtype=np.int32)
+        tape_out, _ = bff.run_ensemble_bff(
+            jax.random.fold_in(key, 1), tape, m, (rounds, E),
+            independent_sites=True)
+        reps.append(np.asarray(ensemble.weighted_window_counts(
+            np.asarray(tape_out), np.full(B_k, 1.0 / B_k), size_a,
+            cl_k)))
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    floor = np.sqrt(np.maximum(want, 1e-9) * np.clip(1.0 - want, 0, 1)
+                    / (n_keys * B_k * L / cl_k))
+    z = np.abs(got - want) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, float(z.max())
+
+
 def test_run_ensemble_bff_contract():
     """Shapes, time calibration, op accounting, and geometry gates."""
     import jax

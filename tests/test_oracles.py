@@ -414,3 +414,38 @@ def test_ex6_bff_artifacts_head_geometry_claims():
     assert int(dev.argmax()) == 10 and dev.max() > 0.03, dev
     # Copy-rich programs build a taller bump.
     assert d["mi_hi"][ds == 12][0] > 1.1 * d["mi_lo"][ds == 12][0]
+
+
+def test_ex6_bff_self_artifacts_copy_invasion_claims():
+    """Committed ex6_bff_self.npz must support the RESULTS claims for
+    the SELF-MODIFYING soup: the self-copy opcode 'dot' is the most
+    enriched symbol, copy ops invade the tape from above AND below the
+    uniform density, the head geometry imprints an MI bump at d = 12
+    carried by the code itself, and rewrite activity declines as the
+    attractor freezes in."""
+    path = os.path.join(ART_DIR, "ex6_bff_self.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex6_bff_self.py first")
+    d = np.load(path)
+    marg = np.asarray(d["marg_hist"])
+    dev = marg[-1] - 1.0 / marg.shape[1]
+    # 'dot' (symbol 6 of _EX6_SYMBOLS) dominates: it copies ITSELF one
+    # head separation downstream when d0 sits on the pc.
+    assert int(dev.argmax()) == 6 and dev.max() > 0.3, dev
+    # dot+comma tape density ends far above the uniform 2/12 from a
+    # uniform start...
+    assert marg[-1][6] + marg[-1][7] > 0.5
+    # ...and the three invasion soups converge above uniform from both
+    # sides (0% copies, uniform, 40% copies).
+    for k in ("cd_zero", "cd_uniform", "cd_rich"):
+        traj = np.asarray(d[k])
+        assert traj[-1] > 0.5, (k, traj[-1])
+    assert np.asarray(d["cd_zero"])[0] == 0.0
+    # Head geometry imprints on the code: MI(12) grows by orders of
+    # magnitude and stands off its far shoulder.
+    ds, mi = np.asarray(d["ds"]), np.asarray(d["mi_hist"])
+    assert mi[-1][ds == 12][0] > 100 * mi[0][ds == 12][0]
+    assert mi[-1][ds == 12][0] > 3 * mi[-1][ds >= 17].mean()
+    # The attractor freezes in: rewrite activity declines.
+    changed = np.asarray(d["changed"])
+    assert changed[-1] < 0.6 * changed[0], changed
