@@ -26,6 +26,13 @@ The questions this run measures:
 3. **Does the head geometry still imprint?** MI(d) must again grow
    structure at the head separation d=12 — but now the correlations
    are carried by the code itself.
+4. **WHICH code wins?** A k-gram census over the population tracks the
+   collapse of code diversity (distinct 8-grams, 8-gram entropy) and
+   identifies the dominant motifs; a self-maintenance probe then runs
+   rings tiled with the top motif and measures how much of it survives
+   its own execution vs a random-code control — the operational test
+   that the attractor is (near-)fixed-point code, not just a biased
+   symbol mix.
 
 Usage: python ex6_bff_self.py [--rounds N]
 Output: ex6_bff_self.pdf (+ .npz artifact)
@@ -47,12 +54,40 @@ TAG = "ex6-mini-bff-self"
 B = int(os.environ.get("CKPE_EX6S_B", "4096"))
 L, E = 256, 4  # stride 64 > 2*span = 62
 SNAPS = 20
+KGRAM = 8  # census motif length (12^8 ranks fit int64 exactly)
 SUFFIX = "" if B == 4096 else f"_b{B}"
 
 
 def dsl_symbols():
     from chemical_kinetics_and_program_execution_tpu.engine import dsl
     return dsl.get_problem(TAG).symbols
+
+
+def kgram_census(t, k, size_a):
+    """(ranks, counts) of all cyclic k-grams across the population.
+
+    Ranks are base-``size_a`` ints, first symbol most significant; with
+    k=8, size_a=12 the 12^8 ≈ 4.3e8 rank space fits int64 exactly."""
+    t = np.asarray(t).astype(np.int64)
+    r = np.zeros(t.shape, np.int64)
+    for i in range(k):
+        r = r * size_a + np.roll(t, -i, axis=1)
+    return np.unique(r.ravel(), return_counts=True)
+
+
+def kgram_stats(t, k, size_a):
+    """(distinct count, entropy in nats) of the cyclic k-gram census."""
+    _, counts = kgram_census(t, k, size_a)
+    p = counts / counts.sum()
+    return len(counts), float(-(p * np.log(p)).sum())
+
+
+def decode_motif(rank, k, size_a, syms):
+    out = []
+    for _ in range(k):
+        rank, s = divmod(int(rank), size_a)
+        out.append(syms[s])
+    return " ".join(reversed(out))
 
 
 def main():
@@ -88,6 +123,7 @@ def main():
     ts = [0.0]
     mi_hist = [np.array([pair_mi(tape, d, size_a) for d in ds])]
     marg_hist = [marginals(tape)]
+    kg_hist = [kgram_stats(tape, KGRAM, size_a)]  # (distinct, entropy)
     opmix_hist = []  # executed-op mix per snapshot interval
     changed = []     # fraction of cells rewritten per snapshot interval
     for snap in range(SNAPS):
@@ -100,14 +136,27 @@ def main():
         mi_hist.append(np.array([pair_mi(t_np, d, size_a)
                                  for d in ds]))
         marg_hist.append(marginals(t_np))
+        kg_hist.append(kgram_stats(t_np, KGRAM, size_a))
         ops_tot = np.asarray(ops).sum(axis=0).astype(float)
         opmix_hist.append(ops_tot / ops_tot.sum())
         changed.append(float((t_np != prev).mean()))
     ts = np.asarray(ts)
     mi_hist = np.stack(mi_hist)
     marg_hist = np.stack(marg_hist)
+    kg_hist = np.asarray(kg_hist)  # [SNAPS+1, 2]
     opmix_hist = np.stack(opmix_hist)  # [SNAPS, size_a]
     changed = np.asarray(changed)
+
+    # --- Replicator census: which code won? ---------------------------
+    ranks, counts = kgram_census(tape, KGRAM, size_a)
+    order = np.argsort(counts)[::-1][:10]
+    top_ranks, top_counts = ranks[order], counts[order]
+    n_cells = np.asarray(tape).size
+    print(f"{KGRAM}-gram census: {kg_hist[0, 0]:.0f} distinct "
+          f"({kg_hist[0, 1]:.2f} nats) -> {kg_hist[-1, 0]:.0f} "
+          f"({kg_hist[-1, 1]:.2f} nats)")
+    for r, c in zip(top_ranks[:5], top_counts[:5]):
+        print(f"  {c / n_cells:7.4f}  {decode_motif(r, KGRAM, size_a, syms)}")
 
     dev = marg_hist[-1] - 1 / size_a
     print(f"marginal drift at t={ts[-1]:.1f}: most enriched "
@@ -140,17 +189,53 @@ def main():
         cp >= 0, cp, inits["uniform (1/6)"]).astype(np.int32)
 
     cd_traj = {}
-    for name, t0 in inits.items():
+    soup_top = {}  # final top-10 motif ranks per soup
+    for si, (name, t0) in enumerate(inits.items()):
         t_ = t0
         traj = [copy_density(t_)]
         for snap in range(SNAPS):
+            # NB seed on the soup INDEX: str hash() is salted per
+            # process, which silently made reruns non-reproducible.
             t_, _ = bff.run_ensemble_bff(
                 jax.random.fold_in(jax.random.fold_in(key, 3),
-                                   hash(name) % 1000 + snap),
+                                   1000 * si + snap),
                 t_, m, (rounds_per_snap, E))
             traj.append(copy_density(t_))
         cd_traj[name] = np.asarray(traj)
-        print(f"copy invasion [{name}]: {traj[0]:.3f} -> {traj[-1]:.3f}")
+        rk, ct = kgram_census(t_, KGRAM, size_a)
+        soup_top[name] = rk[np.argsort(ct)[::-1][:10]]
+        print(f"copy invasion [{name}]: {traj[0]:.3f} -> {traj[-1]:.3f}"
+              f"; top motif "
+              f"{decode_motif(soup_top[name][0], KGRAM, size_a, syms)}")
+    shared = set(map(int, soup_top["0% copies"]))
+    for v in soup_top.values():
+        shared &= set(map(int, v))
+    print(f"top-10 motifs shared by all three soups: {len(shared)}")
+
+    # --- Self-maintenance: is the winning motif fixed-point code? -----
+    # Rings tiled with the top motif vs uniform-random control, same
+    # event budget; measure the per-round fraction of cells rewritten.
+    probe_rounds = 32
+    rank = int(top_ranks[0])
+    digits = []
+    for _ in range(KGRAM):
+        rank, s = divmod(rank, size_a)
+        digits.append(s)
+    motif_syms = np.asarray(digits[::-1], np.int32)
+    tiled = np.tile(motif_syms, (256, L // KGRAM)).astype(np.int32)
+    rand0 = np.asarray(jax.random.randint(
+        jax.random.fold_in(key, 4), (256, L), 0, size_a,
+        dtype=np.int32))
+    maint = {}
+    for pname, t0 in (("motif", tiled), ("random", rand0)):
+        t1, _ = bff.run_ensemble_bff(
+            jax.random.fold_in(key, 5), t0, m, (probe_rounds, E))
+        maint[pname] = float((np.asarray(t1) != t0).mean())
+    ratio = ("exact fixed point" if maint["motif"] == 0.0 else
+             f"{maint['random'] / maint['motif']:.1f}x")
+    print(f"self-maintenance: after {probe_rounds} rounds, "
+          f"{maint['motif']:.4f} of cells differ on motif-tiled rings "
+          f"vs {maint['random']:.4f} on the random control ({ratio})")
 
     np.savez_compressed(
         _common.out_path(f"ex6_bff_self{SUFFIX}.npz"),
@@ -158,9 +243,13 @@ def main():
         opmix_hist=opmix_hist, changed=changed,
         cd_zero=cd_traj["0% copies"],
         cd_uniform=cd_traj["uniform (1/6)"],
-        cd_rich=cd_traj["40% copies"])
+        cd_rich=cd_traj["40% copies"],
+        kg_hist=kg_hist, top_ranks=top_ranks, top_counts=top_counts,
+        n_cells=n_cells, n_shared_motifs=len(shared),
+        soup_top=np.stack([soup_top[k] for k in inits]),
+        maint_motif=maint["motif"], maint_random=maint["random"])
 
-    fig, axes = _common.pyplot.subplots(2, 2, figsize=(20, 14))
+    fig, axes = _common.pyplot.subplots(2, 3, figsize=(28, 14))
     axes = axes.ravel()
     hl_syms = ("dot", "comma", "plus", "minus", "zero")
     ax = axes[0]
@@ -215,6 +304,33 @@ def main():
     ax.set_title("copy invasion: attractor from above and below")
     ax.legend()
     ax.grid()
+
+    ax = axes[4]
+    ax.semilogy(ts, kg_hist[:, 0], "o-", label="distinct 8-grams")
+    ax.axhline(n_cells, color="gray", ls=":", label="cells (upper bound)")
+    ax2 = ax.twinx()
+    ax2.plot(ts, kg_hist[:, 1], "s--", color="tab:red",
+             label="8-gram entropy")
+    ax2.set_ylabel("entropy [nats]")
+    ax.set_xlabel("time")
+    ax.set_ylabel("distinct cyclic 8-grams (population)")
+    ax.set_title("code diversity collapses onto few motifs")
+    ax.legend(loc="center left")
+    ax2.legend(loc="center right")
+    ax.grid()
+
+    ax = axes[5]
+    labels = [decode_motif(r, KGRAM, size_a, syms).replace(" ", "\n")
+              for r in top_ranks]
+    ax.bar(np.arange(len(top_ranks)), top_counts / n_cells)
+    ax.set_xticks(np.arange(len(top_ranks)))
+    ax.set_xticklabels(labels, fontsize=7)
+    ax.set_ylabel("fraction of all cells")
+    ax.set_title(
+        f"top final 8-grams; motif-tiled rings rewrite "
+        f"{maint['motif']:.3f} vs random {maint['random']:.3f} "
+        f"after {probe_rounds} rounds")
+    ax.grid(axis="y")
     fig.tight_layout()
     out = _common.out_path(f"ex6_bff_self{SUFFIX}.pdf")
     fig.savefig(out)

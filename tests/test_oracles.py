@@ -449,3 +449,22 @@ def test_ex6_bff_self_artifacts_copy_invasion_claims():
     # The attractor freezes in: rewrite activity declines.
     changed = np.asarray(d["changed"])
     assert changed[-1] < 0.6 * changed[0], changed
+    # Replicator census: code diversity collapses (8-gram entropy falls
+    # by >4 nats from the iid start)...
+    kg = np.asarray(d["kg_hist"])
+    assert kg[-1, 1] < kg[0, 1] - 4.0, kg[:, 1]
+    # ...onto the pure self-copy loop: the top 8-gram is 'dot'*8
+    # (symbol 6: rank sum 6*12^i) covering >5% of all cells.
+    top = np.asarray(d["top_ranks"])
+    dot8 = sum(6 * 12 ** i for i in range(8))
+    assert int(top[0]) == dot8, top[0]
+    assert d["top_counts"][0] / d["n_cells"] > 0.05
+    # All three invasion soups converge to the SAME winning motif, and
+    # share several of their top-10 (selection, not founder effects).
+    soup_top = np.asarray(d["soup_top"])
+    assert (soup_top[:, 0] == dot8).all(), soup_top[:, 0]
+    assert int(d["n_shared_motifs"]) >= 3
+    # The winning motif is an exact fixed point of its own execution;
+    # random code is not.
+    assert float(d["maint_motif"]) == 0.0
+    assert float(d["maint_random"]) > 0.2
