@@ -367,3 +367,65 @@ def make_sharded_frontier(dtable, mesh: jax.sharding.Mesh,
         return (p, d), w
 
     return fn
+
+
+def make_sharded_ensemble(dtable, mesh: jax.sharding.Mesh,
+                          steps_events: tuple, *,
+                          independent_sites: bool = False):
+    """Batch-sharded tape ensemble — the headline engine's scale-out.
+
+    The [B, L] tape-pair batch splits over EVERY device of the mesh
+    (replicas are statistically independent, so the batch axis is the
+    natural data-parallel axis — SURVEY §2.5 "ensemble parallelism");
+    each device runs `ensemble.run_ensemble` on its B/n_devices rows
+    with the shared machine tables replicated. The only ICI traffic is
+    one `psum` of the per-round applied-event counters, so throughput
+    scales as n_devices × the single-chip rate (2.46e9 transitions/s,
+    RESULTS.md headline).
+
+    Key derivation folds the flat device index into the shared key, so
+    shard i's tapes are bit-identical to a standalone
+    ``run_ensemble(fold_in(key, i), local_rows, ...)`` — tested on the
+    virtual 8-device mesh (`tests/test_sharding.py`).
+
+    Returns ``fn(key, (ptape, dtape)) -> ((ptape, dtape),
+    (applied [num_steps] global, times [num_steps]))`` over global
+    arrays whose leading batch axis must divide by n_devices.
+    """
+    from ..engine import ensemble as ensemble_mod
+
+    axes = tuple(mesh.shape.keys())
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    num_steps, events = steps_events
+
+    def local(key, pt, dtp):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        (pt, dtp), (applied, _) = ensemble_mod.run_ensemble(
+            k, (pt, dtp), dtable, steps_events,
+            independent_sites=independent_sites)
+        return pt, dtp, jax.lax.psum(applied, axes)
+
+    spec = P(axes)
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec, spec),
+        out_specs=(spec, spec, P()),
+    )
+
+    @jax.jit
+    def fn(key, tapes):
+        pt, dtp = tapes
+        B, L = pt.shape
+        if B % n_dev:
+            raise ValueError(
+                f"batch {B} does not divide over {n_dev} devices")
+        pt, dtp, applied = mapped(key, pt, dtp)
+        dt_round = -jnp.log1p(-jnp.float64(events) / L)
+        times = dt_round * jnp.arange(1, num_steps + 1,
+                                      dtype=jnp.float64)
+        return (pt, dtp), (applied, times)
+
+    return fn

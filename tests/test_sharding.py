@@ -311,3 +311,51 @@ def test_event_sharded_rejects_dual_programs():
     mesh = make_mesh(n_batch=2, n_event=4)
     with pytest.raises(ValueError, match="dual-SPD"):
         make_sharded_dy_dt(dual, mesh)
+
+
+def test_sharded_ensemble_matches_per_shard_runs():
+    """make_sharded_ensemble (island-key scale-out of the headline
+    engine) must give each device's rows bit-identical to a standalone
+    run_ensemble seeded with fold_in(key, device_index) — and its
+    psum'd applied-event counters must equal the sum of the standalone
+    runs' counters."""
+    import jax
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_ensemble,
+    )
+
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    mesh = make_mesh(n_batch=2, n_event=4)
+    B, L, steps, events = 16, 256, 3, 8
+    key = jax.random.PRNGKey(11)
+    pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
+    dtp = jnp.zeros((B, L), jnp.int32)
+
+    fn = make_sharded_ensemble(dm, mesh, (steps, events))
+    (got_p, got_d), (applied, times) = fn(jax.random.PRNGKey(12),
+                                          (pt, dtp))
+    got_p, got_d = np.asarray(got_p), np.asarray(got_d)
+
+    b_loc = B // 8
+    want_applied = np.zeros(steps, np.int64)
+    for i in range(8):
+        rows = slice(i * b_loc, (i + 1) * b_loc)
+        (wp, wd), (ap, wt) = ensemble.run_ensemble(
+            jax.random.fold_in(jax.random.PRNGKey(12), i),
+            (pt[rows], dtp[rows]), dm, (steps, events))
+        np.testing.assert_array_equal(got_p[rows], np.asarray(wp))
+        np.testing.assert_array_equal(got_d[rows], np.asarray(wd))
+        want_applied += np.asarray(ap, np.int64)
+        np.testing.assert_allclose(np.asarray(times), np.asarray(wt),
+                                   rtol=1e-15)
+    np.testing.assert_array_equal(np.asarray(applied, np.int64),
+                                  want_applied)
+
+    with pytest.raises(ValueError, match="divide"):
+        fn(jax.random.PRNGKey(0), (pt[:12], dtp[:12]))
