@@ -16,6 +16,13 @@ another device kernel. It is validated against the host stack instead:
 3. statistically against the conditioned-on-program master equation
    (`master.build_conditioned_ring_generator`) — the exact microscopic
    law of the data ring given a frozen program ring.
+
+The SELF-MODIFYING variants add two more independent oracles: the
+plain single-ring master equation (nothing is frozen, so no
+conditioning), and the exact SPD closure ODE via the generic
+enumerate->compile->dense pipeline — the lite self rule is enumerable
+(21,236 events at cl_k=3), so the interpreter's sampled dynamics are
+gated against the same engine that solves every other problem.
 """
 
 import math
@@ -301,3 +308,69 @@ def test_run_ensemble_bff_contract():
         bff.run_ensemble_bff(key, (pt, dt), m, (1, 8))  # stride 32 < 62
     with pytest.raises(ValueError, match="not a mini-BFF"):
         bff.compile_bff("ex2-ferromagnetic-chain")
+
+
+def test_bff_self_ensemble_tracks_exact_spd_closure():
+    """Cross-engine triangle for the SELF-MODIFYING rule: the device
+    interpreter's sampled window statistics must follow the exact SPD
+    closure ODE — the generic enumerate->compile->dense pipeline
+    handles the single-tape self rule like any other DSL rule (21,236
+    events at cl_k=3), and the two implementations share nothing
+    beyond the DSL definition. Gate: 6 sigma over 8 independent-site
+    keys plus the measured elementwise cl_k=3<->4 closure gap (the SPD
+    side's own truncation error, ~2e-4; the dynamical signal is
+    |p - uniform| ~ 0.11)."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu import (
+        compile_problem,
+        make_dy_dt,
+    )
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+    from chemical_kinetics_and_program_execution_tpu.ode.integrate import (
+        solve,
+    )
+
+    tag, cl_k = "ex6-mini-bff-self-lite", 3
+    m = bff.compile_bff(tag)
+    B, L, E, rounds, n_keys = 256, 256, 8, 63, 8
+    size_a = m.size_a
+
+    reps = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(100 + kk)
+        tape = jax.random.randint(jax.random.fold_in(key, 0), (B, L),
+                                  0, size_a, dtype=np.int32)
+        tape, (_, times) = bff.run_ensemble_bff(
+            jax.random.fold_in(key, 1), tape, m, (rounds, E),
+            independent_sites=True)
+        reps.append(np.asarray(ensemble.window_counts(tape, size_a,
+                                                      cl_k)))
+    t_eff = float(np.asarray(times)[-1])
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+
+    ts = np.linspace(0.0, t_eff, 5)
+    want = {}
+    for k in (3, 4):
+        c = compile_problem(tag, k, use_cache=False)
+        fn = make_dy_dt(c)
+        p0 = np.full(c.state_size, 1.0 / c.state_size)
+        pk = np.asarray(solve(lambda y, t: fn(y), p0, ts,
+                              rtol=1e-9, atol=1e-12)[-1])
+        if k == 4:
+            pk = pk.reshape(size_a ** cl_k, size_a).sum(axis=1)
+        want[k] = pk
+    closure_gap = np.abs(want[3] - want[4])
+    assert closure_gap.max() < 1e-3  # k3 is dynamically near-exact
+
+    # The dynamics moved far from uniform (the check is non-vacuous).
+    assert np.abs(want[3] - 1 / size_a ** cl_k).max() > 0.05
+    floor = np.sqrt(np.maximum(want[3], 1e-9) * (1.0 - want[3])
+                    / (n_keys * B * L / cl_k))
+    err = np.abs(got - want[3])
+    bound = 6.0 * np.maximum(sem, floor) + closure_gap
+    assert (err <= bound).all(), float((err - bound).max())
