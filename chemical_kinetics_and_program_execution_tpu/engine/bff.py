@@ -310,9 +310,10 @@ def apply_bff_self_round(mach: BffMachine, tape, shift, *,
 
 
 @partial(jax.jit, static_argnums=(2, 3),
-         static_argnames=("independent_sites",))
+         static_argnames=("independent_sites", "mutation_rate"))
 def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
-                     *, independent_sites: bool = False):
+                     *, independent_sites: bool = False,
+                     mutation_rate: float = 0.0):
     """Advances a batch of tape pairs under the BFF interpreter.
 
     The `run_ensemble` contract (stratified lattice rounds, Poisson
@@ -329,6 +330,14 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
         a single [B, L] tape for self-modifying machines.
       mach: compiled :class:`BffMachine` (static).
       steps_events: static (num_steps, events_per_step).
+      mutation_rate: SELF-MODIFYING machines only — after each round,
+        every cell is independently resampled uniformly over the
+        alphabet with this probability (the background thermal noise
+        of the computational-soup literature; effective flip rate is
+        ``mutation_rate * (1 - 1/size_a)``). The per-round kernel is
+        then exactly ``M(q) @ (I + Q/L)`` with M the product of
+        single-site resampling matrices — gateable against the master
+        equation with no discretisation allowance (`tests/test_bff.py`).
 
     Returns:
       ((ptape, dtape), (op_totals [num_steps, size_a] int64 executed
@@ -338,7 +347,14 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
     num_steps, events = steps_events
     if mach.self_modifying:
         return _run_ensemble_bff_self(key, tapes, mach, num_steps,
-                                      events, independent_sites)
+                                      events, independent_sites,
+                                      mutation_rate)
+    if mutation_rate:
+        raise ValueError(
+            "mutation_rate is only defined for self-modifying "
+            "machines (the two-tape rule's program ring is read-only "
+            "by construction; mutating it would break the "
+            "conditioned-on-program oracle semantics)")
     ptape, dtape = tapes
     B, L = ptape.shape
     _check_round_geometry(L, events, mach.span)
@@ -377,15 +393,31 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
 
 
 def _run_ensemble_bff_self(key, tape, mach, num_steps, events,
-                           independent_sites):
+                           independent_sites, mutation_rate=0.0):
     """Single-tape scan body of :func:`run_ensemble_bff` (already
-    inside its jit; mach/num_steps/events are static here)."""
+    inside its jit; mach/num_steps/events/mutation_rate are static
+    here)."""
     B, L = tape.shape
     _check_round_geometry(L, events, mach.span)
     keys = jax.random.split(key, num_steps)
 
+    def mutate(k, t_):
+        # Uniform resampling AFTER the round's rule events: each cell
+        # independently replaced with a uniform symbol with probability
+        # mutation_rate (so the exact per-round kernel composes as
+        # M(q) @ (I + Q/L), in that order).
+        ku, kv = jax.random.split(k)
+        hit = jax.random.uniform(ku, (B, L)) < mutation_rate
+        vals = jax.random.randint(kv, (B, L), 0, mach.size_a,
+                                  dtype=jnp.int32)
+        return jnp.where(hit, vals, t_)
+
     def step(carry, k):
         t_, phase = carry
+        if mutation_rate:
+            # Split only when mutating so mutation_rate=0 stays
+            # bit-identical to the stream the committed artifacts used.
+            k, km = jax.random.split(k)
         if independent_sites:
             shifts = jax.random.randint(k, (B,), 0, L, dtype=jnp.int32)
             delta = (shifts - phase) % L
@@ -399,6 +431,8 @@ def _run_ensemble_bff_self(key, tape, mach, num_steps, events,
             t_, ops = apply_bff_self_round(mach, t_, shift,
                                            events=events,
                                            want_op_counts=True)
+        if mutation_rate:
+            t_ = mutate(km, t_)
         return (t_, phase), ops
 
     carry = (jnp.asarray(tape).astype(jnp.int32),

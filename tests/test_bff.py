@@ -374,3 +374,72 @@ def test_bff_self_ensemble_tracks_exact_spd_closure():
     err = np.abs(got - want[3])
     bound = 6.0 * np.maximum(sem, floor) + closure_gap
     assert (err <= bound).all(), float((err - bound).max())
+
+
+def test_bff_self_mutation_matches_composed_master_kernel():
+    """With background mutation the per-round law composes EXACTLY:
+    the sampled step applies the rule round then per-cell uniform
+    resampling, so the discrete kernel is M(q) @ (I + Q/L) with
+    M = m^(⊗L), m = (1-q)·I + (q/A)·1. Gate the sampled ensemble
+    against that composed kernel at L=4 with no discretisation
+    allowance — validating both the mutation implementation and its
+    kernel-order semantics."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+
+    tag, L, cl_k, q = "ex6-mini-bff-self-lite", 4, 2, 0.05
+    m = bff.compile_bff(tag)
+    size_a = m.size_a
+    Q = master.build_ring_generator(tag, L)
+
+    mut = np.full((size_a, size_a), q / size_a)
+    mut[np.diag_indices(size_a)] += 1.0 - q
+
+    def apply_mut(p):
+        # M = m^(⊗L) in the big-endian state encoding: contract m into
+        # each site axis (exact, never materialises the S x S kernel).
+        t = p.reshape((size_a,) * L)
+        for ax in range(L):
+            t = np.tensordot(mut, t, axes=(1, ax))
+            t = np.moveaxis(t, 0, ax)
+        return t.ravel()
+
+    S = size_a ** L
+    p = np.full(S, 1.0 / S)
+    rounds, E = 24, 1
+    for _ in range(rounds):
+        p = apply_mut(p + (Q @ p) / L)
+    want = master.state_window_marginals(p, L, size_a, cl_k)
+
+    n_keys, B_k = 8, 1024
+    reps = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(7100 + kk)
+        tape = jax.random.randint(jax.random.fold_in(key, 0),
+                                  (B_k, L), 0, size_a, dtype=np.int32)
+        tape_out, _ = bff.run_ensemble_bff(
+            jax.random.fold_in(key, 1), tape, m, (rounds, E),
+            independent_sites=True, mutation_rate=q)
+        reps.append(np.asarray(ensemble.weighted_window_counts(
+            np.asarray(tape_out), np.full(B_k, 1.0 / B_k), size_a,
+            cl_k)))
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    floor = np.sqrt(np.maximum(want, 1e-9) * np.clip(1.0 - want, 0, 1)
+                    / (n_keys * B_k * L / cl_k))
+    z = np.abs(got - want) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, float(z.max())
+
+
+def test_bff_mutation_rejected_for_two_tape_machines():
+    import jax
+
+    m = bff.compile_bff("ex6-mini-bff-lite")
+    t0 = np.zeros((2, 64), np.int32)
+    with pytest.raises(ValueError, match="self-modifying"):
+        bff.run_ensemble_bff(jax.random.PRNGKey(0), (t0, t0), m,
+                             (1, 1), mutation_rate=0.01)
