@@ -309,8 +309,6 @@ def apply_bff_self_round(mach: BffMachine, tape, shift, *,
     return tape
 
 
-@partial(jax.jit, static_argnums=(2, 3),
-         static_argnames=("independent_sites", "mutation_rate"))
 def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
                      *, independent_sites: bool = False,
                      mutation_rate: float = 0.0):
@@ -338,108 +336,89 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
         then exactly ``M(q) @ (I + Q/L)`` with M the product of
         single-site resampling matrices — gateable against the master
         equation with no discretisation allowance (`tests/test_bff.py`).
+        Must be a concrete Python float; the rate is a traced operand
+        (one compile covers a whole sweep) while only the on/off state
+        is static, keeping mutation_rate=0 bit-identical to the
+        streams the committed artifacts used.
 
     Returns:
       ((ptape, dtape), (op_totals [num_steps, size_a] int64 executed
       opcodes per round, times [num_steps] cumulative)) — a single
       tape in place of the pair for self-modifying machines.
     """
-    num_steps, events = steps_events
-    if mach.self_modifying:
-        return _run_ensemble_bff_self(key, tapes, mach, num_steps,
-                                      events, independent_sites,
-                                      mutation_rate)
-    if mutation_rate:
+    mu = float(mutation_rate)
+    if mu and not mach.self_modifying:
         raise ValueError(
             "mutation_rate is only defined for self-modifying "
             "machines (the two-tape rule's program ring is read-only "
             "by construction; mutating it would break the "
             "conditioned-on-program oracle semantics)")
-    ptape, dtape = tapes
-    B, L = ptape.shape
+    ts = (tapes,) if mach.self_modifying else tuple(tapes)
+    out, aux = _run_ensemble_bff(
+        key, ts, mach, steps_events, jnp.float64(mu),
+        independent_sites=independent_sites, mutate_on=bool(mu))
+    return (out[0] if mach.self_modifying else out), aux
+
+
+@partial(jax.jit, static_argnums=(2, 3),
+         static_argnames=("independent_sites", "mutate_on"))
+def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
+                      independent_sites, mutate_on):
+    """Shared scan body of :func:`run_ensemble_bff`: ``ts`` is a tuple
+    of ring tapes — (ptape, dtape) for two-tape machines, (tape,) for
+    self-modifying ones — so the phase/roll bookkeeping and time
+    calibration exist exactly once."""
+    num_steps, events = steps_events
+    B, L = ts[0].shape
     _check_round_geometry(L, events, mach.span)
     keys = jax.random.split(key, num_steps)
 
+    def apply_round(ts, shift):
+        if mach.self_modifying:
+            t_, ops = apply_bff_self_round(mach, ts[0], shift,
+                                           events=events,
+                                           want_op_counts=True)
+            return (t_,), ops
+        pt, dt_, ops = apply_bff_round(mach, ts[0], ts[1], shift,
+                                       events=events,
+                                       want_op_counts=True)
+        return (pt, dt_), ops
+
     def step(carry, k):
-        pt, dt_, phase = carry
+        ts, phase = carry
+        if mutate_on:
+            # Split only when mutating so mutation_rate=0 stays
+            # bit-identical to the stream the committed artifacts used.
+            k, km = jax.random.split(k)
         if independent_sites:
             # Per-member phase, kept rolled across rounds (one delta
             # gather per tape per round; unroll once after the scan) —
             # the same trick as `run_ensemble`.
             shifts = jax.random.randint(k, (B,), 0, L, dtype=jnp.int32)
             delta = (shifts - phase) % L
-            pt = _roll_rows(pt, delta)
-            dt_ = _roll_rows(dt_, delta)
-            pt, dt_, ops = apply_bff_round(mach, pt, dt_, jnp.int32(0),
-                                           events=events,
-                                           want_op_counts=True)
+            ts = tuple(_roll_rows(t, delta) for t in ts)
+            ts, ops = apply_round(ts, jnp.int32(0))
             phase = shifts
         else:
             shift = jax.random.randint(k, (), 0, L, dtype=jnp.int32)
-            pt, dt_, ops = apply_bff_round(mach, pt, dt_, shift,
-                                           events=events,
-                                           want_op_counts=True)
-        return (pt, dt_, phase), ops
+            ts, ops = apply_round(ts, shift)
+        if mutate_on:
+            # Uniform resampling AFTER the round's rule events: each
+            # cell independently replaced with a uniform symbol with
+            # probability mutation_rate (so the exact per-round kernel
+            # composes as M(q) @ (I + Q/L), in that order).
+            ku, kv = jax.random.split(km)
+            hit = jax.random.uniform(ku, (B, L)) < mutation_rate
+            vals = jax.random.randint(kv, (B, L), 0, mach.size_a,
+                                      dtype=jnp.int32)
+            ts = (jnp.where(hit, vals, ts[0]),)
+        return (ts, phase), ops
 
-    carry = (ptape.astype(jnp.int32), dtape.astype(jnp.int32),
+    carry = (tuple(jnp.asarray(t).astype(jnp.int32) for t in ts),
              jnp.zeros((B,), jnp.int32))
-    (ptape, dtape, phase), op_totals = jax.lax.scan(step, carry, keys)
+    (ts, phase), op_totals = jax.lax.scan(step, carry, keys)
     if independent_sites:
-        ptape = _roll_rows(ptape, -phase)
-        dtape = _roll_rows(dtape, -phase)
+        ts = tuple(_roll_rows(t, -phase) for t in ts)
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
-    return (ptape, dtape), (op_totals, times)
-
-
-def _run_ensemble_bff_self(key, tape, mach, num_steps, events,
-                           independent_sites, mutation_rate=0.0):
-    """Single-tape scan body of :func:`run_ensemble_bff` (already
-    inside its jit; mach/num_steps/events/mutation_rate are static
-    here)."""
-    B, L = tape.shape
-    _check_round_geometry(L, events, mach.span)
-    keys = jax.random.split(key, num_steps)
-
-    def mutate(k, t_):
-        # Uniform resampling AFTER the round's rule events: each cell
-        # independently replaced with a uniform symbol with probability
-        # mutation_rate (so the exact per-round kernel composes as
-        # M(q) @ (I + Q/L), in that order).
-        ku, kv = jax.random.split(k)
-        hit = jax.random.uniform(ku, (B, L)) < mutation_rate
-        vals = jax.random.randint(kv, (B, L), 0, mach.size_a,
-                                  dtype=jnp.int32)
-        return jnp.where(hit, vals, t_)
-
-    def step(carry, k):
-        t_, phase = carry
-        if mutation_rate:
-            # Split only when mutating so mutation_rate=0 stays
-            # bit-identical to the stream the committed artifacts used.
-            k, km = jax.random.split(k)
-        if independent_sites:
-            shifts = jax.random.randint(k, (B,), 0, L, dtype=jnp.int32)
-            delta = (shifts - phase) % L
-            t_ = _roll_rows(t_, delta)
-            t_, ops = apply_bff_self_round(mach, t_, jnp.int32(0),
-                                           events=events,
-                                           want_op_counts=True)
-            phase = shifts
-        else:
-            shift = jax.random.randint(k, (), 0, L, dtype=jnp.int32)
-            t_, ops = apply_bff_self_round(mach, t_, shift,
-                                           events=events,
-                                           want_op_counts=True)
-        if mutation_rate:
-            t_ = mutate(km, t_)
-        return (t_, phase), ops
-
-    carry = (jnp.asarray(tape).astype(jnp.int32),
-             jnp.zeros((B,), jnp.int32))
-    (tape, phase), op_totals = jax.lax.scan(step, carry, keys)
-    if independent_sites:
-        tape = _roll_rows(tape, -phase)
-    dt_round = -jnp.log1p(-events / L)
-    times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
-    return tape, (op_totals, times)
+    return ts, (op_totals, times)

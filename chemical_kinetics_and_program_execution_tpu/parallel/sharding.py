@@ -379,9 +379,10 @@ def make_sharded_ensemble(dtable, mesh: jax.sharding.Mesh,
     natural data-parallel axis — SURVEY §2.5 "ensemble parallelism");
     each device runs `ensemble.run_ensemble` on its B/n_devices rows
     with the shared machine tables replicated. The only ICI traffic is
-    one `psum` of the per-round applied-event counters, so throughput
-    scales as n_devices × the single-chip rate (2.46e9 transitions/s,
-    RESULTS.md headline).
+    one `psum` of the per-round applied-event counters — the structural
+    basis for linear scale-out of the single-chip headline rate (2.46e9
+    transitions/s, RESULTS.md; multi-device throughput itself is
+    unmeasured — this container exposes one chip).
 
     Key derivation folds the flat device index into the shared key, so
     shard i's tapes are bit-identical to a standalone

@@ -468,3 +468,30 @@ def test_ex6_bff_self_artifacts_copy_invasion_claims():
     # random code is not.
     assert float(d["maint_motif"]) == 0.0
     assert float(d["maint_random"]) > 0.2
+
+
+def test_ex6_bff_mutation_artifacts_error_threshold_claims():
+    """Committed ex6_bff_mutation.npz must support the RESULTS claims:
+    the replicator survives small background mutation but is
+    extinguished above an error threshold between mu ~ 3e-3 and 2e-2,
+    with code diversity rising back toward noise as mu grows."""
+    path = os.path.join(ART_DIR, "ex6_bff_mutation.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex6_bff_mutation.py first")
+    d = np.load(path)
+    mus = np.asarray(d["mus"])
+    cd = np.asarray(d["cd_hist"])[:, -1]
+    cov = np.asarray(d["dot8_cov"])
+    ent = np.asarray(d["kg_final"])[:, 1]
+    assert mus[0] == 0.0 and mus[-1] == 0.1
+    # Selection wins at mu=0 and loses at mu=0.1 (copy density falls
+    # from far above uniform 2/12 to near it).
+    assert cd[0] > 0.5 and cd[-1] < 0.25, cd
+    # The replicator SURVIVES small noise (coverage still ~100x above
+    # any non-selected motif at mu=1e-3)...
+    assert cov[0] > 0.05 and cov[mus == 1e-3][0] > 0.01, cov
+    # ...but is extinguished above the error threshold.
+    assert (cov[mus >= 0.02] < 1e-3).all(), cov
+    # Code diversity returns toward noise as mu grows (monotone-ish:
+    # endpoints separated by > 3 nats).
+    assert ent[-1] > ent[0] + 3.0, ent
