@@ -430,3 +430,63 @@ def make_sharded_ensemble(dtable, mesh: jax.sharding.Mesh,
         return (pt, dtp), (applied, times)
 
     return fn
+
+
+def make_sharded_ensemble_bff(mach, mesh: jax.sharding.Mesh,
+                              steps_events: tuple, *,
+                              independent_sites: bool = False,
+                              mutation_rate: float = 0.0):
+    """Batch-sharded BFF-interpreter ensemble (the soup's scale-out).
+
+    The twin of :func:`make_sharded_ensemble` for the register-machine
+    family (`engine/bff.py`): tape batches split over every mesh
+    device with island keys; per-round executed-opcode totals are
+    psum'd over ICI (the only inter-device traffic). Accepts the
+    two-tape machines (pass ``(ptape, dtape)``) and the self-modifying
+    ones (pass a single ``[B, L]`` tape, optionally with
+    ``mutation_rate`` — the computational-soup control parameter).
+    Per-shard results are bit-identical to standalone
+    ``run_ensemble_bff(fold_in(key, device_index), ...)`` runs
+    (`tests/test_sharding.py`).
+    """
+    from ..engine import bff as bff_mod
+
+    axes = tuple(mesh.shape.keys())
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    num_steps, events = steps_events
+    single = mach.self_modifying
+
+    def local(key, *ts):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        out, (ops, _) = bff_mod.run_ensemble_bff(
+            k, ts[0] if single else ts, mach, steps_events,
+            independent_sites=independent_sites,
+            mutation_rate=mutation_rate)
+        out = (out,) if single else out
+        return (*out, jax.lax.psum(ops, axes))
+
+    n_tapes = 1 if single else 2
+    spec = P(axes)
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(),) + (spec,) * n_tapes,
+        out_specs=(spec,) * n_tapes + (P(),),
+    )
+
+    @jax.jit
+    def fn(key, tapes):
+        ts = (tapes,) if single else tuple(tapes)
+        B, L = ts[0].shape
+        if B % n_dev:
+            raise ValueError(
+                f"batch {B} does not divide over {n_dev} devices")
+        *ts, ops = mapped(key, *ts)
+        dt_round = -jnp.log1p(-jnp.float64(events) / L)
+        times = dt_round * jnp.arange(1, num_steps + 1,
+                                      dtype=jnp.float64)
+        return (ts[0] if single else tuple(ts)), (ops, times)
+
+    return fn

@@ -359,3 +359,65 @@ def test_sharded_ensemble_matches_per_shard_runs():
 
     with pytest.raises(ValueError, match="divide"):
         fn(jax.random.PRNGKey(0), (pt[:12], dtp[:12]))
+
+
+def test_sharded_bff_ensemble_matches_per_shard_runs():
+    """make_sharded_ensemble_bff parity: each device's rows (self-
+    modifying machine, with mutation) bit-identical to standalone
+    run_ensemble_bff(fold_in(key, device_index), ...), psum'd opcode
+    totals equal to the per-shard sum; the two-tape machine path and
+    the divisibility gate also covered."""
+    import jax
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import bff
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_ensemble_bff,
+    )
+
+    mesh = make_mesh(n_batch=2, n_event=4)
+    B, L, steps, events = 16, 256, 2, 2
+    key = jax.random.PRNGKey(21)
+
+    # Self-modifying machine with mutation.
+    ms = bff.compile_bff("ex6-mini-bff-self")
+    tape = jax.random.randint(key, (B, L), 0, ms.size_a,
+                              dtype=jnp.int32)
+    fn = make_sharded_ensemble_bff(ms, mesh, (steps, events),
+                                   mutation_rate=0.01)
+    out, (ops, times) = fn(jax.random.PRNGKey(22), tape)
+    out = np.asarray(out)
+    b_loc = B // 8
+    want_ops = np.zeros_like(np.asarray(ops))
+    for i in range(8):
+        rows = slice(i * b_loc, (i + 1) * b_loc)
+        w, (op_i, wt) = bff.run_ensemble_bff(
+            jax.random.fold_in(jax.random.PRNGKey(22), i), tape[rows],
+            ms, (steps, events), mutation_rate=0.01)
+        np.testing.assert_array_equal(out[rows], np.asarray(w))
+        want_ops += np.asarray(op_i)
+        np.testing.assert_allclose(np.asarray(times), np.asarray(wt),
+                                   rtol=1e-15)
+    np.testing.assert_array_equal(np.asarray(ops), want_ops)
+
+    # Two-tape machine path.
+    m2 = bff.compile_bff("ex6-mini-bff")
+    pt = jax.random.randint(jax.random.fold_in(key, 9), (B, L), 0,
+                            m2.size_a, dtype=jnp.int32)
+    dtp = jnp.zeros((B, L), jnp.int32)
+    fn2 = make_sharded_ensemble_bff(m2, mesh, (steps, events))
+    (gp, gd), _ = fn2(jax.random.PRNGKey(23), (pt, dtp))
+    gp, gd = np.asarray(gp), np.asarray(gd)
+    for i in range(8):
+        rows = slice(i * b_loc, (i + 1) * b_loc)
+        (wp, wd), _ = bff.run_ensemble_bff(
+            jax.random.fold_in(jax.random.PRNGKey(23), i),
+            (pt[rows], dtp[rows]), m2, (steps, events))
+        np.testing.assert_array_equal(gp[rows], np.asarray(wp))
+        np.testing.assert_array_equal(gd[rows], np.asarray(wd))
+
+    with pytest.raises(ValueError, match="divide"):
+        fn(jax.random.PRNGKey(0), tape[:12])
