@@ -444,3 +444,72 @@ def test_bff_mutation_rejected_for_two_tape_machines():
     with pytest.raises(ValueError, match="self-modifying"):
         bff.run_ensemble_bff(jax.random.PRNGKey(0), (t0, t0), m,
                              (1, 1), mutation_rate=0.01)
+
+
+def test_bff_self_lite_exact_stationary_mutation_balance():
+    """Selection-mutation balance, EXACTLY: power-iterate the composed
+    per-round kernel K = M(q)·(I+Q/L) to its stationary state at L=4
+    and (a) verify the sampled ensemble converges to the same window
+    marginals (6σ, long run), (b) assert the exact non-monotone
+    mutation response — small mutation FEEDS the replicator (it
+    reseeds raw material selection converts to 'dot') while large
+    mutation destroys it: stationary p(dot) is 0.364 at q=0, 0.561 at
+    q=0.01, 0.194 at q=0.2. At q=0 the chain is not ergodic (frozen
+    configurations absorb); 'stationary' means the limit from the
+    uniform start, matching the sampled soup's initial condition."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        ensemble,
+    )
+
+    tag, L, cl_k = "ex6-mini-bff-self-lite", 4, 1
+    m = bff.compile_bff(tag)
+    A = m.size_a
+    Q = master.build_ring_generator(tag, L)
+
+    def stationary(q, iters=20000):
+        mut = np.full((A, A), q / A)
+        mut[np.diag_indices(A)] += 1.0 - q
+        p = np.full(A ** L, 1.0 / A ** L)
+        for _ in range(iters):
+            p2 = p + (Q @ p) / L
+            t = p2.reshape((A,) * L)
+            for ax in range(L):
+                t = np.moveaxis(np.tensordot(mut, t, axes=(1, ax)),
+                                0, ax)
+            p2 = t.ravel()
+            if np.abs(p2 - p).max() < 1e-14:
+                return p2
+            p = p2
+        raise AssertionError("power iteration did not converge")
+
+    pd = {q: master.state_window_marginals(stationary(q), L, A,
+                                           cl_k)[m.dot]
+          for q in (0.0, 0.01, 0.2)}
+    # Exact non-monotone mutation response.
+    assert pd[0.01] > pd[0.0] + 0.1, pd
+    assert pd[0.2] < pd[0.0] - 0.1, pd
+
+    # Sampled ensemble reaches the same stationary marginals (q=0.01
+    # mixes slowly — the exact kernel needs ~3300 rounds; run 6000).
+    q = 0.01
+    want = master.state_window_marginals(stationary(q), L, A, cl_k)
+    n_keys, B_k, rounds = 6, 1024, 6000
+    reps = []
+    for kk in range(n_keys):
+        key = jax.random.PRNGKey(9300 + kk)
+        tape = jax.random.randint(jax.random.fold_in(key, 0),
+                                  (B_k, L), 0, A, dtype=np.int32)
+        tape, _ = bff.run_ensemble_bff(
+            jax.random.fold_in(key, 1), tape, m, (rounds, 1),
+            independent_sites=True, mutation_rate=q)
+        reps.append(np.asarray(ensemble.weighted_window_counts(
+            np.asarray(tape), np.full(B_k, 1.0 / B_k), A, cl_k)))
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+    floor = np.sqrt(np.maximum(want, 1e-9) * np.clip(1.0 - want, 0, 1)
+                    / (n_keys * B_k * L))
+    z = np.abs(got - want) / np.maximum(sem, floor)
+    assert float(z.max()) < 6.0, float(z.max())
