@@ -159,7 +159,7 @@ def _sel(cells, idx):
     return jnp.where(oh, cells, 0).sum(axis=-1, dtype=jnp.int32)
 
 
-def bff_fire(mach: BffMachine, p_cells, d_cells):
+def bff_fire(mach: BffMachine, p_cells, d_cells, prov_cells=None):
     """Fires the register machine once at offset 0 of every window.
 
     Args:
@@ -168,6 +168,13 @@ def bff_fire(mach: BffMachine, p_cells, d_cells):
         MUST be None for self-modifying machines — opcodes are then
         fetched from ``d_cells``, so writes feed back into fetches.
       d_cells: [..., n_d] int data window (offsets d_lo..d_hi).
+      prov_cells: optional [..., n_d] int32 LINEAGE window threaded
+        through the same execution: a copy op ('dot'/'comma') also
+        copies the source cell's provenance id to the destination,
+        while 'plus'/'minus' mutate content in place and KEEP the
+        lineage (point mutation). Provenance never feeds back into
+        execution, so the content trajectory is bit-identical with or
+        without it.
 
     Returns:
       (new_d_cells, op_counts) — the data window after the event (the
@@ -175,7 +182,8 @@ def bff_fire(mach: BffMachine, p_cells, d_cells):
       machines the one window carries both roles) and [..., size_a]
       int32 per-site counts of executed opcodes (scan-mode reads
       count toward the symbol read; useful as an execution-mix
-      observable, nearly free to compute).
+      observable, nearly free to compute). With ``prov_cells`` the
+      result is (new_d_cells, new_prov_cells, op_counts).
     """
     if mach.self_modifying != (p_cells is None):
         raise ValueError(
@@ -248,6 +256,16 @@ def bff_fire(mach: BffMachine, p_cells, d_cells):
                       jnp.where(is_dot, d0v, d1v)))
         oh = (jnp.arange(mach.n_d, dtype=i32)
               == (w_idx - mach.d_lo)[..., None]) & w_en[..., None]
+        if prov_cells is not None:
+            # Lineage flows only along copies: dot carries prov(d0) to
+            # d1, comma carries prov(d1) to d0; plus/minus keep the
+            # destination's lineage (in-place point mutation). Read the
+            # source prov BEFORE the content write of this step (prov
+            # and content update together, so ordering is consistent).
+            pv = jnp.where(is_dot, _sel(prov_cells, d0 - mach.d_lo),
+                           _sel(prov_cells, d1 - mach.d_lo))
+            ohp = oh & (is_dot | is_comma)[..., None]
+            prov_cells = jnp.where(ohp, pv[..., None], prov_cells)
         d_cells = jnp.where(oh, w_val[..., None], d_cells)
 
         pc = jnp.where(in_l, pc_l, jnp.where(in_r, pc_r, pc_e))
@@ -255,6 +273,8 @@ def bff_fire(mach: BffMachine, p_cells, d_cells):
         d0 = jnp.where(ex, d0_e, d0)
         d1 = jnp.where(ex, d1_e, d1)
 
+    if prov_cells is not None:
+        return d_cells, prov_cells, op_counts
     return d_cells, op_counts
 
 
@@ -291,27 +311,38 @@ def apply_bff_round(mach: BffMachine, ptape, dtape, shift, *,
 
 
 def apply_bff_self_round(mach: BffMachine, tape, shift, *,
-                         events: int, want_op_counts: bool = False):
+                         events: int, want_op_counts: bool = False,
+                         prov=None):
     """Single-tape twin of :func:`apply_bff_round` for self-modifying
     machines: the one ring carries opcodes AND data, so the round's
     write-back goes to the same tape the interpreter fetched from
     (fetch/write interleaving *within* an event is handled inside
     `bff_fire`; *across* events the stride > 2*span lattice keeps
-    windows disjoint, so order is immaterial)."""
+    windows disjoint, so order is immaterial). An optional ``prov``
+    [B, L] lineage ring rides through the same window extraction."""
     B, L = tape.shape
     stride = L // events
     rd = _roll_cols(tape, shift + mach.d_lo).reshape(B, events, stride)
-    new_d, ops = bff_fire(mach, None, rd[:, :, :mach.n_d])
+    if prov is not None:
+        rp = _roll_cols(prov, shift + mach.d_lo).reshape(
+            B, events, stride)
+        new_d, new_p, ops = bff_fire(mach, None, rd[:, :, :mach.n_d],
+                                     rp[:, :, :mach.n_d])
+        rp = rp.at[:, :, :mach.n_d].set(new_p)
+        prov = _roll_cols(rp.reshape(B, L), -(shift + mach.d_lo))
+    else:
+        new_d, ops = bff_fire(mach, None, rd[:, :, :mach.n_d])
     rd = rd.at[:, :, :mach.n_d].set(new_d)
     tape = _roll_cols(rd.reshape(B, L), -(shift + mach.d_lo))
+    out = (tape,) if prov is None else (tape, prov)
     if want_op_counts:
-        return tape, ops.sum(axis=(0, 1), dtype=jnp.int64)
-    return tape
+        return (*out, ops.sum(axis=(0, 1), dtype=jnp.int64))
+    return out[0] if prov is None else out
 
 
 def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
                      *, independent_sites: bool = False,
-                     mutation_rate: float = 0.0):
+                     mutation_rate: float = 0.0, prov=None):
     """Advances a batch of tape pairs under the BFF interpreter.
 
     The `run_ensemble` contract (stratified lattice rounds, Poisson
@@ -340,34 +371,47 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
         (one compile covers a whole sweep) while only the on/off state
         is static, keeping mutation_rate=0 bit-identical to the
         streams the committed artifacts used.
+      prov: SELF-MODIFYING machines only — optional [B, L] int32
+        LINEAGE ring threaded through execution (see :func:`bff_fire`:
+        copies carry the source cell's provenance id, point mutations
+        keep it, background mutation stamps -1 "de novo"). The content
+        trajectory is bit-identical with or without it. When given,
+        the returned tape is ``(tape, prov)``.
 
     Returns:
       ((ptape, dtape), (op_totals [num_steps, size_a] int64 executed
       opcodes per round, times [num_steps] cumulative)) — a single
-      tape in place of the pair for self-modifying machines.
+      tape (or ``(tape, prov)`` with lineage) in place of the pair for
+      self-modifying machines.
     """
     mu = float(mutation_rate)
-    if mu and not mach.self_modifying:
+    if (mu or prov is not None) and not mach.self_modifying:
         raise ValueError(
-            "mutation_rate is only defined for self-modifying "
+            "mutation_rate / prov are only defined for self-modifying "
             "machines (the two-tape rule's program ring is read-only "
             "by construction; mutating it would break the "
             "conditioned-on-program oracle semantics)")
-    ts = (tapes,) if mach.self_modifying else tuple(tapes)
+    if mach.self_modifying:
+        ts = (tapes,) if prov is None else (tapes, prov)
+    else:
+        ts = tuple(tapes)
     out, aux = _run_ensemble_bff(
         key, ts, mach, steps_events, jnp.float64(mu),
-        independent_sites=independent_sites, mutate_on=bool(mu))
-    return (out[0] if mach.self_modifying else out), aux
+        independent_sites=independent_sites, mutate_on=bool(mu),
+        lineage=prov is not None)
+    if mach.self_modifying and prov is None:
+        return out[0], aux
+    return out, aux
 
 
 @partial(jax.jit, static_argnums=(2, 3),
-         static_argnames=("independent_sites", "mutate_on"))
+         static_argnames=("independent_sites", "mutate_on", "lineage"))
 def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
-                      independent_sites, mutate_on):
+                      independent_sites, mutate_on, lineage=False):
     """Shared scan body of :func:`run_ensemble_bff`: ``ts`` is a tuple
-    of ring tapes — (ptape, dtape) for two-tape machines, (tape,) for
-    self-modifying ones — so the phase/roll bookkeeping and time
-    calibration exist exactly once."""
+    of ring tapes — (ptape, dtape) for two-tape machines, (tape,) or
+    (tape, prov) for self-modifying ones — so the phase/roll
+    bookkeeping and time calibration exist exactly once."""
     num_steps, events = steps_events
     B, L = ts[0].shape
     _check_round_geometry(L, events, mach.span)
@@ -375,6 +419,11 @@ def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
 
     def apply_round(ts, shift):
         if mach.self_modifying:
+            if lineage:
+                t_, p_, ops = apply_bff_self_round(
+                    mach, ts[0], shift, events=events,
+                    want_op_counts=True, prov=ts[1])
+                return (t_, p_), ops
             t_, ops = apply_bff_self_round(mach, ts[0], shift,
                                            events=events,
                                            want_op_counts=True)
@@ -406,12 +455,15 @@ def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
             # Uniform resampling AFTER the round's rule events: each
             # cell independently replaced with a uniform symbol with
             # probability mutation_rate (so the exact per-round kernel
-            # composes as M(q) @ (I + Q/L), in that order).
+            # composes as M(q) @ (I + Q/L), in that order). A mutated
+            # cell's lineage breaks: its provenance becomes -1.
             ku, kv = jax.random.split(km)
             hit = jax.random.uniform(ku, (B, L)) < mutation_rate
             vals = jax.random.randint(kv, (B, L), 0, mach.size_a,
                                       dtype=jnp.int32)
-            ts = (jnp.where(hit, vals, ts[0]),)
+            new_t = jnp.where(hit, vals, ts[0])
+            ts = ((new_t, jnp.where(hit, jnp.int32(-1), ts[1]))
+                  if lineage else (new_t,))
         return (ts, phase), ops
 
     carry = (tuple(jnp.asarray(t).astype(jnp.int32) for t in ts),

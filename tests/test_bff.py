@@ -513,3 +513,113 @@ def test_bff_self_lite_exact_stationary_mutation_balance():
                     / (n_keys * B_k * L))
     z = np.abs(got - want) / np.maximum(sem, floor)
     assert float(z.max()) < 6.0, float(z.max())
+
+
+def _host_fire_with_prov(m, d, prov):
+    """Independent host interpreter of the self-modifying machine with
+    lineage tracking, written straight from the language spec
+    (problems._ex6_rule semantics): copies carry provenance, point
+    mutations keep it. Used to gate `bff_fire(..., prov_cells=...)`."""
+    d, prov = list(d), list(prov)
+    pc, d0, d1, mode = 0, 0, m.d1_start, 0
+    A = m.size_a
+
+    def i(o):
+        return o - m.d_lo
+
+    for _ in range(m.fuel):
+        op = d[i(pc)]
+        if mode < 0:  # scanning left for the |mode|-th '['
+            if op == m.bl and mode == -1:
+                mode = 0
+                pc += 1
+            else:
+                mode += (op == m.bl) - (op == m.br)
+                pc -= 1
+        elif mode > 0:  # scanning right for the mode-th ']'
+            if op == m.br and mode == 1:
+                mode = 0
+            else:
+                mode += (op == m.bl) - (op == m.br)
+            pc += 1
+        else:
+            if op == m.lt:
+                d0 -= 1
+            elif op == m.gt:
+                d0 += 1
+            elif op == m.cl:
+                d1 -= 1
+            elif op == m.cr:
+                d1 += 1
+            elif op in (m.plus, m.minus):
+                d[i(d0)] = (d[i(d0)] + (1 if op == m.plus else -1)) % A
+            elif op == m.dot:
+                d[i(d1)] = d[i(d0)]
+                prov[i(d1)] = prov[i(d0)]
+            elif op == m.comma:
+                d[i(d0)] = d[i(d1)]
+                prov[i(d0)] = prov[i(d1)]
+            elif op == m.bl:
+                mode = 1 if d[i(d0)] == m.zero else 0
+            elif op == m.br and d[i(d0)] != m.zero:
+                mode = -1
+                pc -= 2
+            pc += 1
+    return d, prov
+
+
+@pytest.mark.parametrize(
+    "tag", ["ex6-mini-bff-self", "ex6-mini-bff-self-lite"])
+def test_bff_lineage_matches_host_interpreter(tag):
+    """bff_fire's provenance threading is bit-exact against the
+    independent host interpreter on random windows, and the content
+    trajectory is bit-identical with and without lineage."""
+    m = bff.compile_bff(tag)
+    rng = np.random.default_rng(zlib.crc32(tag.encode()) ^ 0xBEEF)
+    N = 300
+    D = rng.integers(0, m.size_a, (N, m.n_d)).astype(np.int32)
+    P0 = np.tile(np.arange(m.n_d, dtype=np.int32), (N, 1))
+    new_d, new_p, ops = (np.asarray(x)
+                         for x in bff.bff_fire(m, None, D, P0))
+    plain_d, _ = (np.asarray(x) for x in bff.bff_fire(m, None, D))
+    np.testing.assert_array_equal(new_d, plain_d)
+    for k in range(N):
+        wd, wp = _host_fire_with_prov(m, D[k].tolist(), P0[k].tolist())
+        assert np.array_equal(new_d[k], wd), k
+        assert np.array_equal(new_p[k], wp), k
+
+
+def test_bff_lineage_run_content_invariant_and_conserving():
+    """run_ensemble_bff(prov=...) leaves the content stream untouched
+    (bit-identical tapes with and without lineage, including under
+    mutation), provenance values only coarsen (subset of the initial
+    ids plus the -1 de-novo stamp), and mutation_rate=1 stamps every
+    cell -1 in one round."""
+    import jax
+
+    m = bff.compile_bff("ex6-mini-bff-self")
+    B, L = 16, 256
+    key = jax.random.PRNGKey(33)
+    tape = jax.random.randint(key, (B, L), 0, m.size_a,
+                              dtype=np.int32)
+    prov0 = np.tile(np.arange(L, dtype=np.int32), (B, 1))
+    for mu in (0.0, 0.02):
+        plain, _ = bff.run_ensemble_bff(
+            jax.random.PRNGKey(34), tape, m, (6, 4), mutation_rate=mu)
+        (lt, lp), _ = bff.run_ensemble_bff(
+            jax.random.PRNGKey(34), tape, m, (6, 4), mutation_rate=mu,
+            prov=prov0)
+        np.testing.assert_array_equal(np.asarray(plain),
+                                      np.asarray(lt))
+        vals = set(np.unique(np.asarray(lp)).tolist())
+        assert vals <= set(range(L)) | {-1}
+        assert (-1 in vals) == (mu > 0)
+    (_, lp1), _ = bff.run_ensemble_bff(
+        jax.random.PRNGKey(35), tape, m, (1, 4), mutation_rate=1.0,
+        prov=prov0)
+    assert (np.asarray(lp1) == -1).all()
+    with pytest.raises(ValueError, match="self-modifying"):
+        bff.run_ensemble_bff(
+            jax.random.PRNGKey(0),
+            (np.zeros((2, 64), np.int32),) * 2,
+            bff.compile_bff("ex6-mini-bff-lite"), (1, 1), prov=prov0)

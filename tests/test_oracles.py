@@ -495,3 +495,29 @@ def test_ex6_bff_mutation_artifacts_error_threshold_claims():
     # Code diversity returns toward noise as mu grows (monotone-ish:
     # endpoints separated by > 3 nats).
     assert ent[-1] > ent[0] + 3.0, ent
+
+
+def test_ex6_bff_lineage_artifacts_coalescence_claims():
+    """Committed ex6_bff_lineage.npz must support the RESULTS claims:
+    lineages coalesce (256 ancestors -> ~20 per ring by t~10), the
+    dominant ancestral cell's descendants cover a macroscopic tape
+    fraction, coalescence is monotone in time, and under mu=1e-3 a
+    large de-novo share turns over while original lineages keep
+    coalescing."""
+    path = os.path.join(ART_DIR, "ex6_bff_lineage.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex6_bff_lineage.py first")
+    d = np.load(path)
+    anc0, dom0 = np.asarray(d["anc0"]), np.asarray(d["dom0"])
+    assert anc0[0] == 256 and anc0[-1] < 40, anc0
+    assert (np.diff(anc0) <= 0).all(), anc0
+    assert dom0[-1] > 0.1, dom0
+    # The rank-size spectrum is concentrated: top 4 lineages carry
+    # more than a third of the tape.
+    spec0 = np.asarray(d["spec0"])
+    assert spec0[:4].sum() > 1 / 3, spec0[:4]
+    # Mutation turns lineages over: substantial de-novo share, and the
+    # surviving original ancestors still coalesce.
+    anc1 = np.asarray(d["anc1"])
+    denovo1 = np.asarray(d["denovo1"])
+    assert denovo1[-1] > 0.2 and anc1[-1] < 40, (denovo1[-1], anc1[-1])
