@@ -369,6 +369,51 @@ def make_sharded_frontier(dtable, mesh: jax.sharding.Mesh,
     return fn
 
 
+def _round_times(events, L, num_steps):
+    """The ensemble engines' Poisson round-time calibration
+    (dt = -ln(1 - E/L) per round), shared by the sharded wrappers."""
+    dt_round = -jnp.log1p(-jnp.float64(events) / L)
+    return dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
+
+
+def _island_batch_sharded(mesh, n_tapes, run_local):
+    """Shared scaffold for batch-sharded island-key ensembles.
+
+    Splits ``n_tapes`` ring-tape batches over every device of the
+    mesh; each device folds its flat index into the key and calls
+    ``run_local(folded_key, ts) -> (ts_out, aux)``, with ``aux``
+    psum-reduced over the mesh (the only ICI traffic). Returns
+    ``fn(key, ts) -> (ts_out, aux_global)`` plus the divisibility
+    gate."""
+    axes = tuple(mesh.shape.keys())
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def local(key, *ts):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        ts_out, aux = run_local(k, ts)
+        return (*ts_out, jax.lax.psum(aux, axes))
+
+    spec = P(axes)
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(),) + (spec,) * n_tapes,
+        out_specs=(spec,) * n_tapes + (P(),),
+    )
+
+    def fn(key, ts):
+        if ts[0].shape[0] % n_dev:
+            raise ValueError(
+                f"batch {ts[0].shape[0]} does not divide over "
+                f"{n_dev} devices")
+        *ts_out, aux = mapped(key, *ts)
+        return tuple(ts_out), aux
+
+    return fn
+
+
 def make_sharded_ensemble(dtable, mesh: jax.sharding.Mesh,
                           steps_events: tuple, *,
                           independent_sites: bool = False):
@@ -395,39 +440,21 @@ def make_sharded_ensemble(dtable, mesh: jax.sharding.Mesh,
     """
     from ..engine import ensemble as ensemble_mod
 
-    axes = tuple(mesh.shape.keys())
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     num_steps, events = steps_events
 
-    def local(key, pt, dtp):
-        idx = jnp.int32(0)
-        for a in axes:
-            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
-        k = jax.random.fold_in(key, idx)
-        (pt, dtp), (applied, _) = ensemble_mod.run_ensemble(
-            k, (pt, dtp), dtable, steps_events,
+    def run_local(k, ts):
+        out, (applied, _) = ensemble_mod.run_ensemble(
+            k, ts, dtable, steps_events,
             independent_sites=independent_sites)
-        return pt, dtp, jax.lax.psum(applied, axes)
+        return out, applied
 
-    spec = P(axes)
-    mapped = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), spec, spec),
-        out_specs=(spec, spec, P()),
-    )
+    core = _island_batch_sharded(mesh, 2, run_local)
 
     @jax.jit
     def fn(key, tapes):
-        pt, dtp = tapes
-        B, L = pt.shape
-        if B % n_dev:
-            raise ValueError(
-                f"batch {B} does not divide over {n_dev} devices")
-        pt, dtp, applied = mapped(key, pt, dtp)
-        dt_round = -jnp.log1p(-jnp.float64(events) / L)
-        times = dt_round * jnp.arange(1, num_steps + 1,
-                                      dtype=jnp.float64)
-        return (pt, dtp), (applied, times)
+        (pt, dtp), applied = core(key, tuple(tapes))
+        return (pt, dtp), (applied,
+                           _round_times(events, pt.shape[1], num_steps))
 
     return fn
 
@@ -439,54 +466,35 @@ def make_sharded_ensemble_bff(mach, mesh: jax.sharding.Mesh,
     """Batch-sharded BFF-interpreter ensemble (the soup's scale-out).
 
     The twin of :func:`make_sharded_ensemble` for the register-machine
-    family (`engine/bff.py`): tape batches split over every mesh
-    device with island keys; per-round executed-opcode totals are
-    psum'd over ICI (the only inter-device traffic). Accepts the
-    two-tape machines (pass ``(ptape, dtape)``) and the self-modifying
-    ones (pass a single ``[B, L]`` tape, optionally with
-    ``mutation_rate`` — the computational-soup control parameter).
-    Per-shard results are bit-identical to standalone
+    family (`engine/bff.py`), sharing its island-key scaffold: tape
+    batches split over every mesh device; per-round executed-opcode
+    totals are psum'd over ICI (the only inter-device traffic).
+    Accepts the two-tape machines (pass ``(ptape, dtape)``) and the
+    self-modifying ones (pass a single ``[B, L]`` tape, optionally
+    with ``mutation_rate`` — the computational-soup control
+    parameter). Per-shard results are bit-identical to standalone
     ``run_ensemble_bff(fold_in(key, device_index), ...)`` runs
     (`tests/test_sharding.py`).
     """
     from ..engine import bff as bff_mod
 
-    axes = tuple(mesh.shape.keys())
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     num_steps, events = steps_events
     single = mach.self_modifying
 
-    def local(key, *ts):
-        idx = jnp.int32(0)
-        for a in axes:
-            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
-        k = jax.random.fold_in(key, idx)
+    def run_local(k, ts):
         out, (ops, _) = bff_mod.run_ensemble_bff(
             k, ts[0] if single else ts, mach, steps_events,
             independent_sites=independent_sites,
             mutation_rate=mutation_rate)
-        out = (out,) if single else out
-        return (*out, jax.lax.psum(ops, axes))
+        return ((out,) if single else out), ops
 
-    n_tapes = 1 if single else 2
-    spec = P(axes)
-    mapped = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(),) + (spec,) * n_tapes,
-        out_specs=(spec,) * n_tapes + (P(),),
-    )
+    core = _island_batch_sharded(mesh, 1 if single else 2, run_local)
 
     @jax.jit
     def fn(key, tapes):
         ts = (tapes,) if single else tuple(tapes)
-        B, L = ts[0].shape
-        if B % n_dev:
-            raise ValueError(
-                f"batch {B} does not divide over {n_dev} devices")
-        *ts, ops = mapped(key, *ts)
-        dt_round = -jnp.log1p(-jnp.float64(events) / L)
-        times = dt_round * jnp.arange(1, num_steps + 1,
-                                      dtype=jnp.float64)
-        return (ts[0] if single else tuple(ts)), (ops, times)
+        ts, ops = core(key, ts)
+        times = _round_times(events, ts[0].shape[1], num_steps)
+        return (ts[0] if single else ts), (ops, times)
 
     return fn

@@ -40,7 +40,12 @@ B = int(os.environ.get("CKPE_EX6L_B", "2048"))
 L, E = 256, 4
 SNAPS = 16
 MUS = (0.0, 1e-3)
-SUFFIX = "" if B == 2048 else f"_b{B}"
+def _suffix(rounds):
+    """Non-default runs write suffixed filenames so smoke runs never
+    overwrite the committed full-scale regression artifacts
+    (CLAUDE.md convention)."""
+    s = "" if B == 2048 else f"_b{B}"
+    return s if rounds == 640 else s + f"_r{rounds}"
 
 
 def lineage_stats(prov):
@@ -74,6 +79,11 @@ def main():
 
     m = bff.compile_bff(TAG)
     size_a = m.size_a
+    if args.rounds <= 0 or args.rounds % SNAPS:
+        raise SystemExit(
+            f"--rounds must be a positive multiple of {SNAPS} "
+            f"(snapshot count), got {args.rounds}")
+    suffix = _suffix(args.rounds)
     rounds_per_snap = args.rounds // SNAPS
     dt_round = -math.log1p(-E / L)
     print(f"{m.summary()}; B={B}, L={L}, E={E}, {args.rounds} rounds "
@@ -106,7 +116,7 @@ def main():
               f"{denovo[-1]:.3f}")
 
     np.savez_compressed(
-        _common.out_path(f"ex6_bff_lineage{SUFFIX}.npz"),
+        _common.out_path(f"ex6_bff_lineage{suffix}.npz"),
         ts=ts, mus=np.asarray(MUS),
         anc0=res[MUS[0]]["anc"], dom0=res[MUS[0]]["dom"],
         spec0=res[MUS[0]]["spec"],
@@ -147,7 +157,7 @@ def main():
     ax.legend()
     ax.grid()
     fig.tight_layout()
-    out = _common.out_path(f"ex6_bff_lineage{SUFFIX}.pdf")
+    out = _common.out_path(f"ex6_bff_lineage{suffix}.pdf")
     fig.savefig(out)
     print(f"wrote {out}")
 

@@ -40,7 +40,12 @@ B = int(os.environ.get("CKPE_EX6M_B", "1024"))
 L, E = 256, 4
 SNAPS = 16
 MUS = (0.0, 1e-3, 3e-3, 1e-2, 2e-2, 3e-2, 5e-2, 1e-1)
-SUFFIX = "" if B == 1024 else f"_b{B}"
+def _suffix(rounds):
+    """Non-default runs write suffixed filenames so smoke runs never
+    overwrite the committed full-scale regression artifacts
+    (CLAUDE.md convention)."""
+    s = "" if B == 1024 else f"_b{B}"
+    return s if rounds == 640 else s + f"_r{rounds}"
 
 
 def main():
@@ -49,12 +54,14 @@ def main():
     args = ap.parse_args()
     import jax
 
-    from chemical_kinetics_and_program_execution_tpu.engine import dsl
-
     m = bff.compile_bff(TAG)
     size_a = m.size_a
-    syms = dsl.get_problem(TAG).symbols
     dot8 = sum(m.dot * size_a ** i for i in range(KGRAM))
+    if args.rounds <= 0 or args.rounds % SNAPS:
+        raise SystemExit(
+            f"--rounds must be a positive multiple of {SNAPS} "
+            f"(snapshot count), got {args.rounds}")
+    suffix = _suffix(args.rounds)
     rounds_per_snap = args.rounds // SNAPS
     dt_round = -math.log1p(-E / L)
     print(f"{m.summary()}; B={B}, L={L}, E={E}, {args.rounds} rounds "
@@ -88,7 +95,7 @@ def main():
               f"{kg_final[mi, 1]:.2f} nats, p(dot) {dot_marg[mi]:.3f}")
 
     np.savez_compressed(
-        _common.out_path(f"ex6_bff_mutation{SUFFIX}.npz"),
+        _common.out_path(f"ex6_bff_mutation{suffix}.npz"),
         mus=np.asarray(MUS), ts=ts, cd_hist=cd_hist,
         dot8_cov=dot8_cov, kg_final=kg_final, dot_marg=dot_marg)
 
@@ -131,7 +138,7 @@ def main():
     ax2.legend(loc="center right")
     ax.grid()
     fig.tight_layout()
-    out = _common.out_path(f"ex6_bff_mutation{SUFFIX}.pdf")
+    out = _common.out_path(f"ex6_bff_mutation{suffix}.pdf")
     fig.savefig(out)
     print(f"wrote {out}")
 

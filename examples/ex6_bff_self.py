@@ -55,7 +55,12 @@ B = int(os.environ.get("CKPE_EX6S_B", "4096"))
 L, E = 256, 4  # stride 64 > 2*span = 62
 SNAPS = 20
 KGRAM = 8  # census motif length (12^8 ranks fit int64 exactly)
-SUFFIX = "" if B == 4096 else f"_b{B}"
+def _suffix(rounds):
+    """Non-default runs write suffixed filenames so smoke runs never
+    overwrite the committed full-scale regression artifacts
+    (CLAUDE.md convention)."""
+    s = "" if B == 4096 else f"_b{B}"
+    return s if rounds == 640 else s + f"_r{rounds}"
 
 
 def dsl_symbols():
@@ -100,6 +105,11 @@ def main():
     size_a = m.size_a
     syms = dsl_symbols()
     print(m.summary())
+    if args.rounds <= 0 or args.rounds % SNAPS:
+        raise SystemExit(
+            f"--rounds must be a positive multiple of {SNAPS} "
+            f"(snapshot count), got {args.rounds}")
+    suffix = _suffix(args.rounds)
     rounds_per_snap = args.rounds // SNAPS
     dt_round = -math.log1p(-E / L)
     print(f"B={B} members, L={L} rings, E={E} events/round, "
@@ -238,7 +248,7 @@ def main():
           f"vs {maint['random']:.4f} on the random control ({ratio})")
 
     np.savez_compressed(
-        _common.out_path(f"ex6_bff_self{SUFFIX}.npz"),
+        _common.out_path(f"ex6_bff_self{suffix}.npz"),
         ts=ts, ds=ds, mi_hist=mi_hist, marg_hist=marg_hist,
         opmix_hist=opmix_hist, changed=changed,
         cd_zero=cd_traj["0% copies"],
@@ -332,7 +342,7 @@ def main():
         f"after {probe_rounds} rounds")
     ax.grid(axis="y")
     fig.tight_layout()
-    out = _common.out_path(f"ex6_bff_self{SUFFIX}.pdf")
+    out = _common.out_path(f"ex6_bff_self{suffix}.pdf")
     fig.savefig(out)
     print(f"wrote {out}")
 
