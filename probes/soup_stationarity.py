@@ -29,7 +29,7 @@ from ex6_bff_self import KGRAM, kgram_census  # noqa: E402
 TAG = "ex6-mini-bff-self"
 B, L, E = 1024, 256, 4
 CHECKS = (640, 1280, 1920)  # rounds at which to read coverage
-MUS = (1e-3, 3e-3, 2e-2)
+MUS = (0.0, 1e-3, 3e-3, 2e-2)
 
 
 def main():
