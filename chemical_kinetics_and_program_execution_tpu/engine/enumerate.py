@@ -248,6 +248,12 @@ def enumerate_worlds(problem: dsl.Problem, cl_k: int,
     """
     size_a = problem.size_a
     native_params = getattr(problem.rule, "native_ex6", None)
+    code_tape = 0
+    if native_params is None:
+        # Single-tape self-modifying variants: same machine with the
+        # opcode fetch routed to the data ring (code_tape=1).
+        native_params = getattr(problem.rule, "native_ex6_self", None)
+        code_tape = 1
     if native_params is not None and guide is not None:
         # Native DFS fast path (no per-path rule re-execution): the ex6
         # register machine is ported to C++ (`native/enumerate6.cc`),
@@ -258,7 +264,8 @@ def enumerate_worlds(problem: dsl.Problem, cl_k: int,
 
         out = native_mod.enumerate_ex6(
             size_a, cl_k, native_params[0], native_params[1],
-            guide.threshold, guide.pyr, max_worlds)
+            guide.threshold, guide.pyr, max_worlds,
+            code_tape=code_tape, tag=problem.tag)
         if out is not None:
             chain_len, num, den, sigs = out
             u64 = (1 << 64) - 1

@@ -70,6 +70,7 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64,
         ]
         for name in ("ckpe_enum6_num_worlds", "ckpe_enum6_num_factors",
                      "ckpe_enum6_status"):
@@ -98,8 +99,13 @@ def available() -> bool:
 
 def enumerate_ex6(size_a: int, cl_k: int, fuel: int, d1_start: int,
                   threshold: float, pyramid: np.ndarray,
-                  max_worlds: int | None):
+                  max_worlds: int | None, *, code_tape: int = 0,
+                  tag: str = "ex6-mini-bff"):
     """Native guided enumeration of the ex6 mini-BFF rule, or None.
+
+    ``code_tape=1`` selects the single-tape SELF-MODIFYING variant
+    (opcode fetch on the live data ring, `problems.py:_ex6_self`);
+    ``tag`` only labels the max_worlds error for Python parity.
 
     Returns (chain_len [W] int32, num [F] int32, den [F] int32,
     sigs [W, 10] int64 — per tape io_hi, io_lo, ia_hi, ia_lo, len; the
@@ -118,12 +124,13 @@ def enumerate_ex6(size_a: int, cl_k: int, fuel: int, d1_start: int,
         size_a, cl_k, fuel, d1_start, float(threshold),
         pyr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         -1 if max_worlds is None else int(max_worlds),
+        int(code_tape),
     )
     try:
         status = lib.ckpe_enum6_status(handle)
         if status == 2:
             raise RuntimeError(
-                f"Problem 'ex6-mini-bff' exceeds max_worlds={max_worlds} "
+                f"Problem {tag!r} exceeds max_worlds={max_worlds} "
                 f"execution paths at cl_k={cl_k}."
             )
         if status == 1:

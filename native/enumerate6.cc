@@ -53,10 +53,11 @@ class Enum6 {
  public:
   Enum6(int64_t size_a, int64_t cl_k, int64_t fuel, int64_t d1_start,
         double threshold, const double* pyr, int64_t max_worlds,
-        Worlds* out)
+        int64_t code_tape, Worlds* out)
       : a_(static_cast<int>(size_a)), cl_k_(static_cast<int>(cl_k)),
         fuel_(static_cast<int>(fuel)),
-        d1_start_(static_cast<int>(d1_start)), thr_(threshold),
+        d1_start_(static_cast<int>(d1_start)),
+        code_tape_(static_cast<int>(code_tape)), thr_(threshold),
         pyr_(pyr), max_worlds_(max_worlds), out_(out) {
     offsets_.resize(cl_k + 2);
     int64_t pos = 0;
@@ -186,13 +187,19 @@ class Enum6 {
   // --- the ex6 mini-BFF rule (models/problems.py:_ex6_rule), CPS form.
   // Symbols: 0 lt, 1 gt, 2 cl, 3 cr, 4 minus, 5 plus, 6 dot, 7 comma,
   //          8 bl, 9 br, 10 zero, 11 nop.
+  // `code_tape_` is 0 for the two-tape rule and 1 for the single-tape
+  // SELF-MODIFYING variants (`code_tape=DATA` in problems.py): the
+  // opcode fetch then reads the live data ring — Get returns the
+  // ADJUSTED value for covered cells, so writes landing in the
+  // instruction stream are fetched back (live-fetch semantics,
+  // matching `_Replay.tape_get`).
   void Loop(int budget, int p, int d0, int d1, int scan) {
     if (stop()) return;
     if (budget == 0) {
       Emit();
       return;
     }
-    Get(0, p, [=](int op) {
+    Get(code_tape_, p, [=](int op) {
       if (scan < 0) {  // looking left for the (-scan)-th '['
         if (op == 8) {
           if (scan == -1) Loop(budget - 1, p + 1, d0, d1, 0);
@@ -243,7 +250,7 @@ class Enum6 {
     });
   }
 
-  const int a_, cl_k_, fuel_, d1_start_;
+  const int a_, cl_k_, fuel_, d1_start_, code_tape_;
   const double thr_;
   const double* pyr_;
   const int64_t max_worlds_;
@@ -259,12 +266,14 @@ class Enum6 {
 extern "C" {
 
 // Guided enumeration of the ex6 rule. Returns an opaque handle.
-// max_worlds < 0 disables the bound.
+// max_worlds < 0 disables the bound. code_tape: 0 = two-tape rule,
+// 1 = single-tape self-modifying variant (op fetch on the data ring).
 void* ckpe_enum6(int64_t size_a, int64_t cl_k, int64_t fuel,
                  int64_t d1_start, double threshold, const double* pyr,
-                 int64_t max_worlds) {
+                 int64_t max_worlds, int64_t code_tape) {
   auto* w = new Worlds();
-  Enum6 e(size_a, cl_k, fuel, d1_start, threshold, pyr, max_worlds, w);
+  Enum6 e(size_a, cl_k, fuel, d1_start, threshold, pyr, max_worlds,
+          code_tape, w);
   e.Run();
   return w;
 }

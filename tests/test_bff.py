@@ -623,3 +623,89 @@ def test_bff_lineage_run_content_invariant_and_conserving():
             jax.random.PRNGKey(0),
             (np.zeros((2, 64), np.int32),) * 2,
             bff.compile_bff("ex6-mini-bff-lite"), (1, 1), prov=prov0)
+
+
+def test_bff_self_faithful_tracks_pruned_spd():
+    """FAITHFUL fuel-10 self rule vs the PRUNED exact SPD closure.
+
+    The faithful single-ring rule is un-enumerable in full, but near a
+    replicator monoculture (IID p0 with p(dot)=0.98) the guided native
+    DFS keeps ≥99.5% of the event mass at threshold 1e-7 — so the
+    pruned dense program predicts the interpreter's short-horizon
+    relaxation. This is the regression twin of
+    `probes/self_faithful_gate.py`, which solves a 40x deeper model
+    (thr 1e-9, mass ≥99.4% to t=1) and MEASURES the error budget
+    nu_prune + nu_close ~= 0.02-0.09 l1/time (pruning-truncation rate
+    plus off-manifold closure defect); here the coarse 4517-world
+    model is integrated by hand-rolled RK4 on the jitted RHS and the
+    ensemble is gated at 6 sigma plus the probe's band NU_BAND*t —
+    resolution ~0.03 in any window bin, enough to catch engine-level
+    breakage (wrong rates, misfiring interpreter), while fine drift is
+    the probe's job."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        dense,
+        ensemble,
+    )
+
+    tag, cl_k, eps = "ex6-mini-bff-self", 3, 0.02
+    NU_BAND = 0.09  # probes/self_faithful_gate.py: max l1 defect rate
+    prob = dsl.get_problem(tag)
+    size_a = prob.size_a
+    p1 = np.full(size_a, eps / (size_a - 1))
+    p1[prob.symbols.index("dot")] = 1.0 - eps
+    p0 = np.array([1.0])
+    for _ in range(cl_k):
+        p0 = np.kron(p0, p1)
+
+    prog = dense.compile_dense(tag, cl_k, p_ref=p0, prune_threshold=1e-7,
+                               max_worlds=20_000_000)
+    assert len(prog.w_const) == 4517  # enumeration regression pin
+    fn = dense.make_dense_dy_dt(prog, with_mass=True)
+    fn_raw = lambda p: np.asarray(fn(p)[0])  # noqa: E731
+
+    m = bff.compile_bff(tag)
+    # E=4: independent-site rounds need stride L/E > the fuel-10
+    # window span (31 cells).
+    B, L, E, rounds, n_keys = 256, 256, 4, 24, 8
+    dt_round = -math.log1p(-E / L)
+    t_end = rounds * dt_round
+
+    # Hand-rolled RK4 (h ~= 0.016; local error far below NU_BAND*t).
+    y = p0.copy()
+    n_steps = 24
+    h = t_end / n_steps
+    for _ in range(n_steps):
+        k1 = fn_raw(y)
+        k2 = fn_raw(y + 0.5 * h * k1)
+        k3 = fn_raw(y + 0.5 * h * k2)
+        k4 = fn_raw(y + h * k3)
+        y = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    want = y
+    # The pruned model keeps its mass along the trajectory (0.9978 at
+    # t=0, ~0.981 at t_end; the leaked flux is inside NU_BAND).
+    assert float(fn(want)[1]) > 0.98
+    # The dynamics moved (non-vacuous gate).
+    assert np.abs(want - p0).sum() > 0.02
+
+    reps = []
+    for kk in range(n_keys):
+        rng = np.random.default_rng(1000 + kk)
+        tape = rng.choice(size_a, size=(B, L), p=p1).astype(np.int32)
+        tape, (_, times) = bff.run_ensemble_bff(
+            jax.random.PRNGKey(100 + kk), tape, m, (rounds, E),
+            independent_sites=True)
+        reps.append(np.asarray(ensemble.window_counts(tape, size_a,
+                                                      cl_k)))
+    t_eff = float(np.asarray(times)[-1])
+    np.testing.assert_allclose(t_eff, t_end, rtol=1e-12)
+    reps = np.stack(reps)
+    got = reps.mean(axis=0)
+    sem = reps.std(axis=0, ddof=1) / np.sqrt(n_keys)
+
+    floor = np.sqrt(np.maximum(want, 1e-9) * (1.0 - want)
+                    / (n_keys * B * L / cl_k))
+    bound = 6.0 * np.maximum(sem, floor) + NU_BAND * t_end
+    err = np.abs(got - want)
+    assert (err <= bound).all(), float((err - bound).max())

@@ -340,3 +340,57 @@ def test_native_ex6_enumeration_parity():
             assert w_n.factors == w_p.factors
             assert w_n.tape_sigs == w_p.tape_sigs
             assert w_n.const == w_p.const
+
+
+def test_native_ex6_self_enumeration_parity():
+    """The native DFS also covers the single-tape SELF-MODIFYING
+    variants (code_tape=1: opcode fetch on the live data ring) —
+    bit-identical worlds in identical DFS order to the Python odometer
+    for both the lite and the faithful fuel-10 rule. The faithful rule
+    is the one that NEEDS the native path: guided enumeration near a
+    replicator monoculture takes ~2 s/thousand worlds in Python and
+    ~100 ns/node natively (probes/self_faithful_gate.py)."""
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        dsl,
+        enumerate as em,
+        native,
+    )
+
+    if not native.available():  # pragma: no cover - toolchain-less env
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    for tag, cl_k, thr, concentrated in (
+        ("ex6-mini-bff-self-lite", 3, 1e-6, False),
+        ("ex6-mini-bff-self", 3, 1e-4, True),
+    ):
+        prob = dsl.get_problem(tag)
+        a = prob.size_a
+        if concentrated:
+            # Dot-heavy: the regime the faithful self rule is pruned
+            # in (replicator monoculture neighbourhood).
+            psym = np.full(a, 0.02)
+            psym[prob.symbols.index("dot")] = 1.0 - 0.02 * (a - 1)
+        else:
+            psym = np.full(a, 1.0 / a)
+        p_ref = np.array([1.0])
+        for _ in range(cl_k):
+            p_ref = np.kron(p_ref, psym)
+        g = em.BeamGuide(p_ref, a, cl_k, thr)
+        ws_native = em.enumerate_worlds(prob, cl_k, guide=g)
+        params = prob.rule.native_ex6_self
+        del prob.rule.native_ex6_self
+        try:
+            ws_python = em.enumerate_worlds(prob, cl_k, guide=g)
+        finally:
+            prob.rule.native_ex6_self = params
+        assert len(ws_native) == len(ws_python) > 0
+        # Tape 0 (PROG) is untouched by the single-tape rule.
+        assert all(w.tape_sigs[0] == (0, 0, 0) for w in ws_native)
+        for w_n, w_p in zip(ws_native, ws_python):
+            assert w_n.factors == w_p.factors
+            assert w_n.tape_sigs == w_p.tape_sigs
+            assert w_n.const == w_p.const
