@@ -41,9 +41,6 @@ from chemical_kinetics_and_program_execution_tpu.engine import (  # noqa: E402
     dsl,
     ensemble,
 )
-from chemical_kinetics_and_program_execution_tpu.ode.integrate import (  # noqa: E402
-    solve,
-)
 from chemical_kinetics_and_program_execution_tpu.ops import (  # noqa: E402
     closure as clo,
 )
@@ -80,14 +77,31 @@ def main():
     print(f"solved model: {len(prog.w_const)} live worlds @thr={THR:g} "
           f"({time.time() - t0:.1f}s)", flush=True)
 
+    # Hand-rolled RK4 on the jitted RHS: jitting the adaptive solver
+    # WHOLE (dop853 while_loop) over a 254k-world RHS graph stalls XLA
+    # for >30 min; compiling the bare RHS once and stepping from
+    # Python costs one small compile + ~500 ms-scale calls. Fixed step
+    # h = T_END/64 ~= 0.016 gives O(h^4) ~ 1e-7 local error — far
+    # below the nu budget this probe measures.
     ts = np.linspace(0.0, T_END, 5)
+    fn_rhs = lambda p: np.asarray(fn(p)[0])  # noqa: E731
     t0 = time.time()
-    ys = solve(lambda y, t: fn(y)[0], win(p1, CL_K), ts,
-               rtol=1e-9, atol=1e-12)
-    ys = [np.asarray(y) for y in ys]
-    mass = [float(fn(y)[1]) for y in ys]
-    print(f"solve {time.time() - t0:.1f}s; mass along trajectory "
-          f"{min(mass):.6f}..{max(mass):.6f}", flush=True)
+    n_sub = 16
+    y = win(p1, CL_K)
+    ys = [y.copy()]
+    for i in range(len(ts) - 1):
+        h = (ts[i + 1] - ts[i]) / n_sub
+        for _ in range(n_sub):
+            k1 = fn_rhs(y)
+            k2 = fn_rhs(y + 0.5 * h * k1)
+            k3 = fn_rhs(y + 0.5 * h * k2)
+            k4 = fn_rhs(y + h * k3)
+            y = y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        ys.append(y.copy())
+    mass = [float(fn(yy)[1]) for yy in ys]
+    print(f"solve (RK4 x{n_sub * (len(ts) - 1)}) {time.time() - t0:.1f}s; "
+          f"mass along trajectory {min(mass):.6f}..{max(mass):.6f}",
+          flush=True)
 
     # nu_prune: RHS gap to the 40x-deeper threshold (eager — the deep
     # program is evaluated 5 times, not solved).
