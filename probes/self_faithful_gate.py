@@ -10,8 +10,9 @@ and the BFF device interpreter must follow it within a MEASURED error
 budget:
 
   budget(t) = ∫ [ ν_prune + ν_close ] dt
-    ν_prune = l1 gap between the solved model's RHS and a 40×-deeper
-              threshold (1e-11) — the enumeration-truncation rate;
+    ν_prune = l1 gap between the solved model's RHS and a
+              two-decades-deeper threshold (1e-11) — the
+              enumeration-truncation rate;
     ν_close = off-manifold closure defect vs the pruned cl_k=4 flow
               (`ops/closure.closure_defect`, complex-step tangent).
 
@@ -81,9 +82,14 @@ def main():
     # WHOLE (dop853 while_loop) over a 254k-world RHS graph stalls XLA
     # for >30 min; compiling the bare RHS once and stepping from
     # Python costs one small compile + ~500 ms-scale calls. Fixed step
-    # h = T_END/64 ~= 0.016 gives O(h^4) ~ 1e-7 local error — far
-    # below the nu budget this probe measures.
-    ts = np.linspace(0.0, T_END, 5)
+    # h ~= 0.016 gives O(h^4) ~ 1e-7 local error — far below the nu
+    # budget this probe measures. The grid end is the ensemble's
+    # EFFECTIVE time (whole lattice rounds), so both sides are
+    # compared at identical t.
+    dt_round = -np.log1p(-E / L)
+    n_rounds = int(round(T_END / dt_round))
+    t_eff_end = n_rounds * dt_round
+    ts = np.linspace(0.0, t_eff_end, 5)
     fn_rhs = lambda p: np.asarray(fn(p)[0])  # noqa: E731
     t0 = time.time()
     n_sub = 16
@@ -103,7 +109,7 @@ def main():
           f"mass along trajectory {min(mass):.6f}..{max(mass):.6f}",
           flush=True)
 
-    # nu_prune: RHS gap to the 40x-deeper threshold (eager — the deep
+    # nu_prune: RHS gap to the deeper threshold (eager — the deep
     # program is evaluated 5 times, not solved).
     t0 = time.time()
     prog_d = dense.compile_dense(TAG, CL_K, p_ref=win(p1, CL_K),
@@ -139,8 +145,7 @@ def main():
 
     # Ensemble side: the BFF device interpreter, independent sites.
     m = bff.compile_bff(TAG)
-    dt_round = -np.log1p(-E / L)
-    rounds = int(round(T_END / dt_round))
+    rounds = n_rounds  # shared grid with the ODE (whole rounds)
     t0 = time.time()
     reps = []
     for kk in range(N_KEYS):
@@ -156,7 +161,7 @@ def main():
     got = reps.mean(axis=0)
     sem = reps.std(axis=0, ddof=1) / np.sqrt(N_KEYS)
     print(f"ensemble {time.time() - t0:.1f}s; t_eff={t_eff:.4f} "
-          f"(ode t_end={T_END})", flush=True)
+          f"(ode t_end={t_eff_end:.4f})", flush=True)
 
     want = ys[-1]
     floor = np.sqrt(np.maximum(want, 1e-9) * (1.0 - want)
@@ -170,7 +175,6 @@ def main():
           f"violations={(err > bound).sum()}, "
           f"worst margin={float((err - bound).max()):.4g}")
     # Aggregates (budget is a valid l1 bound for any +-1 weighting).
-    mono = size_a ** CL_K - 1  # rank of the all-dot window? computed below
     dot_sym = prob.symbols.index("dot")
     mono = sum(dot_sym * size_a ** i for i in range(CL_K))
     for label, wvec in [
