@@ -41,12 +41,27 @@ def _load():
         _load_failed = True
         return None
     try:
-        if not os.path.exists(_LIB_PATH):
+        # Always invoke make: the Makefile's source dependencies turn
+        # this into a no-op when the library is current, and rebuild it
+        # when the sources changed under an existing .so. In read-only
+        # checkouts make may fail with the .so present — tolerated, the
+        # ABI check below still guards against calling a stale build
+        # through a mismatched prototype.
+        try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
                 check=True, capture_output=True, timeout=120,
             )
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                raise
         lib = ctypes.CDLL(_LIB_PATH)
+        lib.ckpe_abi_version.restype = ctypes.c_int64
+        lib.ckpe_abi_version.argtypes = []
+        if lib.ckpe_abi_version() != 2:
+            raise RuntimeError(
+                f"native library ABI {lib.ckpe_abi_version()} != 2; "
+                f"rebuild {_LIB_PATH}")
         lib.ckpe_expand.restype = ctypes.c_void_p
         lib.ckpe_expand.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

@@ -49,21 +49,15 @@ SNAPS = 10
 B = int(os.environ.get("CKPE_EX6SPD_B", "256"))
 N_KEYS = int(os.environ.get("CKPE_EX6SPD_KEYS", "8"))
 L, E = 256, 4  # independent-site stride 64 > span 31
-# Measured l1 defect-rate band (nu_prune + nu_close) of the thr=1e-7
-# cl_k=3 model on [0, 1] at eps=0.02 — probes/self_faithful_gate.py.
-NU_BAND = 0.09
+# Measured l1 defect-rate band of THIS model (thr=1e-7, cl_k=3) on
+# t in [0,1] at eps=0.02 — probes/self_faithful_gate.py's coarse-model
+# block: nu_prune(1e-7 vs 1e-9) <= 0.047 plus nu_close <= 0.067.
+NU_BAND = 0.12
 
 
 def _suffix(args):
     s = "" if B == 256 and N_KEYS == 8 else f"_b{B}x{N_KEYS}"
     return s if args.eps == 0.02 else s + f"_e{args.eps:g}"
-
-
-def win_product(p1, k):
-    w = np.array([1.0])
-    for _ in range(k):
-        w = np.kron(w, p1)
-    return w
 
 
 def mutant_class_masks(size_a, dot):
@@ -91,9 +85,12 @@ def main():
     size_a = prob.size_a
     syms = prob.symbols
     dot = syms.index("dot")
+    if N_KEYS < 2:
+        raise SystemExit("CKPE_EX6SPD_KEYS must be >= 2 (the error "
+                         "bands need a cross-replicate SEM)")
     p1 = np.full(size_a, args.eps / (size_a - 1))
     p1[dot] = 1.0 - args.eps
-    p0 = win_product(p1, CL_K)
+    p0 = _common.iid_spd(p1, CL_K).reshape(-1)
 
     # --- exact side: pruned dense program, RK4 on the jitted RHS ----
     prog = dense.compile_dense(TAG, CL_K, p_ref=p0, prune_threshold=THR,
@@ -157,8 +154,13 @@ def main():
     obs_got = {"mono": got[:, mono], "rare": 1.0 - got[:, mono]}
     obs_sem = {"mono": sem[:, mono], "rare": sem[:, mono]}
     cls_spd = ys @ masks.T       # [SNAPS+1, size_a]
-    cls_got = got @ masks.T
-    cls_sem = np.sqrt((sem ** 2) @ (masks ** 2).T)
+    # Aggregate PER REPLICATE first: window bins of a class overlap on
+    # the same rings, so summing per-bin variances would ignore their
+    # covariance; the cross-replicate spread of the aggregated value
+    # is the exact SEM.
+    cls_reps = reps @ masks.T    # [N_KEYS, SNAPS+1, size_a]
+    cls_got = cls_reps.mean(axis=0)
+    cls_sem = cls_reps.std(axis=0, ddof=1) / np.sqrt(N_KEYS)
 
     budget = NU_BAND * ts
     dev = np.abs(obs_got["mono"] - obs_spd["mono"])

@@ -265,6 +265,13 @@ class Enum6 {
 
 extern "C" {
 
+// Library ABI version. Bump whenever any exported symbol's signature
+// changes (v2: ckpe_enum6 gained the code_tape parameter). The Python
+// loader refuses (falls back to the bit-identical Python paths) when
+// this doesn't match its expectation — a stale prebuilt .so must
+// never be called through a mismatched prototype.
+int64_t ckpe_abi_version(void) { return 2; }
+
 // Guided enumeration of the ex6 rule. Returns an opaque handle.
 // max_worlds < 0 disables the bound. code_tape: 0 = two-tape rule,
 // 1 = single-tape self-modifying variant (op fetch on the data ring).

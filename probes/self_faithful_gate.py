@@ -116,8 +116,7 @@ def main():
                                  prune_threshold=THR_DEEP,
                                  max_worlds=30_000_000)
     fn_d = dense.make_dense_dy_dt(prog_d, jit=False)
-    fn_raw = lambda p: np.asarray(fn(p)[0])  # noqa: E731
-    nu_p = [float(np.abs(np.asarray(fn_d(y)) - fn_raw(y)).sum())
+    nu_p = [float(np.abs(np.asarray(fn_d(y)) - fn_rhs(y)).sum())
             for y in ys]
     print(f"nu_prune (vs {len(prog_d.w_const)} worlds @thr={THR_DEEP:g}): "
           f"{['%.2e' % x for x in nu_p]} ({time.time() - t0:.1f}s)",
@@ -129,11 +128,27 @@ def main():
                                 prune_threshold=1e-7,
                                 max_worlds=30_000_000)
     fn4 = dense.make_dense_dy_dt(prog4)
-    pair = (fn_raw, lambda p: np.asarray(fn4(p)), size_a)
+    pair = (fn_rhs, lambda p: np.asarray(fn4(p)), size_a)
     nu_c = [clo.closure_defect(TAG, CL_K, y, compiled_pair=pair, norm="l1")
             for y in ys]
     print(f"nu_close (k4, {len(prog4.w_const)} worlds): "
           f"{['%.2e' % x for x in nu_c]} ({time.time() - t0:.1f}s)",
+          flush=True)
+
+    # Coarse-model band — the number examples/ex6_bff_self_spd.py and
+    # the CI twin's NU_BAND cite: nu_prune of the thr=1e-7 model
+    # (their solved model) measured against THIS solved model.
+    t0 = time.time()
+    prog_c = dense.compile_dense(TAG, CL_K, p_ref=win(p1, CL_K),
+                                 prune_threshold=1e-7,
+                                 max_worlds=30_000_000)
+    fn_c = dense.make_dense_dy_dt(prog_c)
+    nu_pc = [float(np.abs(np.asarray(fn_c(y)) - fn_rhs(y)).sum())
+             for y in ys]
+    print(f"coarse-model nu_prune (thr=1e-7, {len(prog_c.w_const)} "
+          f"worlds, vs solved model): {['%.2e' % x for x in nu_pc]}; "
+          f"NU_BAND must cover max(nu_pc)+max(nu_close) = "
+          f"{max(nu_pc) + max(nu_c):.3f} ({time.time() - t0:.1f}s)",
           flush=True)
 
     nu = np.array(nu_p) + np.array(nu_c)
@@ -181,8 +196,12 @@ def main():
         ("p(dot^3)", np.eye(size_a ** CL_K)[mono]),
         ("rare-window mass", 1.0 - np.eye(size_a ** CL_K)[mono]),
     ]:
-        g_o, w_o = float(wvec @ got), float(wvec @ want)
-        s_o = float(np.sqrt((wvec ** 2) @ np.maximum(sem, floor) ** 2))
+        # Aggregate per replicate, then SEM across replicates — the
+        # bins are correlated within a ring, so summing per-bin
+        # variances would be wrong.
+        agg = reps @ wvec
+        g_o, w_o = float(agg.mean()), float(wvec @ want)
+        s_o = float(agg.std(ddof=1) / np.sqrt(N_KEYS))
         ok = abs(g_o - w_o) <= 6.0 * s_o + budgets[-1]
         print(f"{label}: ensemble={g_o:.5f} spd={w_o:.5f} "
               f"|d|={abs(g_o - w_o):.2e} bound={6.0 * s_o + budgets[-1]:.2e}"
