@@ -521,3 +521,52 @@ def test_ex6_bff_lineage_artifacts_coalescence_claims():
     anc1 = np.asarray(d["anc1"])
     denovo1 = np.asarray(d["denovo1"])
     assert denovo1[-1] > 0.2 and anc1[-1] < 40, (denovo1[-1], anc1[-1])
+
+
+def test_ex6_bff_self_spd_artifacts_selection_gradient_claims():
+    """Committed ex6_bff_self_spd.npz must support the RESULTS claims
+    for the pruned-exact-SPD soup gate: the thr=1e-7 model keeps its
+    enumerated mass near the monoculture, the monoculture bulk decays
+    monotonically as mutant code invades, the device-interpreter
+    ensemble stays inside 6 sigma + the measured defect budget on the
+    bulk AND on every per-opcode mutant class, and the exact selection
+    gradient has the documented signs (comma/cr/plus amplified,
+    minus/lt/br suppressed)."""
+    path = os.path.join(ART_DIR, "ex6_bff_self_spd.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex6_bff_self_spd.py first")
+    d = np.load(path)
+    assert int(d["n_worlds"]) == 4517
+    assert float(d["eps"]) == 0.02 and float(d["thr"]) == 1e-7
+    mass = np.asarray(d["mass"])
+    assert mass[0] > 0.997 and mass.min() > 0.97, mass
+    spd = np.asarray(d["ys_obs_mono"])
+    got = np.asarray(d["got_mono"])
+    sem = np.asarray(d["sem_mono"])
+    budget = np.asarray(d["budget"])
+    # Monoculture bulk decays by a macroscopic amount (monotone early;
+    # the exact model predicts a slight late recovery as the amplified
+    # comma/cr mutants re-copy bulk — visible in the artifact's tail).
+    assert (np.diff(spd[:8]) < 0).all() and spd[0] - spd[-1] > 0.05, spd
+    # The shared time grid makes the comparison honest.
+    np.testing.assert_allclose(np.asarray(d["ts"]),
+                               np.asarray(d["ts_ens"]))
+    assert (np.abs(got - spd) <= 6.0 * np.maximum(sem, 1e-4)
+            + budget).all()
+    # Per-opcode classes: within band, and the documented gradient.
+    cls_spd = np.asarray(d["cls_spd"])
+    cls_got = np.asarray(d["cls_got"])
+    cls_sem = np.asarray(d["cls_sem"])
+    err = np.abs(cls_got - cls_spd)
+    assert (err <= 6.0 * np.maximum(cls_sem, 1e-4)
+            + budget[:, None]).all(), (err.max())
+    grad = cls_spd[-1] - cls_spd[0]
+    # Symbols: 4 minus, 5 plus, 6 dot (masked to zero), 7 comma,
+    # 0 lt, 9 br, 3 cr (models/problems.py _EX6_SYMBOLS order).
+    assert (cls_spd[:, 6] == 0).all()
+    assert grad[7] > 4.0 * cls_spd[0, 7]       # comma amplified >5x
+    assert grad[3] > 0.5 * cls_spd[0, 3]       # cr amplified
+    assert grad[5] > 0.0                       # plus amplified
+    assert grad[4] < -0.5 * cls_spd[0, 4]      # minus suppressed
+    assert grad[0] < -0.3 * cls_spd[0, 0]      # lt suppressed
+    assert grad[9] < -0.3 * cls_spd[0, 9]      # br suppressed
