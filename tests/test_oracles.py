@@ -570,3 +570,30 @@ def test_ex6_bff_self_spd_artifacts_selection_gradient_claims():
     assert grad[4] < -0.5 * cls_spd[0, 4]      # minus suppressed
     assert grad[0] < -0.3 * cls_spd[0, 0]      # lt suppressed
     assert grad[9] < -0.3 * cls_spd[0, 9]      # br suppressed
+
+
+def test_ex6_bff_emergence_artifacts_birth_rate_claims():
+    """Committed ex6_bff_emergence.npz must support the RESULTS
+    claims: the replicator birth rate falls monotonically with
+    mutation, spans >= 4 decades from mu=0 to mu=2e-2, and the
+    above-threshold point sits below the plain-MC resolution floor of
+    the run's own walker budget (the WE-only regime)."""
+    path = os.path.join(ART_DIR, "ex6_bff_emergence.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex6_bff_emergence.py first")
+    d = np.load(path)
+    mus = np.asarray(d["mus"])
+    rates = np.asarray(d["rates"])
+    surv = np.asarray(d["surv"])  # [n_mu, n_seeds, n_blocks]
+    times = np.asarray(d["times"])
+    assert (np.diff(rates) < 0).all(), rates
+    assert rates[0] / rates[-1] > 1e4, rates
+    assert float(mus[-1]) == 2e-2 and rates[-1] > 0.0
+    # Plain-MC floor: ~1 event over all walkers x seeds x horizon.
+    k, n_seeds = int(d["k"]), int(d["n_seeds"])
+    mc_floor = 1.0 / (k * n_seeds * times[-1])
+    assert rates[-1] < mc_floor, (rates[-1], mc_floor)
+    # Survival curves are proper and ordered by mutation at t_max.
+    assert ((surv >= 0) & (surv <= 1)).all()
+    s_end = surv.mean(axis=1)[:, -1]
+    assert (np.diff(s_end) > 0).all(), s_end
