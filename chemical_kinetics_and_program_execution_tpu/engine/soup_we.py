@@ -27,9 +27,11 @@ PAPERS.md), host-orchestrated over jitted device blocks:
     out (``recycle=False``: survival-curve mode, directly comparable
     to brute force).
 
-Splitting-off (``n_per_bin=None`` → no resampling) IS brute force
-inside the same harness; the unbiasedness test gates the two against
-each other (`tests/test_bff.py::test_we_emergence_unbiased`).
+Splitting-off (``split=False`` → no resampling) IS brute force inside
+the same harness; the unbiasedness test gates the two against each
+other (`tests/test_bff.py::test_we_emergence_unbiased`), and the
+recycle mode is gated against the Hill relation
+(`test_we_emergence_recycle_satisfies_hill_relation`).
 """
 
 from __future__ import annotations
@@ -73,8 +75,11 @@ def _systematic(idx, w, n, rng):
     W = w.sum()
     cum = np.cumsum(w) / W
     pos = (rng.random() + np.arange(n)) / n
-    return idx[np.searchsorted(cum, pos, side="right")], np.full(
-        n, W / n)
+    # cum[-1] can sit 1 ulp below 1 (pairwise vs sequential summation);
+    # clip so a stratified position landing past it cannot IndexError.
+    j = np.minimum(np.searchsorted(cum, pos, side="right"),
+                   len(idx) - 1)
+    return idx[j], np.full(n, W / n)
 
 
 def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
@@ -127,7 +132,33 @@ def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
     flux = np.zeros(n_blocks)
     occupancy = np.zeros(n_blocks, np.int64)
     q_best = np.zeros(n_blocks, np.int64)
-    absorbed = 0.0
+
+    def absorb(q):
+        """Records/recycles walkers at the target until none remain —
+        t=0 and freshly recycled walkers count too (the docstring's
+        'checked at block boundaries' includes the boundary they are
+        born on). Returns the absorbed weight and up-to-date q."""
+        nonlocal tapes, w, live
+        total = 0.0
+        for _ in range(100):
+            hit = live & (q >= q_target)
+            if not hit.any():
+                return total, q
+            total += w[hit].sum()
+            tapes[hit] = np.asarray(sample_init(int(hit.sum())),
+                                    np.int32)
+            q = q.copy()
+            q[hit] = q_fn(tapes[hit])
+            if not recycle:
+                w[hit] = 0.0
+                live[hit] = False
+        raise RuntimeError(
+            "sample_init keeps drawing rings at q_target; emergence "
+            "from such an initial distribution is not a first-passage "
+            "problem")
+
+    # Walkers born absorbed register at t=0 (flux[0]'s boundary).
+    flux0, q = absorb(q_fn(tapes))
     for b in range(n_blocks):
         out, _ = bff_mod.run_ensemble_bff(
             jax.random.fold_in(key, b), tapes, mach, (rounds, events),
@@ -135,30 +166,23 @@ def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
         tapes = np.array(out, np.int32)  # writable host copy
         q = q_fn(tapes)
         q_best[b] = int(q[live].max()) if live.any() else 0
-        hit = live & (q >= q_target)
-        flux[b] = w[hit].sum()
         times[b] = (b + 1) * dt_block
-        if hit.any():
-            tapes[hit] = np.asarray(sample_init(int(hit.sum())),
-                                    np.int32)
-            q[hit] = q_fn(tapes[hit])
-            if not recycle:
-                absorbed += w[hit].sum()
-                w[hit] = 0.0
-                live[hit] = False
+        flux[b], q = absorb(q)
+        if b == 0:
+            flux[0] += flux0
         if split and live.any():
             # Bin by coordinate value (clipped below target), allocate
             # the K slots across occupied bins — extra slots to the
             # leading edge — and systematically resample each bin.
             qb = np.minimum(q, q_target - 1)
-            vals = np.unique(qb[live])
+            vals = np.unique(qb[live])  # sorted ascending
             n_occ = len(vals)
             base = K // n_occ
             extra = K - base * n_occ
             new_tapes = np.empty_like(tapes)
             new_w = np.zeros(K)
             pos = 0
-            for vi, v in enumerate(sorted(vals)):
+            for vi, v in enumerate(vals):
                 n_v = base + (1 if vi >= n_occ - extra else 0)
                 sel = np.flatnonzero(live & (qb == v))
                 src, sw = _systematic(sel, w[sel], n_v, rng)
@@ -168,9 +192,11 @@ def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
             assert pos == K
             tapes, w = new_tapes, new_w
             live = w > 0.0
-        occupancy[b] = len(np.unique(
-            np.minimum(q_fn(tapes), q_target - 1)[live])) \
-            if live.any() else 0
+            occupancy[b] = n_occ  # every occupied bin keeps >=1 slot
+        else:
+            occupancy[b] = len(np.unique(
+                np.minimum(q, q_target - 1)[live])) if live.any() \
+                else 0
         if not live.any():
             times[b + 1:] = times[b] + dt_block * np.arange(
                 1, n_blocks - b)
