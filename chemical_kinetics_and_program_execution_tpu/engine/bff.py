@@ -466,8 +466,15 @@ def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
                   if lineage else (new_t,))
         return (ts, phase), ops
 
+    # The phase carry derives its (always-zero) value from the key so
+    # its type is device-varying under shard_map — a literal zeros()
+    # is cross-device invariant and the scan body's key-derived phase
+    # update then fails the carry type check (scan-vma). Unsharded
+    # streams are bit-identical: the added term is exactly 0.
+    phase0 = (jnp.zeros((B,), jnp.int32)
+              + (keys[0].sum() * 0).astype(jnp.int32))
     carry = (tuple(jnp.asarray(t).astype(jnp.int32) for t in ts),
-             jnp.zeros((B,), jnp.int32))
+             phase0)
     (ts, phase), op_totals = jax.lax.scan(step, carry, keys)
     if independent_sites:
         ts = tuple(_roll_rows(t, -phase) for t in ts)

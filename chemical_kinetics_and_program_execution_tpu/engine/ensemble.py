@@ -1026,7 +1026,11 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
             # Symbols fit int8; narrow tapes halve the bandwidth of the
             # rolls and FSM passes that dominate the round.
             carry = tuple(t.astype(jnp.int8) for t in carry)
-        carry = carry + (jnp.zeros((B,), jnp.int32),)
+        # Key-derived zero: keeps the phase carry device-varying under
+        # shard_map (scan-vma type check) with bit-identical unsharded
+        # streams — same trick as `bff._run_ensemble_bff`.
+        carry = carry + (jnp.zeros((B,), jnp.int32)
+                         + (keys[0].sum() * 0).astype(jnp.int32),)
         (ptape, dtape, phase), _ = jax.lax.scan(step, carry, keys)
         if independent_sites:
             ptape = _roll_rows(ptape, -phase)

@@ -86,7 +86,8 @@ def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
                  *, plan: tuple, q_target: int,
                  q_fn: Callable | None = None,
                  mutation_rate: float = 0.0, recycle: bool = False,
-                 split: bool = True, seed: int = 0) -> WEResult:
+                 split: bool = True, seed: int = 0,
+                 runner: Callable | None = None) -> WEResult:
     """Weighted-ensemble first-passage of the soup to ``q_target``.
 
     Args:
@@ -107,6 +108,12 @@ def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
       split: ``False`` disables resampling entirely — plain Monte
         Carlo in the same harness (the unbiasedness reference).
       seed: host RNG seed for the resampler.
+      runner: optional ``(key, tapes) -> (tapes, aux)`` block driver
+        replacing the default `run_ensemble_bff` call — pass
+        `parallel.sharding.make_sharded_ensemble_bff(mach, mesh,
+        (rounds_per_block, events), independent_sites=True)` to run
+        the walkers batch-sharded over a device mesh (K must divide
+        by the mesh size; the WE host logic is unchanged).
 
     Returns a :class:`WEResult`; ``flux``/``survival`` are unbiased
     for P(first passage ≤ t) checked at block boundaries.
@@ -157,12 +164,16 @@ def we_emergence(key, mach, sample_init: Callable[[int], np.ndarray],
             "from such an initial distribution is not a first-passage "
             "problem")
 
+    if runner is None:
+        def runner(k, t):
+            return bff_mod.run_ensemble_bff(
+                k, t, mach, (rounds, events), independent_sites=True,
+                mutation_rate=mutation_rate)
+
     # Walkers born absorbed register at t=0 (flux[0]'s boundary).
     flux0, q = absorb(q_fn(tapes))
     for b in range(n_blocks):
-        out, _ = bff_mod.run_ensemble_bff(
-            jax.random.fold_in(key, b), tapes, mach, (rounds, events),
-            independent_sites=True, mutation_rate=mutation_rate)
+        out, _ = runner(jax.random.fold_in(key, b), tapes)
         tapes = np.array(out, np.int32)  # writable host copy
         q = q_fn(tapes)
         q_best[b] = int(q[live].max()) if live.any() else 0

@@ -421,3 +421,50 @@ def test_sharded_bff_ensemble_matches_per_shard_runs():
 
     with pytest.raises(ValueError, match="divide"):
         fn(jax.random.PRNGKey(0), tape[:12])
+
+
+def test_we_emergence_on_sharded_runner():
+    """The WE harness accepts the batch-sharded soup runner: walkers
+    split over the 8-device mesh, WE host logic unchanged. The sharded
+    run's final emergence probability must agree with unsharded seeds
+    at combined 6 sigma (streams differ — the sharded runner folds
+    keys per device — so the gate is statistical, not bitwise)."""
+    import jax
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        bff,
+        soup_we,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_ensemble_bff,
+    )
+
+    m = bff.compile_bff("ex6-mini-bff-self")
+    L, K, blocks, rounds, E = 256, 512, 6, 8, 4
+    mesh = make_mesh(n_batch=8, n_event=1)
+    runner = make_sharded_ensemble_bff(m, mesh, (rounds, E),
+                                       independent_sites=True)
+
+    def make_init(s):
+        rng = np.random.default_rng(700 + s)
+        return lambda n: rng.integers(0, m.size_a, (n, L),
+                                      dtype=np.int32)
+
+    r_sh = soup_we.we_emergence(jax.random.PRNGKey(1), m, make_init(0),
+                                plan=(K, blocks, rounds, E),
+                                q_target=7, runner=runner, seed=0)
+    assert r_sh.survival[-1] < 1.0  # something emerged
+    vals = []
+    for s in range(3):
+        r = soup_we.we_emergence(jax.random.PRNGKey(2 + s), m,
+                                 make_init(1 + s),
+                                 plan=(K, blocks, rounds, E),
+                                 q_target=7, seed=1 + s)
+        vals.append(1.0 - r.survival[-1])
+    vals = np.asarray(vals)
+    sem = max(float(vals.std(ddof=1) / np.sqrt(len(vals))), 5e-3)
+    got = 1.0 - r_sh.survival[-1]
+    assert abs(got - vals.mean()) < 6.0 * sem, (got, vals)
