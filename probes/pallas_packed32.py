@@ -72,6 +72,20 @@ def unpack4(words):
         words.shape[0], -1).astype(jnp.int8)
 
 
+def _divmod_const(v, d, vmax):
+    """``v // d`` and ``v % d`` for 0 <= v <= vmax, division-free.
+
+    Mosaic's lowering of int32 ``%``/``//`` dies in a _convert_helper
+    infinite recursion on this jax version (measured 2026-08-19, see
+    DESIGN.md); a comparison cascade over the tiny value range compiles
+    fine and costs vmax//d compares.
+    """
+    q = jnp.zeros_like(v)
+    for k in range(1, vmax // d + 1):
+        q = q + (v >= k * d).astype(v.dtype)
+    return q, v - q * d
+
+
 def _fsm_slot(cells_v):
     """FSM walk + write decode on one field slot (all int32 [BB, EW])."""
     bits = dm.bits
@@ -81,8 +95,8 @@ def _fsm_slot(cells_v):
     for node in dm.nodes:
         mask = state == node.node_id
         b = cells_v[node.cell]
-        shift_amt = bits * (b % fields)
-        widx = b // fields
+        widx, rem = _divmod_const(b, fields, dm.size_a - 1)
+        shift_amt = bits * rem
 
         def unpack(words):
             v = jnp.right_shift(jnp.int32(words[0]), shift_amt)
@@ -94,8 +108,8 @@ def _fsm_slot(cells_v):
 
         state = jnp.where(mask, unpack(node.child_words), state)
         spec = jnp.where(mask, unpack(node.spec_words), spec)
-    sh5 = 5 * (spec % 6)
-    wi6 = spec // 6
+    wi6, rem6 = _divmod_const(spec, 6, dm.num_specs - 1)
+    sh5 = 5 * rem6
     outs = []
     for c in range(n):
         words = dm.wr_words[c]
@@ -127,19 +141,26 @@ def fsm_kernel_packed(*refs):
 BB = 1024 if ON_TPU else 64
 
 
+def _imap(i):
+    # np.int32(0), not 0: under x64 a Python-int index-map constant
+    # lowers to i64 and the remote Mosaic dies legalizing
+    # `func.return (i32, i64)` (measured 2026-08-19, see DESIGN.md).
+    return (i, np.int32(0))
+
+
 def make_pallas_round(interpret):
     kw = {}
     if not interpret and pltpu is not None:
         kw = dict(
-            in_specs=[pl.BlockSpec((BB, EW), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec((BB, EW), _imap,
                                    memory_space=pltpu.VMEM)] * n,
-            out_specs=[pl.BlockSpec((BB, EW), lambda i: (i, 0),
+            out_specs=[pl.BlockSpec((BB, EW), _imap,
                                     memory_space=pltpu.VMEM)] * n,
         )
     else:
         kw = dict(
-            in_specs=[pl.BlockSpec((BB, EW), lambda i: (i, 0))] * n,
-            out_specs=[pl.BlockSpec((BB, EW), lambda i: (i, 0))] * n,
+            in_specs=[pl.BlockSpec((BB, EW), _imap)] * n,
+            out_specs=[pl.BlockSpec((BB, EW), _imap)] * n,
         )
 
     @jax.jit
