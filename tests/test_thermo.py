@@ -1,0 +1,244 @@
+"""Stochastic thermodynamics instrument (`ops/thermo.py`).
+
+Validation layers, exactly as DESIGN.md describes:
+- table antisymmetry + the ex2 <-> 1D Ising detailed-balance identity
+  (sigma per flip = -beta dE at J_eff = 2J, h = -0.25 — the same
+  correspondence the master equation's Gibbs-stationarity test pins);
+- exact master-equation identities: sigma_tot(gibbs) = 0,
+  sigma_tot(p) = -dD(p||gibbs)/dt under detailed balance,
+  and the closure-side window-marginal expression equals the master
+  medium rate identically;
+- the sampled ensemble's cumulative sigma 6-sigma-gated against the
+  exact discrete kernel (I + Q/L);
+- the integral fluctuation theorem <exp(-sigma_tot)> = 1 at
+  trajectory level (boundary terms from the exact kernel iterates);
+- scoping: mechanism-resolved entropy production requires channel
+  microreversibility — ex3's polymerization channels are site-locally
+  irreversible and must be REPORTED so, not silently zeroed.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chemical_kinetics_and_program_execution_tpu.engine import (
+    ensemble,
+    master,
+)
+from chemical_kinetics_and_program_execution_tpu.ops import thermo
+
+BETA, J, H = 1.0, 1.0, -0.25  # ex2's baked parameters (problems.scm:30-33)
+
+
+@pytest.fixture(scope="module")
+def ex2_dm():
+    return ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+
+
+@pytest.fixture(scope="module")
+def ex2_tables(ex2_dm):
+    return thermo.sigma_spec_tables(ex2_dm)
+
+
+@pytest.fixture(scope="module")
+def ex2_master_L8():
+    return master.build_ring_generator("ex2-ferromagnetic-chain", 8)
+
+
+def _window_marginals(p, dm, L, a, tables):
+    """Site-averaged combined-window marginals of a master state
+    (dummy program digits uniform — ex2 never reads its program tape)."""
+    digits = master._ring_digits(L, a)
+    pw = np.zeros(tables.num_windows)
+    for i in range(L):
+        wr = np.zeros(a**L, dtype=np.int64)
+        for off in range(dm.d_lo, dm.d_lo + dm.n_d):
+            wr = wr * a + digits[:, (i + off) % L]
+        for pd in range(a**dm.n_p):
+            np.add.at(pw, pd * (a**dm.n_d) + wr, p / (a**dm.n_p))
+    return pw / L
+
+
+def test_sigma_table_antisymmetric_and_reversible(ex2_tables):
+    t = ex2_tables
+    assert not t.irrev.any()  # ex2: every flip has a same-site reverse
+    n_jumps = 0
+    for w, r in enumerate(t.rates):
+        for w2, fwd in r.items():
+            rev = t.rates[w2].get(w, 0.0)
+            assert rev > 0.0
+            s_fwd = np.log(fwd) - np.log(rev)
+            s_rev = np.log(rev) - np.log(fwd)
+            assert abs(s_fwd + s_rev) < 1e-14
+            n_jumps += 1
+    assert n_jumps > 0
+
+
+def test_ex2_sigma_is_ising_delta_E(ex2_dm, ex2_tables):
+    """ln[R(w->w')/R(w'->w)] = -beta (E(w') - E(w)) with the window
+    Ising energy at J_eff = 2J — microreversibility against the same
+    Gibbs measure the master equation's stationarity test uses."""
+    dm, t = ex2_dm, ex2_tables
+    a, n = dm.size_a, dm.n_cells
+
+    def energy(dig):
+        s = [1.0 if d == 1 else -1.0 for d in dig[dm.n_p:]]
+        return -(2 * J) * (s[0] * s[1] + s[1] * s[2]) - H * s[1]
+
+    for w, r in enumerate(t.rates):
+        dig = thermo._decode_rank(w, n, a)
+        for w2, fwd in r.items():
+            dig2 = thermo._decode_rank(w2, n, a)
+            lhs = np.log(fwd) - np.log(t.rates[w2][w])
+            rhs = -BETA * (energy(dig2) - energy(dig))
+            assert abs(lhs - rhs) < 1e-12
+
+
+def test_master_total_rate_zero_at_gibbs_positive_elsewhere(
+        ex2_master_L8):
+    Q = ex2_master_L8
+    gibbs = master.ring_gibbs_states(8, J_eff=2 * J, h=H, beta=BETA)
+    tot, med = thermo.master_entropy_rates(Q, gibbs)
+    assert abs(tot) < 1e-12
+    p = np.random.RandomState(0).dirichlet(np.ones(2**8))
+    tot, med = thermo.master_entropy_rates(Q, p)
+    assert tot > 0.1
+
+
+def test_master_total_rate_is_minus_dD_dt(ex2_master_L8):
+    """For detailed-balanced dynamics sigma_tot(p) = -d/dt D(p||pi)
+    exactly (Schnakenberg); checked with a central difference along the
+    true master flow."""
+    Q = ex2_master_L8
+    gibbs = master.ring_gibbs_states(8, J_eff=2 * J, h=H, beta=BETA)
+    p = np.random.RandomState(1).dirichlet(np.ones(2**8))
+    tot, _ = thermo.master_entropy_rates(Q, p)
+    dt = 1e-6
+    pdot = Q @ p
+    D_m = thermo.relative_entropy(p - dt * pdot, gibbs)
+    D_p = thermo.relative_entropy(p + dt * pdot, gibbs)
+    assert abs(tot + (D_p - D_m) / (2 * dt)) < 1e-6 * max(1.0, tot)
+
+
+def test_closure_expression_matches_master_medium_rate(
+        ex2_dm, ex2_tables, ex2_master_L8):
+    """The per-site medium entropy rate is a functional of the rule's
+    window marginals only: evaluated at the master state's
+    site-averaged window marginals it equals the master rate / L
+    identically — the cross-formulation identity that lets the SPD
+    closure report entropy production."""
+    dm, t, Q = ex2_dm, ex2_tables, ex2_master_L8
+    L, a = 8, dm.size_a
+    p = np.random.RandomState(2).dirichlet(np.ones(a**L))
+    _, med = thermo.master_entropy_rates(Q, p)
+    pw = _window_marginals(p, dm, L, a, t)
+    rate, irrev_flux = thermo.medium_entropy_rate_from_window_probs(
+        pw, t)
+    assert irrev_flux == 0.0
+    assert abs(rate * L - med) < 1e-9 * max(1.0, abs(med))
+
+
+def test_medium_rate_vanishes_at_gibbs_marginals(ex2_dm, ex2_tables):
+    """At equilibrium sigma_tot = 0 and dS_sys/dt = 0, so the medium
+    rate alone must vanish at the Gibbs window marginals."""
+    dm, t = ex2_dm, ex2_tables
+    L, a = 8, dm.size_a
+    gibbs = master.ring_gibbs_states(L, J_eff=2 * J, h=H, beta=BETA)
+    pw = _window_marginals(gibbs, dm, L, a, t)
+    rate, irrev_flux = thermo.medium_entropy_rate_from_window_probs(
+        pw, t)
+    assert irrev_flux == 0.0
+    assert abs(rate) < 1e-12
+
+
+def test_ensemble_sigma_tracks_exact_kernel(ex2_dm, ex2_tables):
+    """Sampled cumulative medium entropy vs the exact expectation under
+    the discrete round kernel (I + Q/L), 6-sigma gate."""
+    import scipy.sparse as sp
+
+    dm, t = ex2_dm, ex2_tables
+    tdev = thermo.device_tables(t)
+    L, B, rounds, a = 8, 4096, 40, dm.size_a
+    pt = jnp.zeros((B, L), jnp.int32)
+    dt_ = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0, a,
+                             dtype=jnp.int32)
+    (_, dtf), sigma, nirr, _ = thermo.run_ensemble_sigma(
+        jax.random.PRNGKey(2), (pt, dt_), dm, tdev, (rounds, 1),
+        independent_sites=True)
+    sigma = np.asarray(sigma)
+    assert int(np.asarray(nirr).sum()) == 0
+
+    Q = master.build_ring_generator("ex2-ferromagnetic-chain", L)
+    S = a**L
+    K = (sp.identity(S) + Q / L).tocsr()
+    p = np.full(S, 1.0 / S)
+    expected = 0.0
+    for _ in range(rounds):
+        pw = _window_marginals(p, dm, L, a, t)
+        rate, _ = thermo.medium_entropy_rate_from_window_probs(pw, t)
+        expected += rate  # E=1: one site event per member per round
+        p = K @ p
+    se = sigma.std() / np.sqrt(B)
+    assert abs(sigma.mean() - expected) < 6 * se
+
+
+def test_integral_fluctuation_theorem(ex2_dm, ex2_tables):
+    """<exp(-sigma_tot)> = 1 with sigma_tot = sigma_med + ln p0(x0)
+    - ln pT(xT); boundary terms from the exact kernel iterates."""
+    import scipy.sparse as sp
+
+    dm, t = ex2_dm, ex2_tables
+    tdev = thermo.device_tables(t)
+    L, B, rounds, a = 8, 8192, 40, dm.size_a
+    pt = jnp.zeros((B, L), jnp.int32)
+    dt_ = jax.random.randint(jax.random.PRNGKey(3), (B, L), 0, a,
+                             dtype=jnp.int32)
+    (_, dtf), sigma, _, _ = thermo.run_ensemble_sigma(
+        jax.random.PRNGKey(4), (pt, dt_), dm, tdev, (rounds, 1),
+        independent_sites=True)
+    sigma = np.asarray(sigma)
+
+    Q = master.build_ring_generator("ex2-ferromagnetic-chain", L)
+    S = a**L
+    K = (sp.identity(S) + Q / L).tocsr()
+    p = np.full(S, 1.0 / S)
+    for _ in range(rounds):
+        p = K @ p
+    dtf_np = np.asarray(dtf)
+    rank = np.zeros(B, dtype=np.int64)
+    for j in range(L):
+        rank = rank * a + dtf_np[:, j]
+    sig_tot = sigma - L * np.log(a) - np.log(np.maximum(p[rank], 1e-300))
+    ift = np.exp(-sig_tot)
+    se = ift.std() / np.sqrt(B)
+    assert abs(ift.mean() - 1.0) < 6 * se
+    # Second law at the ensemble level.
+    assert sig_tot.mean() > 0.0
+
+
+def test_ex3_channels_reported_irreversible():
+    """Mechanism-resolved entropy production requires channel
+    microreversibility. ex3's polymerization events have NO same-site
+    reverse (depolymerization in ex3var2 fires at the chain end — a
+    different site), so every jump must be flagged irreversible, and
+    the runner must count them rather than fold a bogus 0 into sigma."""
+    dm = ensemble.compile_decision_machine("ex3-copolymerization")
+    t = thermo.sigma_spec_tables(dm)
+    n_jumps = sum(len(r) for r in t.rates)
+    assert n_jumps > 0
+    assert int(t.irrev.sum()) > 0
+    assert not t.sigma.any()  # nothing reversible -> all sigma zero
+    # And the flux accounting reports it:
+    pw = np.full(t.num_windows, 1.0 / t.num_windows)
+    rate, irrev_flux = thermo.medium_entropy_rate_from_window_probs(
+        pw, t)
+    assert rate == 0.0 and irrev_flux > 0.0
+
+
+def test_master_entropy_rates_raises_on_irreversible_flux():
+    Q = master.build_ring_generator("ex1-radioactive-decay", 5)
+    p = np.random.RandomState(3).dirichlet(np.ones(2**5))
+    with pytest.raises(ValueError):
+        thermo.master_entropy_rates(Q, p)
