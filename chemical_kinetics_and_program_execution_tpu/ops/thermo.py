@@ -265,24 +265,31 @@ def master_entropy_rates(Q, p):
 
     p = np.asarray(p, np.float64)
     C = sp.coo_matrix(Q)
-    off = C.row != C.col
-    rows, cols, vals = C.row[off], C.col[off], C.data[off]
-    rev = {}
-    for r, c, v in zip(rows, cols, vals):
-        rev[(int(r), int(c))] = float(v)
-    total = 0.0
-    medium = 0.0
-    for r, c, v in zip(rows, cols, vals):
-        px = p[c]
-        if px <= 0.0 or v <= 0.0:
-            continue
-        w_rev = rev.get((int(c), int(r)), 0.0)
-        if w_rev <= 0.0:
-            raise ValueError("absolutely irreversible flux: entropy "
-                             "production rate is infinite at this state")
-        medium += px * v * math.log(v / w_rev)
-        py = max(p[r], 1e-300)
-        total += px * v * math.log((px * v) / (py * w_rev))
+    S = C.shape[0]
+    off = (C.row != C.col) & (C.data > 0)
+    rows = C.row[off].astype(np.int64)
+    cols = C.col[off].astype(np.int64)
+    vals = C.data[off]
+    # Vectorized reverse-entry lookup: match (row, col) with (col, row).
+    keys = rows * S + cols
+    order = np.argsort(keys)
+    rev_keys = cols * S + rows
+    pos = np.searchsorted(keys[order], rev_keys)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    found = keys[order][pos_c] == rev_keys
+    w_rev = np.where(found, vals[order][pos_c], 0.0)
+    px = p[cols]
+    live = (px > 0) & (vals > 0)
+    if np.any(live & (w_rev <= 0.0)):
+        raise ValueError("absolutely irreversible flux: entropy "
+                         "production rate is infinite at this state")
+    flux = np.where(live, px * vals, 0.0)
+    lr = np.where(live, np.log(vals / np.maximum(w_rev, 1e-300)), 0.0)
+    medium = float(np.sum(flux * lr))
+    py = np.maximum(p[rows], 1e-300)
+    lt = np.where(live,
+                  np.log(np.maximum(px, 1e-300) / py), 0.0)
+    total = float(np.sum(flux * (lr + lt)))
     return total, medium
 
 
@@ -293,6 +300,20 @@ def relative_entropy(p, q):
     m = p > 0
     return float(np.sum(p[m] * (np.log(p[m]) - np.log(np.maximum(q[m],
                                                                  1e-300)))))
+
+
+def relative_entropy_rate(Q, p, pi):
+    """Exact d/dt D(p || pi) along dp/dt = Q p: ``sum (Qp) ln(p/pi)``
+    (the +1 term of the derivative vanishes since columns of Q sum to
+    0). For detailed-balanced Q with stationary pi this equals
+    ``-sigma_tot(p)`` pointwise — the identity the entropy-production
+    example gates at machine precision."""
+    p = np.asarray(p, np.float64)
+    pi = np.asarray(pi, np.float64)
+    pdot = np.asarray(Q @ p)
+    m = np.abs(pdot) > 0
+    return float(np.sum(pdot[m] * (np.log(np.maximum(p[m], 1e-300))
+                                   - np.log(np.maximum(pi[m], 1e-300)))))
 
 
 # --- The device instrument ----------------------------------------------------

@@ -242,3 +242,69 @@ def test_master_entropy_rates_raises_on_irreversible_flux():
     p = np.random.RandomState(3).dirichlet(np.ones(2**5))
     with pytest.raises(ValueError):
         thermo.master_entropy_rates(Q, p)
+
+
+def test_relative_entropy_rate_is_exact_dD_dt(ex2_master_L8):
+    Q = ex2_master_L8
+    gibbs = master.ring_gibbs_states(8, J_eff=2 * J, h=H, beta=BETA)
+    p = np.random.RandomState(4).dirichlet(np.ones(2**8))
+    rate = thermo.relative_entropy_rate(Q, p, gibbs)
+    dt = 1e-6
+    pdot = Q @ p
+    D_m = thermo.relative_entropy(p - dt * pdot, gibbs)
+    D_p = thermo.relative_entropy(p + dt * pdot, gibbs)
+    assert abs(rate - (D_p - D_m) / (2 * dt)) < 1e-6 * max(1.0,
+                                                           abs(rate))
+
+
+def test_ex2_entropy_artifacts_claims(ex2_dm, ex2_tables):
+    """Committed ex2_entropy_production.npz must support the RESULTS
+    claims, with the exact kernel expectation RECOMPUTED (an engine
+    regression anywhere in the outcome tables or the sigma instrument
+    fails this without regenerating the artifact)."""
+    import os
+
+    import scipy.sparse as sp
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "ex2_entropy_production.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex2_entropy_production.py first")
+    d = np.load(path)
+    cum_mean, cum_se = d["cum_mean"], d["cum_se"]
+    n_snaps = len(cum_mean) - 1
+    rounds_per_snap = 6  # committed geometry of the example
+
+    dm, t = ex2_dm, ex2_tables
+    L, a = 12, dm.size_a
+    S = a**L
+    Q = master.build_ring_generator("ex2-ferromagnetic-chain", L)
+    K = (sp.identity(S) + Q / L).tocsr()
+    p = np.full(S, 1.0 / S)  # uniform iid start, as in the example
+    digits = master._ring_digits(L, a)
+    expected = [0.0]
+    acc = 0.0
+    for _ in range(n_snaps):
+        for _ in range(rounds_per_snap):
+            pw = np.zeros(t.num_windows)
+            for i in range(L):
+                wr = np.zeros(S, dtype=np.int64)
+                for off in range(dm.d_lo, dm.d_lo + dm.n_d):
+                    wr = wr * a + digits[:, (i + off) % L]
+                for pd in range(a**dm.n_p):
+                    np.add.at(pw, pd * (a**dm.n_d) + wr,
+                              p / (a**dm.n_p))
+            pw /= L
+            rate, _ = thermo.medium_entropy_rate_from_window_probs(
+                pw, t)
+            acc += rate
+            p = K @ p
+        expected.append(acc)
+    expected = np.asarray(expected)
+    z = np.abs(cum_mean[1:] - expected[1:]) / np.maximum(cum_se[1:],
+                                                         1e-12)
+    assert float(z.max()) < 6.0, float(z.max())
+    # Fluctuation theorem + second law at the committed scale.
+    assert abs(float(d["ift_mean"][-1]) - 1.0) < 6 * float(
+        d["ift_se"][-1])
+    assert float(d["sig_tot_mean"][-1]) > 0.0
