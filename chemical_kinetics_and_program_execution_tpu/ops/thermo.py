@@ -414,3 +414,110 @@ def run_ensemble_sigma(key, tapes, dm, tables_dev, steps_events, *,
 def device_tables(tables: ThermoTables):
     """Device payload for :func:`run_ensemble_sigma`."""
     return (jnp.asarray(tables.sigma), jnp.asarray(tables.irrev))
+
+
+# --- The free-enthalpy ledger (rules with a per-symbol G landscape) ----------
+
+
+@partial(jax.jit, static_argnums=(4,),
+         static_argnames=("independent_sites",))
+def run_ensemble_ledger(key, tapes, dm, ledger, steps_events, *,
+                        independent_sites: bool = False):
+    """`run_ensemble` twin that accumulates each member's dissipated
+    free enthalpy through a per-symbol G landscape.
+
+    For rules whose rates derive from per-symbol free enthalpies with
+    local detailed balance — ex4var2's construction satisfies
+    ``ln(r_fwd/r_rev) = -2 beta dG`` exactly per outcome-resolved
+    channel (`tests/test_thermo.py::test_ex4var2_channel_affinities`) —
+    the per-event entropy production is the cell-additive ledger
+    ``sigma = beta_eff * sum_changed (G[old] - G[new])``, so no
+    (window, spec) table is needed: one G gather per touched cell.
+
+    Args:
+      ledger: ``(g_prog [size_a], g_data [size_a], beta_eff)`` — the
+        per-symbol potentials per tape (usually identical) and the
+        effective inverse temperature (2*beta for the reference's
+        choose-encoded rate construction).
+    Returns ``((ptape, dtape), sigma [B] f64, (spec_counts
+    [B, num_specs] int32, spec_sigma [B, num_specs] f64),
+    times [num_steps])`` — cumulative per-member entropy production
+    (nats), per-member counts of each fired write spec, and each
+    spec's share of the accumulated sigma. Per-spec sigma is NOT
+    constant in general (the machine dedups write specs across guard
+    paths with different overwritten symbols — e.g. ex4var2's
+    S,A->E and S,D->E share one spec), so the decomposition is
+    accumulated exactly rather than inferred from counts.
+    """
+    num_steps, events = steps_events
+    g_prog, g_data, beta_eff = ledger
+    ptape, dtape = tapes
+    B, L = ptape.shape
+    ens._check_round_geometry(L, events, dm.span)
+    stride = L // events
+    keys = jax.random.split(key, num_steps)
+    g_cells = ([g_prog] * dm.n_p) + ([g_data] * dm.n_d)
+
+    def apply_round(pt, dt_, shift, uniforms):
+        rp = ens._roll_cols(pt, shift + dm.p_lo).reshape(B, events, stride)
+        rd = ens._roll_cols(dt_, shift + dm.d_lo).reshape(B, events,
+                                                          stride)
+        cells = jnp.concatenate(
+            [rp[:, :, :dm.n_p], rd[:, :, :dm.n_d]], axis=-1)
+        spec = ens._machine_specs(dm, cells, uniforms)
+        new_cells = ens._machine_writes(dm, spec, cells)
+        dg = jnp.zeros(spec.shape, jnp.float64)
+        for c in range(dm.n_cells):
+            dg = dg + (g_cells[c][cells[..., c]]
+                       - g_cells[c][new_cells[..., c]])
+        sig_ev = beta_eff * dg  # [B, E]
+        sig = sig_ev.sum(axis=-1)
+        onehot = (spec[..., None] ==
+                  jnp.arange(dm.num_specs, dtype=spec.dtype))
+        counts = onehot.sum(axis=1).astype(jnp.int32)
+        spec_sig = (sig_ev[..., None] * onehot).sum(axis=1)
+        rp = rp.at[:, :, :dm.n_p].set(new_cells[..., :dm.n_p])
+        rd = rd.at[:, :, :dm.n_d].set(new_cells[..., dm.n_p:])
+        pt = ens._roll_cols(rp.reshape(B, L), -(shift + dm.p_lo))
+        dt_ = ens._roll_cols(rd.reshape(B, L), -(shift + dm.d_lo))
+        return pt, dt_, sig, counts, spec_sig
+
+    def step(carry, k):
+        pt, dt_, phase, sig, counts, ssig = carry
+        k1, k2 = jax.random.split(k)
+        uniforms = jax.random.uniform(k2, (B, events), jnp.float32)
+        if independent_sites:
+            shifts = jax.random.randint(k1, (B,), 0, L, dtype=jnp.int32)
+            delta = (shifts - phase) % L
+            pt = ens._roll_rows(pt, delta)
+            dt_ = ens._roll_rows(dt_, delta)
+            pt, dt_, ds, dc, dss = apply_round(pt, dt_, jnp.int32(0),
+                                               uniforms)
+            phase = shifts
+        else:
+            shift = jax.random.randint(k1, (), 0, L, dtype=jnp.int32)
+            pt, dt_, ds, dc, dss = apply_round(pt, dt_, shift, uniforms)
+        return (pt, dt_, phase, sig + ds, counts + dc, ssig + dss), None
+
+    phase0 = (jnp.zeros((B,), jnp.int32)
+              + (keys[0].sum() * 0).astype(jnp.int32))
+    carry = (ptape, dtape, phase0, jnp.zeros((B,), jnp.float64),
+             jnp.zeros((B, dm.num_specs), jnp.int32),
+             jnp.zeros((B, dm.num_specs), jnp.float64))
+    (ptape, dtape, phase, sigma, counts, spec_sig), _ = jax.lax.scan(
+        step, carry, keys)
+    if independent_sites:
+        ptape = ens._roll_rows(ptape, -phase)
+        dtape = ens._roll_rows(dtape, -phase)
+    dt_round = -jnp.log1p(-events / L)
+    times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
+    return (ptape, dtape), sigma, (counts, spec_sig), times
+
+
+def tape_potential(ptape, dtape, g_prog, g_data, beta_eff):
+    """``beta_eff * (sum G over both tapes)`` per member — the state
+    function whose decrease the ledger accumulates exactly (the
+    bookkeeping identity ``sigma == Phi(0) - Phi(T)``, tested
+    bit-level)."""
+    return beta_eff * (jnp.asarray(g_prog)[ptape].sum(axis=-1)
+                       + jnp.asarray(g_data)[dtape].sum(axis=-1))

@@ -244,6 +244,178 @@ def test_master_entropy_rates_raises_on_irreversible_flux():
         thermo.master_entropy_rates(Q, p)
 
 
+_EX4V2_G = {"A": -1.0, "B": -1.0, "C": -1.0, "D": 1.5, "I": 0.0,
+            "O": 0.0, "P": 6.0, "X": 0.0, "S": 0.0, "E": 1.0}
+_EX4V2_BETA = 1.0
+
+
+def _ex4v2_outcomes(wp, wd):
+    from chemical_kinetics_and_program_execution_tpu.engine import dsl
+
+    problem = dsl.get_problem("ex4var2-chemical-turing")
+    sym = {s: i for i, s in enumerate(problem.symbols)}
+    outs, _, _ = master.enumerate_pair_outcomes(
+        problem, {k: sym[v] for k, v in wp.items()},
+        {k: sym[v] for k, v in wd.items()})
+    res = []
+    for prob, wrp, wrd in outs:
+        if prob <= 0:
+            continue
+        res.append((prob,
+                    {k: problem.symbols[v] for k, v in wrp.items()},
+                    {k: problem.symbols[v] for k, v in wrd.items()}))
+    return res
+
+
+def _rate_of(outs, wrp_want, wrd_want):
+    return sum(p for p, wrp, wrd in outs
+               if wrp == wrp_want and wrd == wrd_want)
+
+
+def test_ex4var2_channel_affinities():
+    """EVERY reaction channel of ex4var2 satisfies exact local detailed
+    balance w.r.t. the potential 2*beta*G: ln(r_fwd/r_rev) = -2 beta
+    sum(G products - G reactants), outcome-resolved, for all cursor
+    states and io contexts. The factor 2 is the same structural
+    doubling as ex2's J_eff = 2J (the choose-encoding of rates). This
+    identity is what makes the free-enthalpy LEDGER exact
+    (`thermo.run_ensemble_ledger`)."""
+    G, beta = _EX4V2_G, _EX4V2_BETA
+    n_checked = 0
+
+    def affinity(r_f, r_b, species_dG):
+        assert r_f > 0 and r_b > 0
+        lhs = np.log(r_f) - np.log(r_b)
+        assert abs(lhs + 2 * beta * species_dG) < 1e-10, (
+            lhs, -2 * beta * species_dG)
+
+    # Cursor advances: cur+P -> nxt+X writing `bit` behind the cursor.
+    for cur, nxt, bit in (("A", "B", "I"), ("B", "C", "O"),
+                          ("C", "D", "I")):
+        for b1 in "IO":      # bit under the cursor's landing cell
+            for b2 in "IO":  # forward guard at d+2
+                fw = _ex4v2_outcomes({0: "P"},
+                                     {0: cur, 1: b1, 2: b2})
+                r_f = _rate_of(fw, {0: "X"}, {0: bit, 1: nxt})
+                rv = _ex4v2_outcomes({0: "X"},
+                                     {0: nxt, -1: bit, -2: b2})
+                r_b = _rate_of(rv, {0: "P"}, {0: b1, -1: cur})
+                dG = ((G["X"] - G["P"]) + (G[bit] - G[cur])
+                      + (G[nxt] - G[b1]))
+                affinity(r_f, r_b, dG)
+                n_checked += 1
+
+    # Attach/detach: S+cur <-> E for cur in (A, D), io written per side.
+    for cur in ("A", "D"):
+        for bit in "IO":     # bit the detach writes where cur stood
+            for b1 in "IO":  # guards
+                fw = _ex4v2_outcomes({0: "S"},
+                                     {0: cur, 1: b1, -1: b1})
+                r_f = _rate_of(fw, {0: "E"}, {0: bit})
+                rv = _ex4v2_outcomes({0: "E"},
+                                     {0: bit, 1: b1, -1: b1})
+                r_b = _rate_of(rv, {0: "S"}, {0: cur})
+                dG = (G["E"] - G["S"]) + (G[bit] - G[cur])
+                affinity(r_f, r_b, dG)
+                n_checked += 1
+    assert n_checked == 20
+
+
+def test_ex4var2_ledger_bookkeeping_identity():
+    """The ledger's cumulative sigma equals the tape-potential drop
+    Phi(0) - Phi(T) per member exactly — the cell-additive bookkeeping
+    cannot drift — and the spec counts account for every fired event."""
+    dm = ensemble.compile_decision_machine("ex4var2-chemical-turing")
+    problem_syms = ("A", "B", "C", "D", "I", "O", "P", "X", "S", "E")
+    g = np.array([_EX4V2_G[s] for s in problem_syms])
+    beta_eff = 2.0 * _EX4V2_BETA
+    ledger = (jnp.asarray(g), jnp.asarray(g), beta_eff)
+
+    B, L, rounds, E = 256, 64, 20, 2
+    key = jax.random.PRNGKey(5)
+    # Fueled mix: P/X on the program lane, cursors + bits on data.
+    ptape = jax.random.choice(
+        jax.random.fold_in(key, 0),
+        jnp.asarray([6, 7, 8, 9], jnp.int32), (B, L),
+        p=jnp.asarray([0.4, 0.3, 0.2, 0.1]))
+    dtape = jax.random.choice(
+        jax.random.fold_in(key, 1),
+        jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32), (B, L),
+        p=jnp.asarray([0.1, 0.1, 0.1, 0.1, 0.3, 0.3]))
+    phi0 = thermo.tape_potential(ptape, dtape, g, g, beta_eff)
+    (pt, dt_), sigma, (counts, spec_sig), _ = \
+        thermo.run_ensemble_ledger(
+            jax.random.fold_in(key, 2), (ptape, dtape), dm, ledger,
+            (rounds, E))
+    phiT = thermo.tape_potential(pt, dt_, g, g, beta_eff)
+    np.testing.assert_allclose(np.asarray(sigma),
+                               np.asarray(phi0 - phiT),
+                               rtol=0, atol=1e-9)
+    counts = np.asarray(counts)
+    assert (counts.sum(axis=1) == rounds * E).all()
+    assert np.asarray(sigma).sum() != 0.0  # something actually fired
+    # The per-spec decomposition re-sums to the total exactly.
+    np.testing.assert_allclose(np.asarray(spec_sig).sum(axis=1),
+                               np.asarray(sigma), rtol=0, atol=1e-9)
+
+
+def test_ex4var2_gibbs_product_is_stationary():
+    """The machine's equilibrium: the iid per-symbol Boltzmann product
+    at beta_eff = 2 beta is stationary under the dual closure (the
+    potential is cell-additive, so despite the correlated dynamics the
+    detailed-balance measure is a product). Recomputed from scratch —
+    the sharpest closure-level consequence of the channel LDB."""
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+
+    syms = ("A", "B", "C", "D", "I", "O", "P", "X", "S", "E")
+    g = np.array([_EX4V2_G[s] for s in syms])
+    w = np.exp(-2.0 * _EX4V2_BETA * g)
+    p1 = w / w.sum()
+    cl_k = 3
+    spd = p1.copy()
+    for _ in range(cl_k - 1):
+        spd = np.multiply.outer(spd, p1)
+    dual = dense.compile_dense_dual("ex4var2-chemical-turing", cl_k)
+    fn = dense.make_dense_dy_dt(dual, jit=False)
+    dy = np.asarray(fn(np.concatenate([spd.ravel(), spd.ravel()])))
+    assert np.abs(dy).max() < 1e-8
+    # ...and visibly NOT stationary at uniform (scale reference).
+    u = np.full(spd.size, 1.0 / spd.size)
+    assert np.abs(np.asarray(fn(np.concatenate([u, u])))).max() > 1e-5
+
+
+def test_ex4var2_ledger_artifacts_claims():
+    """Committed ex4var2_ledger.npz must support the RESULTS claims:
+    exact bookkeeping, per-spec sigma constancy, monotone free energy
+    onto the Boltzmann product, and the 12-nat instruction channels."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "ex4var2_ledger.npz")
+    if not os.path.exists(path):
+        pytest.skip("run examples/ex4var2_ledger.py first")
+    d = np.load(path)
+    assert float(d["book_err"]) < 1e-8
+    assert float(d["decomp_err"]) < 1e-8
+    assert float(d["gibbs_res"]) < 1e-8
+    F = np.asarray(d["F_dual"])
+    assert (np.diff(F) <= 1e-9).all()
+    assert F[-1] >= float(d["F_gibbs"]) - 1e-9
+    sigma_spec, fired = np.asarray(d["sigma_spec"]), np.asarray(
+        d["fired"])
+    counts = np.asarray(d["counts_total"])
+    adv = np.asarray(d["advance"]) & fired
+    # Every fuel stroke dissipates exactly -2 beta dG of ITS stroke:
+    # the A->B / B->C / C->D advances burn 12, 12, 7 nats.
+    assert adv.any() and counts[adv].sum() > 0
+    assert all(min(abs(s - 12.0), abs(s - 7.0)) < 1e-9
+               for s in sigma_spec[adv])
+    # Heat and entropy both grow along the dual quench; heat dominates
+    # (the fuel stroke is strongly downhill).
+    heat, dS = np.asarray(d["heat_dual"]), np.asarray(d["dS_dual"])
+    assert heat[-1] > 0 and heat[-1] > dS[-1]
+
+
 def test_relative_entropy_rate_is_exact_dD_dt(ex2_master_L8):
     Q = ex2_master_L8
     gibbs = master.ring_gibbs_states(8, J_eff=2 * J, h=H, beta=BETA)
