@@ -890,6 +890,65 @@ def _apply_plane_round_fsm(dm: DeviceMachine, p_planes, d_planes, shift,
     return p_planes, d_planes
 
 
+def _apply_plane_round_fsm_stacked(dm: DeviceMachine, p_st, d_st, shift,
+                                   uniforms, *, tau: float = 1.0,
+                                   want_logp: bool = False,
+                                   site_axis: int = 1):
+    """One stratified round on STACKED plane tapes ([stride, ...]).
+
+    Same math as :func:`_apply_plane_round_fsm` — bit-identical at equal
+    (shift, uniforms) (`tests/test_ensemble.py::
+    test_stacked_plane_round_matches_tuple`) — but different data
+    movement: the dynamic phase selects each window cell's plane with
+    `dynamic_index_in_dim`/`dynamic_update_index_in_dim`, so only the
+    n_cells touched planes move per round. The tuple formulation's
+    16-way `lax.switch` copies the WHOLE plane set through both switch
+    boundaries when the shift is dynamic: measured 1.73 ms vs 0.67 ms
+    per round at the bench geometry (probes/round_decompose.py), which
+    was ~60% of the ensemble round spent on copies.
+
+    ``site_axis`` indexes the lattice-site axis OF ONE PLANE (ensemble
+    planes are [B, E] -> 1; transposed frontier planes [E, K] -> 0).
+    """
+    stride = p_st.shape[0]
+    tapes_meta = ((p_st, dm.p_lo, dm.n_p), (d_st, dm.d_lo, dm.n_d))
+    cells, locs = [], []
+    for st, lo, n in tapes_meta:
+        for j in range(n):
+            off = lo + j
+            a = shift + off
+            c = jnp.mod(a, stride)
+            x = jax.lax.dynamic_index_in_dim(st, c, 0, keepdims=False)
+            if off == 0:
+                e = None  # shift in [0, stride) => never spills
+            else:
+                e = jnp.floor_divide(a, stride)  # in {-1, 0, 1}
+                x = jnp.roll(x, -e, axis=site_axis)
+            cells.append(x)
+            locs.append((c, e))
+    cells = tuple(cells)
+    if want_logp:
+        spec, logp = _machine_specs_planes(dm, cells, uniforms, tau=tau,
+                                           want_logp=True)
+    else:
+        spec = _machine_specs_planes(dm, cells, uniforms, tau=tau)
+    new = _machine_writes_planes(dm, spec, list(cells))
+    outs = [p_st, d_st]
+    k = 0
+    for t, (st, lo, n) in enumerate(tapes_meta):
+        for j in range(n):
+            c, e = locs[k]
+            v = new[k]
+            if e is not None:
+                v = jnp.roll(v, e, axis=site_axis)
+            outs[t] = jax.lax.dynamic_update_index_in_dim(
+                outs[t], v.astype(outs[t].dtype), c, 0)
+            k += 1
+    if want_logp:
+        return outs[0], outs[1], logp.sum(axis=site_axis)
+    return outs[0], outs[1]
+
+
 def _roll_rows(tape, shifts):
     """Per-member circular roll: out[b, i] = tape[b, (i+shifts[b]) % L]."""
     B, L = tape.shape
@@ -985,15 +1044,17 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
             k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
             uniforms = jax.random.uniform(k2, (B, events), dtype=u_dtype)
-            pp, dd = _apply_plane_round_fsm(dtable, pp, dd, shift,
-                                            uniforms)
+            pp, dd = _apply_plane_round_fsm_stacked(dtable, pp, dd, shift,
+                                                    uniforms)
             return (pp, dd), None
 
-        carry = (_tape_to_planes(ptape.astype(jnp.int8), stride),
-                 _tape_to_planes(dtape.astype(jnp.int8), stride))
+        carry = (jnp.stack(_tape_to_planes(ptape.astype(jnp.int8),
+                                           stride)),
+                 jnp.stack(_tape_to_planes(dtape.astype(jnp.int8),
+                                           stride)))
         (pp, dd), _ = jax.lax.scan(step, carry, keys)
-        ptape = _planes_to_tape(pp).astype(jnp.int32)
-        dtape = _planes_to_tape(dd).astype(jnp.int32)
+        ptape = _planes_to_tape(tuple(pp)).astype(jnp.int32)
+        dtape = _planes_to_tape(tuple(dd)).astype(jnp.int32)
     else:
         round_fn = _apply_lattice_round_fsm if is_machine \
             else _apply_lattice_round
@@ -1456,14 +1517,15 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
         k1, k2 = jax.random.split(k)
         shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
         uniforms = jax.random.uniform(k2, (E, K), dtype=jnp.float32)
-        pp, dd, dlp = _apply_plane_round_fsm(
+        pp, dd, dlp = _apply_plane_round_fsm_stacked(
             dm, pp, dd, shift, uniforms, tau=tau, want_logp=True,
             site_axis=0)
         return (pp, dd, lw + dlp.astype(lw.dtype)), None
 
     (pp, dd, lw), _ = jax.lax.scan(
-        round_step, (pp, dd, lw), jax.random.split(key, rounds))
-    return pp, dd, lw
+        round_step, (jnp.stack(pp), jnp.stack(dd), lw),
+        jax.random.split(key, rounds))
+    return tuple(pp), tuple(dd), lw
 
 
 @jax.jit

@@ -202,6 +202,48 @@ def test_plane_round_matches_roll_round(tag, shift):
         np.asarray(ensemble._planes_to_tape(gd)), np.asarray(want[1]))
 
 
+@pytest.mark.parametrize("tag", [
+    "ex5-msrtf-machine",
+    "ex2-ferromagnetic-chain",
+    "ex4-chemical-turing",
+])
+def test_stacked_plane_round_matches_tuple(tag):
+    """The stacked-plane round (dynamic_index plane selection — the hot
+    formulation since the switch-copy finding, probes/round_decompose.py)
+    must be bit-identical to the tuple/switch round at every phase, for
+    both the plain and the want_logp (frontier) variants."""
+    dm = ensemble.compile_decision_machine(tag)
+    rng = np.random.RandomState(11)
+    B, L, E = 4, 256, 16
+    stride = L // E
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int8)
+    dtp = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int8)
+    uniforms = jnp.asarray(rng.rand(B, E), jnp.float32)
+    pp = ensemble._tape_to_planes(pt, stride)
+    dd = ensemble._tape_to_planes(dtp, stride)
+    pst, dst = jnp.stack(pp), jnp.stack(dd)
+    for shift in range(stride):
+        s = jnp.asarray(shift, jnp.int32)
+        wp, wd = ensemble._apply_plane_round_fsm(dm, pp, dd, s, uniforms)
+        gp, gd = ensemble._apply_plane_round_fsm_stacked(
+            dm, pst, dst, s, uniforms)
+        np.testing.assert_array_equal(np.asarray(gp),
+                                      np.asarray(jnp.stack(wp)))
+        np.testing.assert_array_equal(np.asarray(gd),
+                                      np.asarray(jnp.stack(wd)))
+        # want_logp variant (the blocked frontier's path), tau < 1 so
+        # the increments are nonzero for branching rules.
+        wp, wd, wl = ensemble._apply_plane_round_fsm(
+            dm, pp, dd, s, uniforms, tau=0.5, want_logp=True)
+        gp, gd, gl = ensemble._apply_plane_round_fsm_stacked(
+            dm, pst, dst, s, uniforms, tau=0.5, want_logp=True)
+        np.testing.assert_array_equal(np.asarray(gp),
+                                      np.asarray(jnp.stack(wp)))
+        np.testing.assert_array_equal(np.asarray(gd),
+                                      np.asarray(jnp.stack(wd)))
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+
+
 def test_plane_storage_roundtrip():
     rng = np.random.RandomState(3)
     t = jnp.asarray(rng.randint(0, 5, (3, 64)), jnp.int8)
