@@ -1,0 +1,347 @@
+"""Bit-sliced rounds: 32 tape sites per int32 lane for choose-free rules.
+
+The ensemble's FSM walk is VPU-op-bound (probes/round_decompose.py:
+~0.06 ms per DAG level on a [16384, 256] site plane, far from the HBM
+roofline). For a CHOOSE-FREE rule the per-site round is a pure boolean
+function of the window's cell bits — no uniforms, no sampling — so it
+can be evaluated as a bit-sliced boolean circuit: pack 32 sites' k-th
+symbol bit into one int32 word and evaluate the circuit once per word,
+amortising every VPU op over 32 sites.
+
+Host side, the decision DAG (`ensemble._level_plan`) is replayed over
+every window content to produce the exact truth table
+window bits -> new window bits (write decode folded in), which is then
+synthesised into a hash-consed mux-tree boolean DAG (a BDD in circuit
+form, split in rule read order so the FSM's prefix sharing collapses
+the tree). Device side the circuit runs on `[n_bits, B//32, E]` uint32
+bit planes per stride phase — the same stacked-plane geometry as
+`ensemble._apply_plane_round_fsm_stacked`, with the site axis last so
+spill rolls stay whole-array rolls.
+
+Bit-exactness: a choose-free machine consumes no uniforms, so the
+bit-sliced ensemble path reproduces the plane-FSM path's tapes BIT FOR
+BIT at the same PRNG key (`tests/test_ensemble.py::
+test_bitsliced_ensemble_matches_fsm`). Rules with `choose` nodes keep
+the FSM walk (they need the renormalised uniform cascade).
+
+Reference parity: this accelerates the same object as the reference's
+per-site rule firing (`tape_multiverse.scm:348-360` time semantics);
+the formulation (bit-slicing over VPU lanes) is TPU-native.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..utils import config
+
+config.initialize()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# Circuit IR: hash-consed boolean DAG over input bit variables.
+# --------------------------------------------------------------------------
+
+_CONST0 = ("const", 0, 0)
+_CONST1 = ("const", 1, 0)
+
+
+class _Builder:
+    """Hash-consing gate builder with constant folding."""
+
+    def __init__(self, n_in: int):
+        self.ops: list[tuple] = []
+        self._cache: dict[tuple, int] = {}
+        self.c0 = self._emit(_CONST0)
+        self.c1 = self._emit(_CONST1)
+        self.inputs = [self._emit(("in", i, 0)) for i in range(n_in)]
+
+    def _emit(self, op: tuple) -> int:
+        got = self._cache.get(op)
+        if got is not None:
+            return got
+        self.ops.append(op)
+        idx = len(self.ops) - 1
+        self._cache[op] = idx
+        return idx
+
+    def gate(self, kind: str, a: int, b: int = 0) -> int:
+        if kind == "not":
+            if a == self.c0:
+                return self.c1
+            if a == self.c1:
+                return self.c0
+            if self.ops[a][0] == "not":
+                return self.ops[a][1]
+            return self._emit(("not", a, 0))
+        if a > b:
+            a, b = b, a
+        if a == b:
+            return a if kind != "xor" else self.c0
+        if kind == "and":
+            if a == self.c0:
+                return self.c0
+            if a == self.c1:
+                return b
+        elif kind == "or":
+            if a == self.c0:
+                return b
+            if a == self.c1:
+                return self.c1
+        elif kind == "xor":
+            if a == self.c0:
+                return b
+            if a == self.c1:
+                return self.gate("not", b)
+        return self._emit((kind, a, b))
+
+    def mux(self, s: int, hi: int, lo: int) -> int:
+        """s ? hi : lo  (3 gates worst case)."""
+        if hi == lo:
+            return hi
+        if s == self.c1:
+            return hi
+        if s == self.c0:
+            return lo
+        if hi == self.c1 and lo == self.c0:
+            return s
+        if hi == self.c0 and lo == self.c1:
+            return self.gate("not", s)
+        return self.gate("xor", lo, self.gate("and", s,
+                                              self.gate("xor", hi, lo)))
+
+
+def _synth_bit(builder: _Builder, table: np.ndarray, memo: dict) -> int:
+    """Synthesises one output bit's truth table into the circuit.
+
+    ``table`` has length 2^k; its index LSB is the NEXT variable to
+    split on (variable n_in - k), so recursion order = variable 0
+    first — variable 0 is the first-read cell's low bit, which mirrors
+    the decision DAG's prefix sharing and keeps the BDD small. A
+    length-2^k subtable always covers the same trailing variable set,
+    so memoising on raw bytes is sound.
+    """
+    key = table.tobytes()
+    got = memo.get(key)
+    if got is not None:
+        return got
+    if table.all():
+        r = builder.c1
+    elif not table.any():
+        r = builder.c0
+    else:
+        n_in = len(builder.inputs)
+        var = n_in - int(np.log2(len(table)))
+        lo = _synth_bit(builder, np.ascontiguousarray(table[::2]), memo)
+        hi = _synth_bit(builder, np.ascontiguousarray(table[1::2]), memo)
+        r = builder.mux(builder.inputs[var], hi, lo)
+    memo[key] = r
+    return r
+
+
+# --------------------------------------------------------------------------
+# Truth table of one round event from the compiled machine.
+# --------------------------------------------------------------------------
+
+_MAX_IN_BITS = 22  # 4M-row truth table (~seconds host-side, cached);
+#                    beyond this fall back to the FSM walk
+
+
+def machine_is_bitsliceable(dm) -> bool:
+    """Choose-free and small enough to tabulate exhaustively."""
+    from . import ensemble as ens
+
+    if any(isinstance(n, ens._Choose) for n in dm.nodes):
+        return False
+    nb = max(1, (dm.size_a - 1).bit_length())
+    return dm.n_cells * nb <= _MAX_IN_BITS
+
+
+def _event_truth_tables(dm):
+    """[n_cells * nb] boolean tables: new window bits over window bits.
+
+    Replays the leveled FSM + write decode (the exact device math of
+    `ensemble._machine_specs_planes_leveled` / `_machine_writes_planes`)
+    over every input bit pattern. Patterns whose cell bits decode above
+    size_a - 1 are clamped — they never occur on real tapes, and the
+    clamp maximises subtable sharing.
+    """
+    from . import ensemble as ens
+
+    nb = max(1, (dm.size_a - 1).bit_length())
+    n_in = dm.n_cells * nb
+    pats = np.arange(1 << n_in, dtype=np.int64)
+    cellv = [np.minimum((pats >> (c * nb)) & ((1 << nb) - 1),
+                        dm.size_a - 1)
+             for c in range(dm.n_cells)]
+
+    S = dm.num_specs
+    state = np.full(pats.shape, S, np.int64)
+    for lv in ens._level_plan(dm):
+        assert not lv.chooses
+        b = cellv[lv.cell_groups[0][0]]
+        for cell, lo in lv.cell_groups[1:]:
+            b = np.where(state >= S + lo, cellv[cell], b)
+        idx = np.maximum(state - S, 0) * lv.max_deg + b
+        fields = 31 // lv.bits
+        words = np.asarray(lv.trans_words, np.int64)
+        nxt = (words[idx // fields] >> (lv.bits * (idx % fields))) \
+            & ((1 << lv.bits) - 1)
+        state = np.where(state >= S, nxt, state)
+    spec = state
+
+    tables = []
+    for c in range(dm.n_cells):
+        w = np.asarray(dm.wr_words[c], np.int64)
+        f = (w[spec // 6] >> (5 * (spec % 6))) & 31
+        new_c = np.where((f >> 4) == 1, f & 15, cellv[c])
+        for k in range(nb):
+            tables.append(((new_c >> k) & 1).astype(bool))
+    return tables, n_in, nb
+
+
+@functools.lru_cache(maxsize=None)
+def _compile_circuit(nodes, root, num_specs, size_a, bits, wr_words,
+                     n_p, n_d, p_lo, d_lo, span, tag):
+    """(ops, outputs, nb): the round circuit for a hashable machine key."""
+    from . import ensemble as ens
+
+    dm = ens.DeviceMachine(
+        tag=tag, size_a=size_a, p_lo=p_lo, d_lo=d_lo, n_p=n_p, n_d=n_d,
+        span=span, p_offs=jnp.arange(1), d_offs=jnp.arange(1),
+        nodes=nodes, root=root, n_states=0, bits=bits,
+        wr_words=wr_words, num_specs=num_specs)
+    tables, n_in, nb = _event_truth_tables(dm)
+    builder = _Builder(n_in)
+    memo: dict = {}
+    outputs = tuple(_synth_bit(builder, t, memo) for t in tables)
+    if config.IS_DEBUG:
+        n_gates = sum(op[0] in ("and", "or", "xor", "not")
+                      for op in builder.ops)
+        print(f"[bitslice] {tag}: {n_in} in-bits -> "
+              f"{len(outputs)} out-bits, {n_gates} gates")
+    return tuple(builder.ops), outputs, nb
+
+
+def compile_round_circuit(dm):
+    return _compile_circuit(dm.nodes, dm.root, dm.num_specs, dm.size_a,
+                            dm.bits, dm.wr_words, dm.n_p, dm.n_d,
+                            dm.p_lo, dm.d_lo, dm.span, dm.tag)
+
+
+# --------------------------------------------------------------------------
+# Device: bit-plane packing + the bit-sliced round.
+# --------------------------------------------------------------------------
+
+_ALL_ONES = 0xFFFFFFFF
+
+
+def _eval_circuit(ops, outputs, in_words, shape):
+    """Evaluates the DAG on uint32 words; returns one word per output."""
+    vals: list = []
+    for kind, a, b in ops:
+        if kind == "const":
+            vals.append(_ALL_ONES if a else 0)  # python ints broadcast
+        elif kind == "in":
+            vals.append(in_words[a])
+        elif kind == "not":
+            vals.append(~vals[a] if not isinstance(vals[a], int)
+                        else vals[a] ^ _ALL_ONES)
+        elif kind == "and":
+            vals.append(vals[a] & vals[b])
+        elif kind == "or":
+            vals.append(vals[a] | vals[b])
+        else:
+            vals.append(vals[a] ^ vals[b])
+    outs = []
+    for o in outputs:
+        v = vals[o]
+        if isinstance(v, int):
+            v = jnp.full(shape, v, jnp.uint32)
+        outs.append(v)
+    return outs
+
+
+def tapes_to_bitplanes(tape, stride, nb):
+    """[B, L] int tape -> [stride, nb, B//32, E] uint32 bit planes.
+
+    Plane c holds columns c::stride (the stacked-plane layout); bit k
+    of word [c, k, w, e] packs sites (32w..32w+31, plane c, column e),
+    member-major so site-axis rolls stay whole-array rolls.
+    """
+    from . import ensemble as ens
+
+    B, L = tape.shape
+    if B % 32:
+        raise ValueError(f"bit-sliced path needs B % 32 == 0, got {B}")
+    st = jnp.stack(ens._tape_to_planes(tape.astype(jnp.int32), stride))
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    out = []
+    for k in range(nb):
+        bits = ((st >> k) & 1).astype(jnp.uint32)
+        w = (bits.reshape(stride, B // 32, 32, L // stride)
+             << lanes).sum(axis=2, dtype=jnp.uint32)
+        out.append(w)
+    return jnp.stack(out, axis=1)
+
+
+def bitplanes_to_tapes(bp):
+    """Inverse of :func:`tapes_to_bitplanes` -> [B, L] int32."""
+    from . import ensemble as ens
+
+    stride, nb, Bw, E = bp.shape
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    sym = jnp.zeros((stride, Bw, 32, E), jnp.int32)
+    for k in range(nb):
+        bits = ((bp[:, k][:, :, None, :] >> lanes) & 1).astype(jnp.int32)
+        sym = sym | (bits << k)
+    planes = tuple(sym.reshape(stride, Bw * 32, E))
+    return ens._planes_to_tape(planes)
+
+
+def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift):
+    """One stratified round on bit-plane tapes (choose-free machines).
+
+    Same window-cell selection as the stacked plane round
+    (`ensemble._apply_plane_round_fsm_stacked`): plane index
+    mod/floordiv arithmetic on the dynamic shift, spill planes rolled
+    ±1 along the site axis (last dim).
+    """
+    ops, outputs, nb = circ
+    stride = p_bp.shape[0]
+    tapes_meta = ((p_bp, dm.p_lo, dm.n_p), (d_bp, dm.d_lo, dm.n_d))
+    in_words: list = []
+    locs: list = []
+    for bp, lo, n in tapes_meta:
+        for j in range(n):
+            off = lo + j
+            a = shift + off
+            c = jnp.mod(a, stride)
+            x = jax.lax.dynamic_index_in_dim(bp, c, 0, keepdims=False)
+            if off == 0:
+                e = None
+            else:
+                e = jnp.floor_divide(a, stride)
+                x = jnp.roll(x, -e, axis=-1)
+            for k in range(nb):
+                in_words.append(x[k])
+            locs.append((c, e))
+    shape = in_words[0].shape
+    new_bits = _eval_circuit(ops, outputs, in_words, shape)
+    outs = [p_bp, d_bp]
+    k = 0
+    for t, (bp, lo, n) in enumerate(tapes_meta):
+        for j in range(n):
+            c, e = locs[k]
+            v = jnp.stack(new_bits[k * nb:(k + 1) * nb])
+            if e is not None:
+                v = jnp.roll(v, e, axis=-1)
+            outs[t] = jax.lax.dynamic_update_index_in_dim(
+                outs[t], v, c, 0)
+            k += 1
+    return outs[0], outs[1]

@@ -26,6 +26,7 @@ once per site per unit time, `tape_multiverse.scm` docstring at
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 
@@ -502,8 +503,21 @@ def _machine_specs_planes(dm: DeviceMachine, cells, uniforms, *,
     log p(path) − log q(path) of the sampled decision path (a float32
     plane; identically zero at tau=1). Both knobs serve the weighted
     frontier (`run_weighted_frontier_blocked`); the ensemble hot path
-    uses the defaults, where this function is unchanged.
+    uses the defaults.
+
+    Dispatches to the level-synchronous walk (one packed transition
+    table per tree depth — fewer VPU ops than the per-node masked
+    cascade; bit-identical, `tests/test_ensemble.py::
+    test_leveled_walk_matches_node_walk`); the per-node formulation
+    below survives as the cross-check implementation.
     """
+    return _machine_specs_planes_leveled(dm, cells, uniforms, tau=tau,
+                                         want_logp=want_logp)
+
+
+def _machine_specs_planes_nodes(dm: DeviceMachine, cells, uniforms, *,
+                                tau: float = 1.0, want_logp: bool = False):
+    """Per-node masked-cascade FSM walk (reference formulation)."""
     bits = dm.bits
     fields = 31 // bits
     sdt = jnp.int8 if dm.n_states <= 127 else jnp.int16
@@ -539,6 +553,155 @@ def _machine_specs_planes(dm: DeviceMachine, cells, uniforms, *,
         nspec = _unpack_field(node.spec_words, widx, shift_amt, bits)
         state = jnp.where(mask, child.astype(sdt), state)
         spec = jnp.where(mask, nspec.astype(jnp.int8), spec)
+    return (spec, logp) if want_logp else spec
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    """One depth of the leveled FSM (host-side static plan).
+
+    Live states at this level carry value ``num_specs + local_id``;
+    values below ``num_specs`` are terminal and ARE the write spec.
+    """
+
+    cell_groups: tuple  # ((cell, lo), ...) ascending contiguous local-id
+    #                     ranges of reveal nodes reading `cell`
+    chooses: tuple      # ((local_id, probs), ...)
+    max_deg: int
+    bits: int           # field width of trans_words entries
+    trans_words: tuple  # packed: idx = local_id * max_deg + branch
+
+
+def _level_plan(dm: DeviceMachine):
+    return _build_level_plan(dm.nodes, dm.root, dm.num_specs, dm.size_a,
+                             dm.bits)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_level_plan(nodes, root, num_specs, size_a, bits):
+    """Levels the decision DAG for the level-synchronous walk.
+
+    BFS from the root with STRICT leveling: a hash-consed node reachable
+    at several depths is duplicated per depth (each occurrence gets its
+    own local id), so after ℓ steps every site's state lives in level
+    ℓ's table or is terminal. Within a level, reveal nodes are grouped
+    contiguously by read cell (branch selection = a couple of range
+    compares instead of a per-node mask) and choose nodes go last.
+    """
+    by_id = {n.node_id: n for n in nodes}
+    fields = 31 // bits
+
+    def branches(n):
+        deg = len(n.probs) if isinstance(n, _Choose) else size_a
+        out = []
+        for b in range(deg):
+            child = (int(n.child_words[b // fields])
+                     >> (bits * (b % fields))) & ((1 << bits) - 1)
+            spec = (int(n.spec_words[b // fields])
+                    >> (bits * (b % fields))) & ((1 << bits) - 1)
+            out.append((child, spec))
+        return out
+
+    levels = [[root]]
+    while True:
+        nxt: list = []
+        seen: set = set()
+        for nid in levels[-1]:
+            for child, _ in branches(by_id[nid]):
+                if child and child not in seen:
+                    seen.add(child)
+                    nxt.append(child)
+        if not nxt:
+            break
+        # Reveals grouped by cell (ascending), chooses last; ties broken
+        # by node id for determinism.
+        nxt.sort(key=lambda i: (
+            (0, by_id[i].cell) if isinstance(by_id[i], _Reveal)
+            else (1, 0), i))
+        levels.append(nxt)
+
+    plan = []
+    for d, lvl in enumerate(levels):
+        loc_next = ({nid: j for j, nid in enumerate(levels[d + 1])}
+                    if d + 1 < len(levels) else {})
+        max_deg = max(len(by_id[i].probs) if isinstance(by_id[i], _Choose)
+                      else size_a for i in lvl)
+        vals = []
+        cell_groups: list = []
+        chooses: list = []
+        for j, nid in enumerate(lvl):
+            n = by_id[nid]
+            if isinstance(n, _Reveal):
+                if not cell_groups or cell_groups[-1][0] != n.cell:
+                    cell_groups.append((n.cell, j))
+            else:
+                chooses.append((j, n.probs))
+            row = [spec if child == 0 else num_specs + loc_next[child]
+                   for child, spec in branches(n)]
+            vals.extend(row + [0] * (max_deg - len(row)))
+        lbits = max(1, (num_specs + len(loc_next) - 1).bit_length())
+        plan.append(_Level(
+            cell_groups=tuple(cell_groups),
+            chooses=tuple(chooses),
+            max_deg=max_deg,
+            bits=lbits,
+            trans_words=_pack_fields(vals, lbits),
+        ))
+    return tuple(plan)
+
+
+def _machine_specs_planes_leveled(dm: DeviceMachine, cells, uniforms, *,
+                                  tau: float = 1.0,
+                                  want_logp: bool = False):
+    """Level-synchronous FSM walk: one packed transition table per tree
+    depth, terminal states encode the write spec directly.
+
+    Bit-identical to `_machine_specs_planes_nodes` (same branch values,
+    same uniform renormalisation ops in the same per-site order; the
+    only difference is how the static transition data is packed).
+    Reveal-heavy machines save most of the per-node mask/select work:
+    a level costs ~1 table unpack regardless of how many nodes share
+    the depth.
+    """
+    S = dm.num_specs
+    shape = cells[0].shape
+    state = jnp.full(shape, S, jnp.int32)  # root is local id 0
+    u = uniforms
+    logp = jnp.zeros(shape, jnp.float32) if want_logp else None
+    for lv in _level_plan(dm):
+        if lv.cell_groups:
+            b = cells[lv.cell_groups[0][0]].astype(jnp.int32)
+            for cell, lo in lv.cell_groups[1:]:
+                b = jnp.where(state >= S + lo,
+                              cells[cell].astype(jnp.int32), b)
+        else:
+            b = jnp.zeros(shape, jnp.int32)
+        for local_id, probs in lv.chooses:
+            mask = state == S + local_id
+            q, delta = _choose_sampling_dist(probs, tau)
+            cum = np.cumsum(q)
+            bb = jnp.zeros(shape, jnp.int32)
+            lo_ = jnp.zeros_like(u)
+            width = jnp.full_like(u, max(q[0], 1e-30))
+            dsel = (jnp.full(shape, np.float32(delta[0]), jnp.float32)
+                    if want_logp else None)
+            for j in range(1, len(q)):
+                sel = u >= cum[j - 1]
+                bb = jnp.where(sel, jnp.int32(j), bb)
+                lo_ = jnp.where(sel, cum[j - 1], lo_)
+                width = jnp.where(sel, max(q[j], 1e-30), width)
+                if want_logp:
+                    dsel = jnp.where(sel, np.float32(delta[j]), dsel)
+            b = jnp.where(mask, bb, b)
+            u = jnp.where(mask, (u - lo_) / width, u)
+            if want_logp:
+                logp = jnp.where(mask, logp + dsel, logp)
+        idx = jnp.maximum(state - S, 0) * lv.max_deg + b
+        fields = 31 // lv.bits
+        nxt = _unpack_field(lv.trans_words, idx // fields,
+                            lv.bits * (idx % fields), lv.bits)
+        state = jnp.where(state >= S, nxt, state)
+    spec = state.astype(jnp.int8)
     return (spec, logp) if want_logp else spec
 
 
@@ -976,9 +1139,11 @@ def _check_round_geometry(L: int, events: int, span: int) -> None:
             "lower events_per_step")
 
 
-@partial(jax.jit, static_argnums=(3,), static_argnames=("independent_sites",))
+@partial(jax.jit, static_argnums=(3,),
+         static_argnames=("independent_sites", "bitslice"))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
-                 *, independent_sites: bool = False):
+                 *, independent_sites: bool = False,
+                 bitslice: bool | None = None):
     """Advances a batch of tape pairs with stratified lattice rounds.
 
     Each round fires the rule at E sites per replica arranged as a
@@ -1004,6 +1169,12 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
         events_per_step must divide L; at E>1 additionally
         L/E > 2·window span (at E=1 one site fires per round, so only
         span ≤ L is required — wide rules on master-sized rings).
+
+    ``bitslice`` selects the bit-sliced boolean-circuit round for
+    choose-free machines (32 sites per int32 lane, `engine/bitslice.py`)
+    — bit-identical tapes to the FSM round at the same key. ``None``
+    (default) auto-enables it when eligible; ``False`` forces the FSM
+    round; ``True`` raises if the machine or geometry is ineligible.
 
     ``independent_sites=True`` draws the lattice phase PER MEMBER
     (one delta-composed take_along_axis roll per tape per round)
@@ -1035,7 +1206,45 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
                   and not independent_sites)
     keys = jax.random.split(key, num_steps)
 
-    if use_planes:
+    from . import bitslice as bs
+
+    # Auto-enable additionally wants events >= 128: the circuit words
+    # are [B//32, E] with E on the 128-lane axis, so tiny-E geometries
+    # (e.g. BASELINE config 5's L=32, E=2) would waste the lanes.
+    eligible = (use_planes and B % 32 == 0
+                and bs.machine_is_bitsliceable(dtable))
+    use_bitslice = (eligible if bitslice
+                    else (bitslice is not False and eligible
+                          and events >= 128))
+    if bitslice and not use_bitslice:
+        raise ValueError(
+            "bitslice=True needs a plane-eligible choose-free machine "
+            f"and B % 32 == 0 (got B={B}, "
+            f"machine={getattr(dtable, 'tag', dtable)!r})")
+
+    if use_bitslice:
+        # Hottest path: choose-free rules as a bit-sliced boolean
+        # circuit, 32 sites per int32 lane. The k2 subkey is split but
+        # unused, matching the FSM path where the uniforms it would
+        # seed are dead code — so the shift stream, and therefore the
+        # tapes, are bit-identical between the two paths.
+        circ = bs.compile_round_circuit(dtable)
+
+        def step(carry, k):
+            pbp, dbp = carry
+            k1, _ = jax.random.split(k)
+            shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
+            pbp, dbp = bs.apply_round_bitsliced(dtable, circ, pbp, dbp,
+                                                shift)
+            return (pbp, dbp), None
+
+        nb = circ[2]
+        carry = (bs.tapes_to_bitplanes(ptape, stride, nb),
+                 bs.tapes_to_bitplanes(dtape, stride, nb))
+        (pbp, dbp), _ = jax.lax.scan(step, carry, keys)
+        ptape = bs.bitplanes_to_tapes(pbp)
+        dtape = bs.bitplanes_to_tapes(dbp)
+    elif use_planes:
         # Hot path: plane-stored int8 tapes, roll-free rounds, phase
         # drawn over [0, stride) (site-set equivalent to a full-tape
         # shift; see the plane-round commentary above).

@@ -60,15 +60,29 @@ def main():
                                dm.num_specs, dtype=jnp.int8)
     shift = jnp.int32(3)
 
-    # 1. Full round.
+    # 1. Full round (tuple/switch formulation).
     def full(pp, dd, u):
         np_, nd = ensemble._apply_plane_round_fsm(dm, pp, dd, shift, u)
         return np_, nd, u + 1e-9
 
     t_full = timed(full, pp, dd, u)
     n_sites = B * E
-    print(f"full round: {t_full * 1e3:.3f} ms "
+    print(f"full round (tuple/switch): {t_full * 1e3:.3f} ms "
           f"({n_sites / t_full:.3e} sites/s)", flush=True)
+
+    # 1b. Full round, stacked formulation (the hot path), with a
+    # genuinely DYNAMIC shift (iteration-varying, so XLA cannot fold
+    # the plane selection like it folds a constant switch index).
+    pst, dst = jnp.stack(pp), jnp.stack(dd)
+
+    def full_stacked(pst, dst, u, sh):
+        np_, nd = ensemble._apply_plane_round_fsm_stacked(
+            dm, pst, dst, sh[0] % stride, u)
+        return np_, nd, u + 1e-9, sh + 1
+
+    t_st = timed(full_stacked, pst, dst, u, jnp.zeros((1,), jnp.int32))
+    print(f"full round (stacked, dynamic shift): {t_st * 1e3:.3f} ms "
+          f"({n_sites / t_st:.3e} sites/s)", flush=True)
 
     # 2. FSM walk alone (fixed cells, no plane plumbing).
     def walk(cells, u):

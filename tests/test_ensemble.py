@@ -244,6 +244,84 @@ def test_stacked_plane_round_matches_tuple(tag):
         np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
 
 
+@pytest.mark.parametrize("tag", [
+    "ex5-msrtf-machine",
+    "ex2-ferromagnetic-chain",
+    "ex4-chemical-turing",
+    "ex3-copolymerization",
+])
+@pytest.mark.parametrize("tau,want_logp", [(1.0, False), (0.5, True)])
+def test_leveled_walk_matches_node_walk(tag, tau, want_logp):
+    """The level-synchronous walk (the hot formulation) must be
+    bit-identical to the per-node masked cascade: same specs, same
+    importance log-weights, on random window cells and uniforms."""
+    dm = ensemble.compile_decision_machine(tag)
+    rng = np.random.RandomState(7)
+    shape = (64, 32)
+    cells = tuple(jnp.asarray(rng.randint(0, dm.size_a, shape), jnp.int8)
+                  for _ in range(dm.n_cells))
+    u = jnp.asarray(rng.rand(*shape), jnp.float32)
+    if want_logp:
+        spec_n, logp_n = ensemble._machine_specs_planes_nodes(
+            dm, cells, u, tau=tau, want_logp=True)
+        spec_l, logp_l = ensemble._machine_specs_planes_leveled(
+            dm, cells, u, tau=tau, want_logp=True)
+        np.testing.assert_array_equal(np.asarray(logp_l),
+                                      np.asarray(logp_n))
+    else:
+        spec_n = ensemble._machine_specs_planes_nodes(dm, cells, u,
+                                                      tau=tau)
+        spec_l = ensemble._machine_specs_planes_leveled(dm, cells, u,
+                                                        tau=tau)
+    np.testing.assert_array_equal(np.asarray(spec_l), np.asarray(spec_n))
+
+
+def test_bitslice_eligibility():
+    """Choose-free small-window machines bit-slice; choose-ful don't."""
+    from chemical_kinetics_and_program_execution_tpu.engine import bitslice
+    assert bitslice.machine_is_bitsliceable(
+        ensemble.compile_decision_machine("ex5-msrtf-machine"))
+    assert not bitslice.machine_is_bitsliceable(
+        ensemble.compile_decision_machine("ex4-chemical-turing"))
+    assert not bitslice.machine_is_bitsliceable(
+        ensemble.compile_decision_machine("ex2-ferromagnetic-chain"))
+
+
+def test_bitplane_roundtrip():
+    from chemical_kinetics_and_program_execution_tpu.engine import bitslice
+    rng = np.random.RandomState(5)
+    t = jnp.asarray(rng.randint(0, 5, (96, 256)), jnp.int32)
+    bp = bitslice.tapes_to_bitplanes(t, 16, 3)
+    np.testing.assert_array_equal(
+        np.asarray(bitslice.bitplanes_to_tapes(bp)), np.asarray(t))
+
+
+def test_bitsliced_ensemble_matches_fsm():
+    """The bit-sliced boolean-circuit round must reproduce the FSM
+    plane round's tapes BIT FOR BIT at the same key (choose-free rules
+    consume no uniforms, and the shift stream is shared)."""
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(13)
+    B, L = 64, 256
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    key = jax.random.PRNGKey(99)
+    (p1, d1), _ = ensemble.run_ensemble(key, (pt, dt), dm, (12, 16),
+                                        bitslice=False)
+    (p2, d2), _ = ensemble.run_ensemble(key, (pt, dt), dm, (12, 16),
+                                        bitslice=True)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+
+
+def test_bitslice_true_raises_on_chooseful_machine():
+    dm = ensemble.compile_decision_machine("ex4-chemical-turing")
+    pt = jnp.zeros((32, 256), jnp.int32)
+    with pytest.raises(ValueError, match="bitslice=True"):
+        ensemble.run_ensemble(jax.random.PRNGKey(0), (pt, pt), dm,
+                              (2, 16), bitslice=True)
+
+
 def test_plane_storage_roundtrip():
     rng = np.random.RandomState(3)
     t = jnp.asarray(rng.randint(0, 5, (3, 64)), jnp.int8)
