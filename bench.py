@@ -140,7 +140,11 @@ def bench_config5():
 
     dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
     B = int(os.environ.get("CKPE_BENCH_C5_B", "10000000"))
-    L, E, steps = 32, 2, 50
+    # 500 rounds per call: the one-time tape<->bit-plane conversion is
+    # ~15 ms per call at B=10^7, which dominated a 50-round call (both
+    # the FSM and bit-sliced paths measured an identical conversion-
+    # bound 1.24e9/s); 500 rounds measure the steady-state stepping.
+    L, E, steps = 32, 2, 500
     key = jax.random.PRNGKey(0)
     pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
     dtp = jnp.zeros((B, L), jnp.int32)

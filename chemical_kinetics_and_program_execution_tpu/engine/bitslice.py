@@ -267,50 +267,98 @@ def _eval_circuit(ops, outputs, in_words, shape):
     return outs
 
 
-def tapes_to_bitplanes(tape, stride, nb):
-    """[B, L] int tape -> [stride, nb, B//32, E] uint32 bit planes.
+def tapes_to_bitplanes(tape, stride, nb, *, transpose: bool = False):
+    """[B, L] int tape -> uint32 bit-plane words, 32 members per word.
 
-    Plane c holds columns c::stride (the stacked-plane layout); bit k
-    of word [c, k, w, e] packs sites (32w..32w+31, plane c, column e),
-    member-major so site-axis rolls stay whole-array rolls.
+    Straight layout (``transpose=False``): [stride, nb, B//32, E] —
+    the site (event) axis rides the 128 lanes; right for E >= 128.
+    Transposed layout: [stride, nb, E, B//32] — the packed member axis
+    rides the lanes; right for tiny-E geometries (BASELINE config 5's
+    L=32, E=2 would waste 126 of 128 lanes in the straight layout, the
+    same reason the weighted frontier stores its planes [E, K]).
+    Either way bit k of a word packs 32 consecutive members' k-th
+    symbol bit, so site-axis rolls stay whole-array rolls.
     """
     from . import ensemble as ens
 
     B, L = tape.shape
+    E = L // stride
     if B % 32:
         raise ValueError(f"bit-sliced path needs B % 32 == 0, got {B}")
-    st = jnp.stack(ens._tape_to_planes(tape.astype(jnp.int32), stride))
-    lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
-    out = []
-    for k in range(nb):
-        bits = ((st >> k) & 1).astype(jnp.uint32)
-        w = (bits.reshape(stride, B // 32, 32, L // stride)
-             << lanes).sum(axis=2, dtype=jnp.uint32)
-        out.append(w)
-    return jnp.stack(out, axis=1)
+    rows = []
+    # Per-plane/per-bit packing keeps the peak intermediate small (the
+    # one-shot all-plane int32 version OOMed at the 10^7-member
+    # config-5 geometry). The transposed branch works on tape.T so that
+    # every intermediate keeps the big member axis minor — tiny-E
+    # intermediates would be tile-padded ~64x, which made a straight-
+    # layout pack of the config-5 geometry slower than 450 rounds.
+    if transpose:
+        tT = tape.astype(jnp.int8).T  # [L, B]
+        lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        for c in range(stride):
+            p = tT[c::stride]  # [E, B]
+            bits = []
+            for k in range(nb):
+                b = ((p >> k) & 1).astype(jnp.uint32)
+                bits.append((b.reshape(E, B // 32, 32)
+                             << lanes).sum(-1, dtype=jnp.uint32))
+            rows.append(jnp.stack(bits))
+        return jnp.stack(rows)  # [stride, nb, E, B//32]
+    planes = ens._tape_to_planes(tape.astype(jnp.int8), stride)
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    for p in planes:
+        bits = []
+        for k in range(nb):
+            b = ((p >> k) & 1).astype(jnp.uint32)
+            bits.append((b.reshape(B // 32, 32, E)
+                         << lanes).sum(axis=1, dtype=jnp.uint32))
+        rows.append(jnp.stack(bits))
+    return jnp.stack(rows)  # [stride, nb, B//32, E]
 
 
-def bitplanes_to_tapes(bp):
+def bitplanes_to_tapes(bp, *, transpose: bool = False):
     """Inverse of :func:`tapes_to_bitplanes` -> [B, L] int32."""
     from . import ensemble as ens
 
-    stride, nb, Bw, E = bp.shape
-    lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
-    sym = jnp.zeros((stride, Bw, 32, E), jnp.int32)
-    for k in range(nb):
-        bits = ((bp[:, k][:, :, None, :] >> lanes) & 1).astype(jnp.int32)
-        sym = sym | (bits << k)
-    planes = tuple(sym.reshape(stride, Bw * 32, E))
-    return ens._planes_to_tape(planes)
+    stride, nb = bp.shape[:2]
+    if transpose:
+        E, Bw = bp.shape[2:]
+        lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        rows = []
+        for s in range(stride):
+            sym = None
+            for k in range(nb):
+                bits = ((bp[s, k][:, :, None] >> lanes) & 1) \
+                    .astype(jnp.int8)
+                b = (bits << k).reshape(E, Bw * 32)
+                sym = b if sym is None else sym | b
+            rows.append(sym)
+        # [stride, E, B] -> [E, stride, B] -> [L, B] (site = e*stride+s
+        # is plane s's column e, matching _tape_to_planes) -> [B, L].
+        tT = jnp.stack(rows).transpose(1, 0, 2).reshape(-1, Bw * 32)
+        return tT.T.astype(jnp.int32)
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    planes = []
+    for s in range(stride):
+        sym = None
+        for k in range(nb):
+            w = bp[s, k]
+            bits = ((w[:, None, :] >> lanes) & 1).astype(jnp.int8)
+            b = (bits << k).reshape(-1, w.shape[-1])
+            sym = b if sym is None else sym | b
+        planes.append(sym.astype(jnp.int32))
+    return ens._planes_to_tape(tuple(planes))
 
 
-def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift):
+def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
+                          site_axis: int = -1):
     """One stratified round on bit-plane tapes (choose-free machines).
 
     Same window-cell selection as the stacked plane round
     (`ensemble._apply_plane_round_fsm_stacked`): plane index
     mod/floordiv arithmetic on the dynamic shift, spill planes rolled
-    ±1 along the site axis (last dim).
+    ±1 along the site axis (-1 for the straight layout, -2 for the
+    transposed one).
     """
     ops, outputs, nb = circ
     stride = p_bp.shape[0]
@@ -327,7 +375,7 @@ def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift):
                 e = None
             else:
                 e = jnp.floor_divide(a, stride)
-                x = jnp.roll(x, -e, axis=-1)
+                x = jnp.roll(x, -e, axis=site_axis)
             for k in range(nb):
                 in_words.append(x[k])
             locs.append((c, e))
@@ -340,7 +388,7 @@ def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift):
             c, e = locs[k]
             v = jnp.stack(new_bits[k * nb:(k + 1) * nb])
             if e is not None:
-                v = jnp.roll(v, e, axis=-1)
+                v = jnp.roll(v, e, axis=site_axis)
             outs[t] = jax.lax.dynamic_update_index_in_dim(
                 outs[t], v, c, 0)
             k += 1

@@ -1208,14 +1208,9 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
 
     from . import bitslice as bs
 
-    # Auto-enable additionally wants events >= 128: the circuit words
-    # are [B//32, E] with E on the 128-lane axis, so tiny-E geometries
-    # (e.g. BASELINE config 5's L=32, E=2) would waste the lanes.
-    eligible = (use_planes and B % 32 == 0
-                and bs.machine_is_bitsliceable(dtable))
-    use_bitslice = (eligible if bitslice
-                    else (bitslice is not False and eligible
-                          and events >= 128))
+    use_bitslice = (use_planes and bitslice is not False
+                    and B % 32 == 0
+                    and bs.machine_is_bitsliceable(dtable))
     if bitslice and not use_bitslice:
         raise ValueError(
             "bitslice=True needs a plane-eligible choose-free machine "
@@ -1229,21 +1224,29 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
         # seed are dead code — so the shift stream, and therefore the
         # tapes, are bit-identical between the two paths.
         circ = bs.compile_round_circuit(dtable)
+        # Put the larger of (events, packed members) on the 128-lane
+        # axis — tiny-E geometries (config 5: L=32, E=2) transpose, the
+        # same reason the weighted frontier stores its planes [E, K].
+        transpose = events < B // 32
+        site_axis = -2 if transpose else -1
 
         def step(carry, k):
             pbp, dbp = carry
             k1, _ = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
             pbp, dbp = bs.apply_round_bitsliced(dtable, circ, pbp, dbp,
-                                                shift)
+                                                shift,
+                                                site_axis=site_axis)
             return (pbp, dbp), None
 
         nb = circ[2]
-        carry = (bs.tapes_to_bitplanes(ptape, stride, nb),
-                 bs.tapes_to_bitplanes(dtape, stride, nb))
+        carry = (bs.tapes_to_bitplanes(ptape, stride, nb,
+                                       transpose=transpose),
+                 bs.tapes_to_bitplanes(dtape, stride, nb,
+                                       transpose=transpose))
         (pbp, dbp), _ = jax.lax.scan(step, carry, keys)
-        ptape = bs.bitplanes_to_tapes(pbp)
-        dtape = bs.bitplanes_to_tapes(dbp)
+        ptape = bs.bitplanes_to_tapes(pbp, transpose=transpose)
+        dtape = bs.bitplanes_to_tapes(dbp, transpose=transpose)
     elif use_planes:
         # Hot path: plane-stored int8 tapes, roll-free rounds, phase
         # drawn over [0, stride) (site-set equivalent to a full-tape

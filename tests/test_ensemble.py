@@ -314,6 +314,24 @@ def test_bitsliced_ensemble_matches_fsm():
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
 
 
+def test_bitsliced_ensemble_matches_fsm_transposed_layout():
+    """Tiny-E geometry (config-5-like): the transposed word layout
+    (members on the lane axis) must also be bit-identical to the FSM
+    round."""
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(17)
+    B, L, E = 4096, 32, 2
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    (p1, d1), _ = ensemble.run_ensemble(key, (pt, dt), dm, (8, E),
+                                        bitslice=False)
+    (p2, d2), _ = ensemble.run_ensemble(key, (pt, dt), dm, (8, E),
+                                        bitslice=True)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+
+
 def test_bitslice_true_raises_on_chooseful_machine():
     dm = ensemble.compile_decision_machine("ex4-chemical-turing")
     pt = jnp.zeros((32, 256), jnp.int32)
