@@ -350,6 +350,35 @@ def bitplanes_to_tapes(bp, *, transpose: bool = False):
     return ens._planes_to_tape(tuple(planes))
 
 
+def stacked_planes_to_bitwords(st, nb):
+    """[stride, E, K] int8 stacked planes -> [stride, nb, E, K//32]
+    uint32 words (members packed 32/word on the minor axis — the
+    transposed frontier layout)."""
+    stride, E, K = st.shape
+    if K % 32:
+        raise ValueError(f"bit-sliced planes need K % 32 == 0, got {K}")
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    out = []
+    for k in range(nb):
+        b = ((st >> k) & 1).astype(jnp.uint32)
+        out.append((b.reshape(stride, E, K // 32, 32)
+                    << lanes).sum(-1, dtype=jnp.uint32))
+    return jnp.stack(out, axis=1)
+
+
+def bitwords_to_stacked_planes(bw):
+    """Inverse of :func:`stacked_planes_to_bitwords` -> [stride, E, K]
+    int8."""
+    stride, nb, E, Kw = bw.shape
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    sym = None
+    for k in range(nb):
+        bits = ((bw[:, k][..., None] >> lanes) & 1).astype(jnp.int8)
+        b = (bits << k).reshape(stride, E, Kw * 32)
+        sym = b if sym is None else sym | b
+    return sym
+
+
 def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
                           site_axis: int = -1):
     """One stratified round on bit-plane tapes (choose-free machines).

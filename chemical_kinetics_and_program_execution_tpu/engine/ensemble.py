@@ -1711,18 +1711,53 @@ def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
     return (ptape, dtape), logw
 
 
-@partial(jax.jit, static_argnames=("rounds", "tau"))
+@partial(jax.jit, static_argnames=("rounds", "tau", "bitslice"))
 def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
-                    rounds: int, tau: float):
+                    rounds: int, tau: float,
+                    bitslice: bool | None = None):
     """One block of stratified rounds on transposed planes [E, K].
 
     ``key`` is split INSIDE the jit: on the tunnelled backend every
     host-side op (even a PRNG split) is a separate ~100 ms remote
     dispatch, so the block loop must touch the device exactly twice per
     block (this call + the merge).
+
+    Choose-free machines auto-run the bit-sliced boolean-circuit round
+    (`engine/bitslice.py`, 32 members per uint32 word on the lane
+    axis): a choose-free rule samples nothing, so its importance
+    log-weight increments are identically zero at every tau and ``lw``
+    passes through untouched — bit-identical to the FSM path at the
+    same key (`tests/test_ensemble.py::
+    test_blocked_rounds_bitsliced_matches_fsm`).
     """
+    from . import bitslice as bs
+
     stride = len(pp)
     E, K = pp[0].shape
+    use_bs = (bitslice is not False and K % 32 == 0
+              and bs.machine_is_bitsliceable(dm))
+    if bitslice and not use_bs:
+        raise ValueError(
+            "bitslice=True needs a choose-free machine and K % 32 == 0")
+
+    if use_bs:
+        circ = bs.compile_round_circuit(dm)
+        pbw = bs.stacked_planes_to_bitwords(jnp.stack(pp), circ[2])
+        dbw = bs.stacked_planes_to_bitwords(jnp.stack(dd), circ[2])
+
+        def round_step(carry, k):
+            pbw, dbw = carry
+            k1, _ = jax.random.split(k)
+            shift = jax.random.randint(k1, (), 0, stride,
+                                       dtype=jnp.int32)
+            pbw, dbw = bs.apply_round_bitsliced(dm, circ, pbw, dbw,
+                                                shift, site_axis=-2)
+            return (pbw, dbw), None
+
+        (pbw, dbw), _ = jax.lax.scan(round_step, (pbw, dbw),
+                                     jax.random.split(key, rounds))
+        return (tuple(bs.bitwords_to_stacked_planes(pbw)),
+                tuple(bs.bitwords_to_stacked_planes(dbw)), lw)
 
     def round_step(carry, k):
         pp, dd, lw = carry

@@ -332,6 +332,31 @@ def test_bitsliced_ensemble_matches_fsm_transposed_layout():
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
 
 
+def test_blocked_rounds_bitsliced_matches_fsm():
+    """The blocked frontier's bit-sliced rounds (choose-free machines)
+    must reproduce the FSM rounds' planes bit for bit, with the
+    log-weights passing through untouched."""
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(23)
+    K, L, E = 256, 64, 4
+    stride = L // E
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (K, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (K, L)), jnp.int32)
+    pp = ensemble._to_planes_t(pt, stride=stride)
+    dd = ensemble._to_planes_t(dt, stride=stride)
+    lw = jnp.asarray(rng.randn(K))
+    key = jax.random.PRNGKey(7)
+    p1, d1, l1 = ensemble._blocked_rounds(key, pp, dd, lw, dm,
+                                          rounds=6, tau=1.0,
+                                          bitslice=False)
+    p2, d2, l2 = ensemble._blocked_rounds(key, pp, dd, lw, dm,
+                                          rounds=6, tau=1.0,
+                                          bitslice=True)
+    for a, b in zip(p1 + d1, p2 + d2):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
+
+
 def test_bitslice_true_raises_on_chooseful_machine():
     dm = ensemble.compile_decision_machine("ex4-chemical-turing")
     pt = jnp.zeros((32, 256), jnp.int32)
