@@ -144,6 +144,57 @@ def _synth_bit(builder: _Builder, table: np.ndarray, memo: dict) -> int:
     return r
 
 
+def _synth_over(builder: _Builder, table: np.ndarray, sel_nodes,
+                memo: dict) -> int:
+    """Synthesises a truth table over an explicit selector-node list.
+
+    ``table`` has length 2^len(sel_nodes); index bit d (LSB first) is
+    sel_nodes[d]. Unlike :func:`_synth_bit` the selectors may be ANY
+    circuit nodes (e.g. previously computed state bits), which is what
+    the layered sampling synthesis needs. ``memo`` must be scoped to
+    one (table-space, sel_nodes) family — key on (depth, bytes).
+    """
+    def rec(t, d):
+        key = (d, t.tobytes())
+        got = memo.get(key)
+        if got is not None:
+            return got
+        if t.all():
+            r = builder.c1
+        elif not t.any():
+            r = builder.c0
+        else:
+            lo = rec(np.ascontiguousarray(t[::2]), d + 1)
+            hi = rec(np.ascontiguousarray(t[1::2]), d + 1)
+            r = builder.mux(sel_nodes[d], hi, lo)
+        memo[key] = r
+        return r
+
+    return rec(table, 0)
+
+
+def _less_than_const(builder: _Builder, r_bits, threshold: int) -> int:
+    """Circuit for (r < threshold), r given LSB-first, ~2 gates/bit."""
+    nbits = len(r_bits)
+    if threshold <= 0:
+        return builder.c0
+    if threshold >= (1 << nbits):
+        return builder.c1
+    lt = builder.c0
+    eq = builder.c1
+    for i in reversed(range(nbits)):
+        t_i = (threshold >> i) & 1
+        if t_i:
+            lt = builder.gate("or", lt,
+                              builder.gate("and", eq,
+                                           builder.gate("not", r_bits[i])))
+            eq = builder.gate("and", eq, r_bits[i])
+        else:
+            eq = builder.gate("and", eq,
+                              builder.gate("not", r_bits[i]))
+    return lt
+
+
 # --------------------------------------------------------------------------
 # Truth table of one round event from the compiled machine.
 # --------------------------------------------------------------------------
@@ -225,13 +276,216 @@ def _compile_circuit(nodes, root, num_specs, size_a, bits, wr_words,
                       for op in builder.ops)
         print(f"[bitslice] {tag}: {n_in} in-bits -> "
               f"{len(outputs)} out-bits, {n_gates} gates")
-    return tuple(builder.ops), outputs, nb
+    return tuple(builder.ops), outputs, nb, 0
 
 
 def compile_round_circuit(dm):
     return _compile_circuit(dm.nodes, dm.root, dm.num_specs, dm.size_a,
                             dm.bits, dm.wr_words, dm.n_p, dm.n_d,
                             dm.p_lo, dm.d_lo, dm.span, dm.tag)
+
+
+# --------------------------------------------------------------------------
+# Sampling circuits: choose-ful machines at tau = 1.
+# --------------------------------------------------------------------------
+
+_RAND_BITS = 24  # branch-probability resolution 2^-24 ~ 6e-8, the same
+#                  order as the FSM path's float32 uniform cascade
+
+_MAX_SEL_BITS = 20  # per-level truth-table cap (2^20 rows host-side)
+
+
+def machine_is_sampleable(dm) -> bool:
+    """Can the layered sampling circuit handle this machine (tau=1)?
+
+    Needs every per-level selector space (state bits + distinct read
+    cells + choose-branch bits) to stay tabulable. No choose-free
+    requirement — that's the point.
+    """
+    from . import ensemble as ens
+
+    nb = max(1, (dm.size_a - 1).bit_length())
+    plan = ens._level_plan(dm)
+    S = dm.num_specs
+    sb = max(S - 1, *(S + lv.n_nodes - 1 for lv in plan)).bit_length()
+    for lv in plan:
+        n_sel = (sb + len(lv.cell_groups) * nb
+                 + sum(max(1, (len(p) - 1).bit_length())
+                       for _, p in lv.chooses))
+        if n_sel > _MAX_SEL_BITS:
+            return False
+    return sb + nb <= _MAX_SEL_BITS
+
+
+@functools.lru_cache(maxsize=None)
+def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
+                              wr_words, n_p, n_d, p_lo, d_lo, span, tag,
+                              rand_bits):
+    """Layered circuit for ONE event of a choose-ful machine at tau=1.
+
+    Inputs: window cell bits (n_cells*nb) followed by ``rand_bits``
+    fresh random bits PER CHOOSE LEVEL. Every choose node samples its
+    branch by comparing the level's random word against the integer
+    thresholds round(cumsum(p)·2^rand_bits) — exact to 2^-rand_bits,
+    one independent uniform per decision depth (the FSM path instead
+    renormalises one uniform through the cascade: same joint law,
+    different stream, so parity is STATISTICAL, not bitwise —
+    `tests/test_ensemble.py::test_sampling_circuit_branch_law`).
+
+    The FSM state is carried as sb-bit circuit values between levels;
+    each level is one truth table over (state bits, the level's
+    distinct read-cell bits, its choose-branch bits), synthesised with
+    the level's transition table; terminal values < num_specs pass
+    through and finally index the per-cell write tables.
+
+    Returns (ops, outputs, nb, n_rand_inputs).
+    """
+    from . import ensemble as ens
+
+    dm = ens.DeviceMachine(
+        tag=tag, size_a=size_a, p_lo=p_lo, d_lo=d_lo, n_p=n_p, n_d=n_d,
+        span=span, p_offs=jnp.arange(1), d_offs=jnp.arange(1),
+        nodes=nodes, root=root, n_states=0, bits=bits,
+        wr_words=wr_words, num_specs=num_specs)
+    plan = ens._level_plan(dm)
+    nb = max(1, (size_a - 1).bit_length())
+    n_cells = n_p + n_d
+    S = num_specs
+    sb = max(S - 1, *(S + lv.n_nodes - 1 for lv in plan)).bit_length()
+
+    n_choose_levels = sum(1 for lv in plan if lv.chooses)
+    n_rand = n_choose_levels * rand_bits
+    builder = _Builder(n_cells * nb + n_rand)
+    win = builder.inputs[:n_cells * nb]
+    rnd = builder.inputs[n_cells * nb:]
+
+    def const_bits(v, width):
+        return [builder.c1 if (v >> k) & 1 else builder.c0
+                for k in range(width)]
+
+    def unpack_vals(lv):
+        fields = 31 // lv.bits
+        words = np.asarray(lv.trans_words, np.int64)
+        i = np.arange(lv.n_nodes * lv.max_deg)
+        return (words[i // fields] >> (lv.bits * (i % fields))) \
+            & ((1 << lv.bits) - 1)
+
+    state_bits = const_bits(S, sb)  # root is local id 0
+    rand_used = 0
+    for lv in plan:
+        vals = unpack_vals(lv)
+        # Per-local-node read source: reveal locals [0, first-choose)
+        # take cells from the ascending groups; chooses carry their
+        # explicit local ids.
+        choose_locals = {j for j, _ in lv.chooses}
+        cell_of = {}
+        for g, (cell, lo) in enumerate(lv.cell_groups):
+            hi = (lv.cell_groups[g + 1][1] if g + 1 < len(lv.cell_groups)
+                  else lv.n_nodes)
+            for j in range(lo, hi):
+                if j not in choose_locals:
+                    cell_of[j] = cell
+
+        # Branch bits per choose node from this level's random word.
+        branch_nodes = []
+        branch_widths = []
+        if lv.chooses:
+            r_bits = rnd[rand_used * rand_bits:(rand_used + 1)
+                         * rand_bits]
+            rand_used += 1
+            for _, probs in lv.chooses:
+                q, _ = _choose_dist(probs)
+                cum = np.cumsum(q)
+                ges = [builder.gate(
+                    "not", _less_than_const(
+                        builder, r_bits,
+                        int(round(float(c) * (1 << rand_bits)))))
+                    for c in cum[:-1]]
+                w = max(1, (len(q) - 1).bit_length())
+                bbits = []
+                for k in range(w):
+                    # index m = Σ ge_j with thermometer ge (monotone):
+                    # bit k of m flips exactly when m crosses a
+                    # multiple of 2^k, so it is the XOR of ge_j over
+                    # j ≡ 0 (mod 2^k).
+                    x = builder.c0
+                    for j, ge in enumerate(ges, start=1):
+                        if j % (1 << k) == 0:
+                            x = builder.gate("xor", x, ge)
+                    bbits.append(x)
+                branch_nodes.append(bbits)
+                branch_widths.append(w)
+
+        # Selector space: state bits, distinct cell bits, branch bits.
+        sel = list(state_bits)
+        for cell, _ in lv.cell_groups:
+            sel += win[cell * nb:(cell + 1) * nb]
+        for bbits in branch_nodes:
+            sel += bbits
+        n_sel = len(sel)
+        if n_sel > _MAX_SEL_BITS:
+            raise ValueError(
+                f"{tag!r}: level selector space {n_sel} bits exceeds "
+                f"{_MAX_SEL_BITS}")
+        idx = np.arange(1 << n_sel, dtype=np.int64)
+        pos = 0
+        v = (idx >> pos) & ((1 << sb) - 1)
+        pos += sb
+        cellval = {}
+        for cell, _ in lv.cell_groups:
+            cellval[cell] = np.minimum((idx >> pos) & ((1 << nb) - 1),
+                                       size_a - 1)
+            pos += nb
+        branchval = {}
+        for (j, probs), w in zip(lv.chooses, branch_widths):
+            branchval[j] = np.minimum((idx >> pos) & ((1 << w) - 1),
+                                      len(probs) - 1)
+            pos += w
+
+        nxt = v.copy()
+        for j in range(lv.n_nodes):
+            b = (branchval[j] if j in choose_locals
+                 else cellval[cell_of[j]])
+            nxt = np.where(v == S + j, vals[j * lv.max_deg + b], nxt)
+        memo: dict = {}
+        state_bits = [
+            _synth_over(builder, ((nxt >> k) & 1).astype(bool), sel,
+                        memo)
+            for k in range(sb)]
+
+    # Write decode: spec = final state (< S by construction).
+    outputs = []
+    for c in range(n_cells):
+        sel = list(state_bits) + list(win[c * nb:(c + 1) * nb])
+        idx = np.arange(1 << (sb + nb), dtype=np.int64)
+        v = np.minimum(idx & ((1 << sb) - 1), S - 1)
+        cv = np.minimum((idx >> sb) & ((1 << nb) - 1), size_a - 1)
+        w = np.asarray(wr_words[c], np.int64)
+        f = (w[v // 6] >> (5 * (v % 6))) & 31
+        new_c = np.where((f >> 4) == 1, f & 15, cv)
+        memo = {}
+        for k in range(nb):
+            outputs.append(_synth_over(
+                builder, ((new_c >> k) & 1).astype(bool), sel, memo))
+
+    if config.IS_DEBUG:
+        n_gates = sum(op[0] in ("and", "or", "xor", "not")
+                      for op in builder.ops)
+        print(f"[bitslice] {tag} (sampling): {n_cells * nb}+{n_rand} "
+              f"in-bits -> {len(outputs)} out-bits, {n_gates} gates")
+    return tuple(builder.ops), tuple(outputs), nb, n_rand
+
+
+def _choose_dist(probs):
+    from . import ensemble as ens
+    return ens._choose_sampling_dist(probs, 1.0)
+
+
+def compile_sampling_circuit(dm, *, rand_bits: int = _RAND_BITS):
+    return _compile_sampling_circuit(
+        dm.nodes, dm.root, dm.num_specs, dm.size_a, dm.bits,
+        dm.wr_words, dm.n_p, dm.n_d, dm.p_lo, dm.d_lo, dm.span, dm.tag,
+        rand_bits)
 
 
 # --------------------------------------------------------------------------
@@ -353,17 +607,22 @@ def bitplanes_to_tapes(bp, *, transpose: bool = False):
 def stacked_planes_to_bitwords(st, nb):
     """[stride, E, K] int8 stacked planes -> [stride, nb, E, K//32]
     uint32 words (members packed 32/word on the minor axis — the
-    transposed frontier layout)."""
+    transposed frontier layout). Packs per plane so the peak
+    intermediate is one [E, K] uint32 (a one-shot all-plane uint32
+    reshape is 2.5 GB at the K=10^7 config-5 frontier — OOM)."""
     stride, E, K = st.shape
     if K % 32:
         raise ValueError(f"bit-sliced planes need K % 32 == 0, got {K}")
     lanes = jnp.arange(32, dtype=jnp.uint32)
-    out = []
-    for k in range(nb):
-        b = ((st >> k) & 1).astype(jnp.uint32)
-        out.append((b.reshape(stride, E, K // 32, 32)
-                    << lanes).sum(-1, dtype=jnp.uint32))
-    return jnp.stack(out, axis=1)
+    rows = []
+    for s in range(stride):
+        bits = []
+        for k in range(nb):
+            b = ((st[s] >> k) & 1).astype(jnp.uint32)
+            bits.append((b.reshape(E, K // 32, 32)
+                         << lanes).sum(-1, dtype=jnp.uint32))
+        rows.append(jnp.stack(bits))
+    return jnp.stack(rows)
 
 
 def bitwords_to_stacked_planes(bw):
@@ -371,25 +630,30 @@ def bitwords_to_stacked_planes(bw):
     int8."""
     stride, nb, E, Kw = bw.shape
     lanes = jnp.arange(32, dtype=jnp.uint32)
-    sym = None
-    for k in range(nb):
-        bits = ((bw[:, k][..., None] >> lanes) & 1).astype(jnp.int8)
-        b = (bits << k).reshape(stride, E, Kw * 32)
-        sym = b if sym is None else sym | b
-    return sym
+    rows = []
+    for s in range(stride):
+        sym = None
+        for k in range(nb):
+            bits = ((bw[s, k][..., None] >> lanes) & 1).astype(jnp.int8)
+            b = (bits << k).reshape(E, Kw * 32)
+            sym = b if sym is None else sym | b
+        rows.append(sym)
+    return jnp.stack(rows)
 
 
 def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
-                          site_axis: int = -1):
-    """One stratified round on bit-plane tapes (choose-free machines).
+                          site_axis: int = -1, rand_words=None):
+    """One stratified round on bit-plane tapes.
 
     Same window-cell selection as the stacked plane round
     (`ensemble._apply_plane_round_fsm_stacked`): plane index
     mod/floordiv arithmetic on the dynamic shift, spill planes rolled
     ±1 along the site axis (-1 for the straight layout, -2 for the
-    transposed one).
+    transposed one). ``rand_words`` ([n_rand, *word_shape] uint32)
+    feeds a sampling circuit's random input bits (choose-ful machines
+    at tau=1); pass None for a choose-free round circuit.
     """
-    ops, outputs, nb = circ
+    ops, outputs, nb, n_rand = circ
     stride = p_bp.shape[0]
     tapes_meta = ((p_bp, dm.p_lo, dm.n_p), (d_bp, dm.d_lo, dm.n_d))
     in_words: list = []
@@ -409,6 +673,8 @@ def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
                 in_words.append(x[k])
             locs.append((c, e))
     shape = in_words[0].shape
+    if n_rand:
+        in_words += [rand_words[i] for i in range(n_rand)]
     new_bits = _eval_circuit(ops, outputs, in_words, shape)
     outs = [p_bp, d_bp]
     k = 0

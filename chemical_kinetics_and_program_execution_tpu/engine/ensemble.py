@@ -570,6 +570,7 @@ class _Level:
     max_deg: int
     bits: int           # field width of trans_words entries
     trans_words: tuple  # packed: idx = local_id * max_deg + branch
+    n_nodes: int        # live nodes at this level
 
 
 def _level_plan(dm: DeviceMachine):
@@ -646,6 +647,7 @@ def _build_level_plan(nodes, root, num_specs, size_a, bits):
             max_deg=max_deg,
             bits=lbits,
             trans_words=_pack_fields(vals, lbits),
+            n_nodes=len(lvl),
         ))
     return tuple(plan)
 
@@ -1208,35 +1210,49 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
 
     from . import bitslice as bs
 
-    use_bitslice = (use_planes and bitslice is not False
-                    and B % 32 == 0
-                    and bs.machine_is_bitsliceable(dtable))
+    eligible = (use_planes and B % 32 == 0
+                and (bs.machine_is_bitsliceable(dtable)
+                     or bs.machine_is_sampleable(dtable)))
+    use_bitslice = bitslice is not False and eligible
     if bitslice and not use_bitslice:
         raise ValueError(
-            "bitslice=True needs a plane-eligible choose-free machine "
+            "bitslice=True needs a plane-eligible machine "
             f"and B % 32 == 0 (got B={B}, "
             f"machine={getattr(dtable, 'tag', dtable)!r})")
 
     if use_bitslice:
-        # Hottest path: choose-free rules as a bit-sliced boolean
-        # circuit, 32 sites per int32 lane. The k2 subkey is split but
-        # unused, matching the FSM path where the uniforms it would
-        # seed are dead code — so the shift stream, and therefore the
-        # tapes, are bit-identical between the two paths.
-        circ = bs.compile_round_circuit(dtable)
+        # Hottest path: the round as a bit-sliced boolean circuit, 32
+        # sites per int32 lane. Choose-free machines run the monolithic
+        # round circuit; there the k2 subkey is split but unused,
+        # matching the FSM path where the uniforms it would seed are
+        # dead code — so the shift stream, and therefore the tapes, are
+        # bit-identical between the two paths. Choose-ful machines run
+        # the layered SAMPLING circuit: k2 seeds rand_bits fresh random
+        # bit-planes per choose level (same joint branch law as the
+        # FSM's renormalised-uniform cascade to 2^-24, different
+        # stream — statistically gated, not bitwise).
+        if bs.machine_is_bitsliceable(dtable):
+            circ = bs.compile_round_circuit(dtable)
+        else:
+            circ = bs.compile_sampling_circuit(dtable)
+        n_rand = circ[3]
         # Put the larger of (events, packed members) on the 128-lane
         # axis — tiny-E geometries (config 5: L=32, E=2) transpose, the
         # same reason the weighted frontier stores its planes [E, K].
         transpose = events < B // 32
         site_axis = -2 if transpose else -1
+        wshape = (events, B // 32) if transpose else (B // 32, events)
 
         def step(carry, k):
             pbp, dbp = carry
-            k1, _ = jax.random.split(k)
+            k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
+            rand = (jax.random.bits(k2, (n_rand,) + wshape, jnp.uint32)
+                    if n_rand else None)
             pbp, dbp = bs.apply_round_bitsliced(dtable, circ, pbp, dbp,
                                                 shift,
-                                                site_axis=site_axis)
+                                                site_axis=site_axis,
+                                                rand_words=rand)
             return (pbp, dbp), None
 
         nb = circ[2]
@@ -1722,36 +1738,46 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
     dispatch, so the block loop must touch the device exactly twice per
     block (this call + the merge).
 
-    Choose-free machines auto-run the bit-sliced boolean-circuit round
-    (`engine/bitslice.py`, 32 members per uint32 word on the lane
-    axis): a choose-free rule samples nothing, so its importance
-    log-weight increments are identically zero at every tau and ``lw``
-    passes through untouched — bit-identical to the FSM path at the
-    same key (`tests/test_ensemble.py::
-    test_blocked_rounds_bitsliced_matches_fsm`).
+    Bit-sliced rounds (`engine/bitslice.py`, 32 members per uint32 word
+    on the lane axis) auto-engage whenever the importance log-weight
+    increments are identically zero, so ``lw`` passes through
+    untouched: choose-free machines at any tau (round circuit,
+    bit-identical to the FSM path at the same key —
+    `tests/test_ensemble.py::test_blocked_rounds_bitsliced_matches_fsm`)
+    and choose-ful machines at tau=1 (sampling circuit, q = p exactly;
+    same branch law as the FSM cascade to 2^-24, different stream —
+    statistically gated). tau < 1 tempering keeps the FSM walk.
     """
     from . import bitslice as bs
 
     stride = len(pp)
     E, K = pp[0].shape
+    bs_free = bs.machine_is_bitsliceable(dm)
     use_bs = (bitslice is not False and K % 32 == 0
-              and bs.machine_is_bitsliceable(dm))
+              and (bs_free
+                   or (tau == 1.0 and bs.machine_is_sampleable(dm))))
     if bitslice and not use_bs:
         raise ValueError(
-            "bitslice=True needs a choose-free machine and K % 32 == 0")
+            "bitslice=True needs K % 32 == 0 and a choose-free machine "
+            "(any tau) or a sampleable machine at tau=1")
 
     if use_bs:
-        circ = bs.compile_round_circuit(dm)
+        circ = (bs.compile_round_circuit(dm) if bs_free
+                else bs.compile_sampling_circuit(dm))
+        n_rand = circ[3]
         pbw = bs.stacked_planes_to_bitwords(jnp.stack(pp), circ[2])
         dbw = bs.stacked_planes_to_bitwords(jnp.stack(dd), circ[2])
 
         def round_step(carry, k):
             pbw, dbw = carry
-            k1, _ = jax.random.split(k)
+            k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride,
                                        dtype=jnp.int32)
+            rand = (jax.random.bits(k2, (n_rand, E, K // 32),
+                                    jnp.uint32) if n_rand else None)
             pbw, dbw = bs.apply_round_bitsliced(dm, circ, pbw, dbw,
-                                                shift, site_axis=-2)
+                                                shift, site_axis=-2,
+                                                rand_words=rand)
             return (pbw, dbw), None
 
         (pbw, dbw), _ = jax.lax.scan(round_step, (pbw, dbw),

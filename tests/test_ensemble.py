@@ -357,12 +357,37 @@ def test_blocked_rounds_bitsliced_matches_fsm():
     np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
 
 
-def test_bitslice_true_raises_on_chooseful_machine():
-    dm = ensemble.compile_decision_machine("ex4-chemical-turing")
-    pt = jnp.zeros((32, 256), jnp.int32)
-    with pytest.raises(ValueError, match="bitslice=True"):
-        ensemble.run_ensemble(jax.random.PRNGKey(0), (pt, pt), dm,
-                              (2, 16), bitslice=True)
+@pytest.mark.parametrize("tag", [
+    "ex4-chemical-turing",
+    "ex2-ferromagnetic-chain",
+])
+def test_sampling_circuit_branch_law(tag):
+    """Choose-ful machines on the bit-sliced SAMPLING path (fresh
+    24-bit integer uniform per choose level, comparator circuits) must
+    reproduce the FSM path's dynamics: both sample the same multiverse
+    law exactly, so their empirical window distributions agree at MC
+    resolution. A branch-encoding or threshold bug would distort the
+    branch probabilities grossly and trip the gate."""
+    dm = ensemble.compile_decision_machine(tag)
+    B, L, steps, E = 512, 1024, 20, 32
+    rng = np.random.RandomState(31)
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    (pf, df), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(100), (pt, dt), dm, (steps, E),
+        bitslice=False)
+    (ps, ds), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(200), (pt, dt), dm, (steps, E),
+        bitslice=True)
+    n_eff = B * (L // E)  # independent residue classes, as in
+    #                       test_parallel_rounds_match_low_density_decay
+    for a, b in ((pf, ps), (df, ds)):
+        ca = np.asarray(ensemble.window_counts(a, dm.size_a, 2))
+        cb = np.asarray(ensemble.window_counts(b, dm.size_a, 2))
+        pbar = 0.5 * (ca + cb)
+        sigma = np.sqrt(2.0 * pbar * (1 - pbar) / n_eff)
+        assert (np.abs(ca - cb) < 7 * sigma + 3e-3).all(), \
+            f"max dev {np.abs(ca - cb).max():.4f}"
 
 
 def test_plane_storage_roundtrip():
