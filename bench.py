@@ -318,15 +318,24 @@ def bench_branching_ensemble():
     n_changed = int(jnp.sum(pt != ptape))
     assert n_changed > 0, "ex4 rule never wrote — inert bench tape mix"
     int(jnp.sum(pt.astype(jnp.int64)))
-    t0 = time.time()
-    (pt, dtp), (applied, _) = ensemble.run_ensemble(
-        jax.random.PRNGKey(2), (pt, dtp), dm, (steps, events))
-    int(jnp.sum(pt.astype(jnp.int64)) + jnp.sum(dtp.astype(jnp.int64)))
-    dt = time.time() - t0
+    # Median of 5 timed calls, like bench_ensemble: one 250-round call
+    # is ~0.4 s on-chip, so a single-call timing folds the ~0.1-0.25 s
+    # tunnel dispatch into the rate (measured 2.8e9 single-call vs
+    # 1.4e10 steady-state for the identical kernel).
     import numpy as np
-    transitions = int(np.asarray(applied).sum())
-    return transitions / dt, {
-        "B": B, "L": L, "steps": steps,
+    n_rep = 5
+    rates = []
+    for i in range(n_rep):
+        t0 = time.time()
+        (pt, dtp), (applied, _) = ensemble.run_ensemble(
+            jax.random.PRNGKey(2 + i), (pt, dtp), dm, (steps, events))
+        int(jnp.sum(pt.astype(jnp.int64)) + jnp.sum(dtp.astype(jnp.int64)))
+        dt = time.time() - t0
+        rates.append(int(np.asarray(applied).sum()) / dt)
+    rates.sort()
+    return rates[n_rep // 2], {
+        "B": B, "L": L, "steps": steps * n_rep,
+        "rates": [f"{r:.3e}" for r in rates],
         "machine": f"{dm.tag}: {len(dm.nodes)} nodes"}
 
 

@@ -1141,6 +1141,26 @@ def _check_round_geometry(L: int, events: int, span: int) -> None:
             "lower events_per_step")
 
 
+def _rbg_bits(k, shape):
+    """TPU-fast random bit-planes via the raw XLA RngBitGenerator op.
+
+    The sampling-circuit paths draw ``n_choose_levels * rand_bits``
+    uint32 planes per round; with threefry (`jax.random.bits`) that
+    draw is ~42% of the whole ex4 round. The hardware generator is
+    ~1.8x faster at the plane shapes (probes/rng_cost.py: 0.444 ->
+    0.254 ms/round for [72,512,256] on v5e). The state is derived from
+    the per-round threefry key (tiled to 4 words), so rounds stay
+    independently seeded and the draw is deterministic given the key on
+    a fixed backend — all the sampling path promises, since it is
+    statistically (not bitwise) gated against the FSM walk
+    (`tests/test_ensemble.py::test_sampling_circuit_branch_law`).
+    """
+    data = k if jnp.issubdtype(k.dtype, jnp.integer) \
+        else jax.random.key_data(k)
+    state = jnp.tile(jnp.ravel(data).astype(jnp.uint32), 4)[:4]
+    return jax.lax.rng_bit_generator(state, shape, dtype=jnp.uint32)[1]
+
+
 @partial(jax.jit, static_argnums=(3,),
          static_argnames=("independent_sites", "bitslice"))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
@@ -1247,7 +1267,7 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
             pbp, dbp = carry
             k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
-            rand = (jax.random.bits(k2, (n_rand,) + wshape, jnp.uint32)
+            rand = (_rbg_bits(k2, (n_rand,) + wshape)
                     if n_rand else None)
             pbp, dbp = bs.apply_round_bitsliced(dtable, circ, pbp, dbp,
                                                 shift,
@@ -1773,8 +1793,8 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
             k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride,
                                        dtype=jnp.int32)
-            rand = (jax.random.bits(k2, (n_rand, E, K // 32),
-                                    jnp.uint32) if n_rand else None)
+            rand = (_rbg_bits(k2, (n_rand, E, K // 32))
+                    if n_rand else None)
             pbw, dbw = bs.apply_round_bitsliced(dm, circ, pbw, dbw,
                                                 shift, site_axis=-2,
                                                 rand_words=rand)

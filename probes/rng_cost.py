@@ -72,5 +72,62 @@ def main():
           f"{timed(rbg, state0) * 1e3:.3f} ms/round", flush=True)
 
 
+
+
+def main_planes():
+    """Bit-plane shape for the ex4 sampling circuit: 72 uint32 planes."""
+    n_rand, W, E = 72, 512, 256  # ex4: 3 choose levels x 24 bits, B=16384
+    keys = jax.random.split(jax.random.PRNGKey(0), iters)
+
+    @jax.jit
+    def threefry_bits(keys):
+        def body(acc, k):
+            k1, k2 = jax.random.split(k)
+            shift = jax.random.randint(k1, (), 0, 16, dtype=jnp.int32)
+            r = jax.random.bits(k2, (n_rand, W, E), jnp.uint32)
+            return acc + r[0, 0, 0] + shift.astype(jnp.uint32), None
+        acc, _ = jax.lax.scan(body, jnp.uint32(0), keys)
+        return acc
+
+    print(f"threefry bits [{n_rand},{W},{E}]: "
+          f"{timed(threefry_bits, keys) * 1e3:.3f} ms/round", flush=True)
+
+    @jax.jit
+    def rbg_bits(state0):
+        def body(carry, _):
+            acc, st = carry
+            st, r = jax.lax.rng_bit_generator(
+                st, (n_rand, W, E), dtype=jnp.uint32)
+            st, sb = jax.lax.rng_bit_generator(st, (1,), dtype=jnp.uint32)
+            shift = sb[0] & 15
+            return (acc + r[0, 0, 0] + shift, st), None
+        (acc, st), _ = jax.lax.scan(body, (jnp.uint32(0), state0), None,
+                                    length=iters)
+        return acc
+
+    state0 = jnp.arange(4, dtype=jnp.uint32)
+    print(f"rng_bit_generator bits [{n_rand},{W},{E}]: "
+          f"{timed(rbg_bits, state0) * 1e3:.3f} ms/round", flush=True)
+
+    @jax.jit
+    def rbg_keyed(keys):
+        # per-round state derived from the scanned threefry key: keeps
+        # the run_ensemble key-per-round structure (no carried state)
+        def body(acc, k):
+            k1, k2 = jax.random.split(k)
+            shift = jax.random.randint(k1, (), 0, 16, dtype=jnp.int32)
+            st = jnp.concatenate([jax.random.key_data(
+                jax.random.wrap_key_data(k2, impl='threefry2x32'))] * 2)
+            _, r = jax.lax.rng_bit_generator(
+                st, (n_rand, W, E), dtype=jnp.uint32)
+            return acc + r[0, 0, 0] + shift.astype(jnp.uint32), None
+        acc, _ = jax.lax.scan(body, jnp.uint32(0), keys)
+        return acc
+
+    print(f"rbg keyed-per-round bits [{n_rand},{W},{E}]: "
+          f"{timed(rbg_keyed, keys) * 1e3:.3f} ms/round", flush=True)
+
+
 if __name__ == "__main__":
     main()
+    main_planes()
