@@ -39,11 +39,13 @@ def bench_ensemble():
     # ~67M tape sites per batch; events at ~6% density per round.
     B = int(os.environ.get("CKPE_BENCH_B", "16384"))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
-    # 250 rounds per timed call: the scan amortises the per-call plane
-    # pack/unpack + tunnel sync (profiled at several ms against an
-    # in-loop round time of 1.46 ms), so this measures the steady-state
-    # kernel; spread across reps is ±0.5%.
-    steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
+    # 1250 rounds per timed call: the bit-sliced round is ~82 us, so a
+    # 250-round call was ~2/3 per-call cost (plane pack/unpack + tunnel
+    # dispatch, ~44 ms; measured 1.62e10 at 250 rounds vs 5.1e10 at
+    # 1250) — this measures the steady-state stepping rate, the figure
+    # that holds for any real multi-thousand-round run (same reasoning
+    # as the config-5 bench's 500-round calls).
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "1250"))
     events = max(1, L // 16)
 
     key = jax.random.PRNGKey(0)
@@ -295,7 +297,10 @@ def bench_branching_ensemble():
     B = int(os.environ.get("CKPE_BENCH_EX4_B",
                            os.environ.get("CKPE_BENCH_B", "16384")))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
-    steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
+    # 1250 rounds per call for the same reason as bench_ensemble: the
+    # sampling-circuit round is ~0.12 ms, so 250-round calls are
+    # ~2/3 per-call pack/dispatch cost (1.35e10 vs 3.5e10 steady).
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "1250"))
     events = max(1, L // 16)
     # ex4 alphabet order (`models/problems.py:_EX4_SYMBOLS`):
     # A(0) B(1) C(2) D(3) I(4) O(5) P(6) X(7) S(8). The rule fires off

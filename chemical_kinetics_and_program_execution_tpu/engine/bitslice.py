@@ -116,6 +116,57 @@ class _Builder:
                                               self.gate("xor", hi, lo)))
 
 
+def _dce_compact(ops, outputs, n_win):
+    """Dead-code-eliminates the DAG and compacts random input planes.
+
+    Drops every gate unreachable from ``outputs`` and renumbers random
+    input variables (ids >= ``n_win``) to a dense range so callers draw
+    ONLY the referenced planes. XLA's own DCE already skips dead gate
+    *evaluations*, but it cannot shrink the single
+    ``rng_bit_generator`` call that materialises the full
+    ``n_choose_levels * rand_bits`` plane stack — and e.g. ex4's two
+    50/50 chooses fold their comparators to one MSB each, leaving 26 of
+    72 declared planes live. Since every random plane is an iid uniform
+    bit-plane, re-binding which physical draw feeds which comparator
+    preserves the sampled law exactly (the sampling path's parity gate
+    is statistical, not bitwise). Window inputs (< n_win) keep their
+    ids: `apply_round_bitsliced` binds them positionally.
+    """
+    reach: set = set()
+    stack = list(outputs)
+    while stack:
+        i = stack.pop()
+        if i in reach:
+            continue
+        reach.add(i)
+        kind, a, b = ops[i]
+        if kind in ("and", "or", "xor"):
+            stack.append(a)
+            stack.append(b)
+        elif kind == "not":
+            stack.append(a)
+    used_rand = sorted({ops[i][1] for i in reach
+                        if ops[i][0] == "in" and ops[i][1] >= n_win})
+    rmap = {a: n_win + r for r, a in enumerate(used_rand)}
+    new_ops: list = []
+    idx: dict = {}
+    for i, (kind, a, b) in enumerate(ops):
+        if i not in reach:
+            continue
+        if kind == "in":
+            op = ("in", rmap.get(a, a), 0)
+        elif kind == "const":
+            op = (kind, a, b)
+        elif kind == "not":
+            op = ("not", idx[a], 0)
+        else:
+            op = (kind, idx[a], idx[b])
+        idx[i] = len(new_ops)
+        new_ops.append(op)
+    return (tuple(new_ops), tuple(idx[o] for o in outputs),
+            len(used_rand))
+
+
 def _synth_bit(builder: _Builder, table: np.ndarray, memo: dict) -> int:
     """Synthesises one output bit's truth table into the circuit.
 
@@ -271,12 +322,13 @@ def _compile_circuit(nodes, root, num_specs, size_a, bits, wr_words,
     builder = _Builder(n_in)
     memo: dict = {}
     outputs = tuple(_synth_bit(builder, t, memo) for t in tables)
+    ops, outputs, _ = _dce_compact(builder.ops, outputs, n_in)
     if config.IS_DEBUG:
         n_gates = sum(op[0] in ("and", "or", "xor", "not")
-                      for op in builder.ops)
+                      for op in ops)
         print(f"[bitslice] {tag}: {n_in} in-bits -> "
               f"{len(outputs)} out-bits, {n_gates} gates")
-    return tuple(builder.ops), outputs, nb, 0
+    return ops, outputs, nb, 0
 
 
 def compile_round_circuit(dm):
@@ -468,12 +520,15 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
             outputs.append(_synth_over(
                 builder, ((new_c >> k) & 1).astype(bool), sel, memo))
 
+    ops, outputs, n_rand_used = _dce_compact(
+        builder.ops, tuple(outputs), n_cells * nb)
     if config.IS_DEBUG:
         n_gates = sum(op[0] in ("and", "or", "xor", "not")
-                      for op in builder.ops)
-        print(f"[bitslice] {tag} (sampling): {n_cells * nb}+{n_rand} "
-              f"in-bits -> {len(outputs)} out-bits, {n_gates} gates")
-    return tuple(builder.ops), tuple(outputs), nb, n_rand
+                      for op in ops)
+        print(f"[bitslice] {tag} (sampling): {n_cells * nb}+"
+              f"{n_rand_used} in-bits (of {n_rand} declared) -> "
+              f"{len(outputs)} out-bits, {n_gates} gates")
+    return ops, outputs, nb, n_rand_used
 
 
 def _choose_dist(probs):
