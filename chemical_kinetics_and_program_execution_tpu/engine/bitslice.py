@@ -581,18 +581,12 @@ def tapes_to_bitplanes(tape, stride, nb, *, transpose: bool = False):
 
     Straight layout (``transpose=False``): [stride, nb, B//32, E] —
     the site (event) axis rides the 128 lanes; right for E >= 128.
-    Transposed layout: [stride, nb, E·(B//32)] — the packed member
-    axis minor, the site axis folded on top of it and stored FLAT;
-    right for tiny-E geometries (BASELINE config 5's L=32, E=2 would
-    waste 126 of 128 lanes in the straight layout, the same reason the
-    weighted frontier stores its planes [E, K]). Flat rather than
-    [E, B//32] because a tiny-E second-minor axis is tile-padded to 8
-    sublanes — every gate op would process 8/E times the real data
-    (measured: the E=2 config-5 round ran 4x below its roofline) —
-    while a row-major flat fold is padding-free and keeps site rolls
-    exact: rolling [E, M] along axis 0 by e IS the flat roll by e·M.
+    Transposed layout: [stride, nb, E, B//32] — the packed member axis
+    rides the lanes; right for tiny-E geometries (BASELINE config 5's
+    L=32, E=2 would waste 126 of 128 lanes in the straight layout, the
+    same reason the weighted frontier stores its planes [E, K]).
     Either way bit k of a word packs 32 consecutive members' k-th
-    symbol bit.
+    symbol bit, so site-axis rolls stay whole-array rolls.
     """
     from . import ensemble as ens
 
@@ -618,7 +612,7 @@ def tapes_to_bitplanes(tape, stride, nb, *, transpose: bool = False):
                 bits.append((b.reshape(E, B // 32, 32)
                              << lanes).sum(-1, dtype=jnp.uint32))
             rows.append(jnp.stack(bits))
-        return jnp.stack(rows).reshape(stride, nb, E * (B // 32))
+        return jnp.stack(rows)  # [stride, nb, E, B//32]
     planes = ens._tape_to_planes(tape.astype(jnp.int8), stride)
     lanes = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
     for p in planes:
@@ -631,20 +625,13 @@ def tapes_to_bitplanes(tape, stride, nb, *, transpose: bool = False):
     return jnp.stack(rows)  # [stride, nb, B//32, E]
 
 
-def bitplanes_to_tapes(bp, *, transpose: bool = False,
-                       events: int | None = None):
-    """Inverse of :func:`tapes_to_bitplanes` -> [B, L] int32.
-
-    ``events`` is required for the transposed layout (the flat word
-    axis folds [E, B//32] and E is not recoverable from the shape).
-    """
+def bitplanes_to_tapes(bp, *, transpose: bool = False):
+    """Inverse of :func:`tapes_to_bitplanes` -> [B, L] int32."""
     from . import ensemble as ens
 
     stride, nb = bp.shape[:2]
     if transpose:
-        E = events
-        Bw = bp.shape[2] // E
-        bp = bp.reshape(stride, nb, E, Bw)
+        E, Bw = bp.shape[2:]
         lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
         rows = []
         for s in range(stride):
@@ -673,12 +660,11 @@ def bitplanes_to_tapes(bp, *, transpose: bool = False,
 
 
 def stacked_planes_to_bitwords(st, nb):
-    """[stride, E, K] int8 stacked planes -> [stride, nb, E·(K//32)]
-    uint32 words (members packed 32/word, site axis folded flat on top
-    — the transposed frontier layout; see `tapes_to_bitplanes` for why
-    flat). Packs per plane so the peak intermediate is one [E, K]
-    uint32 (a one-shot all-plane uint32 reshape is 2.5 GB at the
-    K=10^7 config-5 frontier — OOM)."""
+    """[stride, E, K] int8 stacked planes -> [stride, nb, E, K//32]
+    uint32 words (members packed 32/word on the minor axis — the
+    transposed frontier layout). Packs per plane so the peak
+    intermediate is one [E, K] uint32 (a one-shot all-plane uint32
+    reshape is 2.5 GB at the K=10^7 config-5 frontier — OOM)."""
     stride, E, K = st.shape
     if K % 32:
         raise ValueError(f"bit-sliced planes need K % 32 == 0, got {K}")
@@ -691,16 +677,13 @@ def stacked_planes_to_bitwords(st, nb):
             bits.append((b.reshape(E, K // 32, 32)
                          << lanes).sum(-1, dtype=jnp.uint32))
         rows.append(jnp.stack(bits))
-    return jnp.stack(rows).reshape(stride, nb, E * (K // 32))
+    return jnp.stack(rows)
 
 
-def bitwords_to_stacked_planes(bw, events: int):
+def bitwords_to_stacked_planes(bw):
     """Inverse of :func:`stacked_planes_to_bitwords` -> [stride, E, K]
     int8."""
-    stride, nb, W = bw.shape
-    E = events
-    Kw = W // E
-    bw = bw.reshape(stride, nb, E, Kw)
+    stride, nb, E, Kw = bw.shape
     lanes = jnp.arange(32, dtype=jnp.uint32)
     rows = []
     for s in range(stride):
@@ -714,29 +697,19 @@ def bitwords_to_stacked_planes(bw, events: int):
 
 
 def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
-                          site_axis: int = -1, rand_words=None,
-                          flat_sites: int | None = None):
+                          site_axis: int = -1, rand_words=None):
     """One stratified round on bit-plane tapes.
 
     Same window-cell selection as the stacked plane round
     (`ensemble._apply_plane_round_fsm_stacked`): plane index
     mod/floordiv arithmetic on the dynamic shift, spill planes rolled
-    ±1 along the site axis. Straight layout: site axis -1. Transposed
-    layout: pass ``flat_sites=E`` — words are [stride, nb, E·M] with
-    the site axis folded row-major on top of the packed member axis,
-    so the site roll by e is the exact flat roll by e·M (zero sublane
-    padding; see `tapes_to_bitplanes`). ``rand_words``
-    ([n_rand, *word_shape] uint32) feeds a sampling circuit's random
-    input bits (choose-ful machines at tau=1); pass None for a
-    choose-free round circuit.
+    ±1 along the site axis (-1 for the straight layout, -2 for the
+    transposed one). ``rand_words`` ([n_rand, *word_shape] uint32)
+    feeds a sampling circuit's random input bits (choose-ful machines
+    at tau=1); pass None for a choose-free round circuit.
     """
     ops, outputs, nb, n_rand = circ
     stride = p_bp.shape[0]
-    if flat_sites is not None:
-        site_axis = -1
-        roll_unit = p_bp.shape[-1] // flat_sites
-    else:
-        roll_unit = 1
     tapes_meta = ((p_bp, dm.p_lo, dm.n_p), (d_bp, dm.d_lo, dm.n_d))
     in_words: list = []
     locs: list = []
@@ -750,7 +723,7 @@ def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
                 e = None
             else:
                 e = jnp.floor_divide(a, stride)
-                x = jnp.roll(x, -e * roll_unit, axis=site_axis)
+                x = jnp.roll(x, -e, axis=site_axis)
             for k in range(nb):
                 in_words.append(x[k])
             locs.append((c, e))
@@ -765,7 +738,7 @@ def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
             c, e = locs[k]
             v = jnp.stack(new_bits[k * nb:(k + 1) * nb])
             if e is not None:
-                v = jnp.roll(v, e * roll_unit, axis=site_axis)
+                v = jnp.roll(v, e, axis=site_axis)
             outs[t] = jax.lax.dynamic_update_index_in_dim(
                 outs[t], v, c, 0)
             k += 1

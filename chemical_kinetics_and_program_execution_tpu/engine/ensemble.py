@@ -1260,9 +1260,8 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
         # axis — tiny-E geometries (config 5: L=32, E=2) transpose, the
         # same reason the weighted frontier stores its planes [E, K].
         transpose = events < B // 32
-        flat_sites = events if transpose else None
-        wshape = ((events * (B // 32),) if transpose
-                  else (B // 32, events))
+        site_axis = -2 if transpose else -1
+        wshape = (events, B // 32) if transpose else (B // 32, events)
 
         def step(carry, k):
             pbp, dbp = carry
@@ -1272,7 +1271,7 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
                     if n_rand else None)
             pbp, dbp = bs.apply_round_bitsliced(dtable, circ, pbp, dbp,
                                                 shift,
-                                                flat_sites=flat_sites,
+                                                site_axis=site_axis,
                                                 rand_words=rand)
             return (pbp, dbp), None
 
@@ -1282,10 +1281,8 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
                  bs.tapes_to_bitplanes(dtape, stride, nb,
                                        transpose=transpose))
         (pbp, dbp), _ = jax.lax.scan(step, carry, keys)
-        ptape = bs.bitplanes_to_tapes(pbp, transpose=transpose,
-                                      events=events)
-        dtape = bs.bitplanes_to_tapes(dbp, transpose=transpose,
-                                      events=events)
+        ptape = bs.bitplanes_to_tapes(pbp, transpose=transpose)
+        dtape = bs.bitplanes_to_tapes(dbp, transpose=transpose)
     elif use_planes:
         # Hot path: plane-stored int8 tapes, roll-free rounds, phase
         # drawn over [0, stride) (site-set equivalent to a full-tape
@@ -1796,17 +1793,17 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
             k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride,
                                        dtype=jnp.int32)
-            rand = (_rbg_bits(k2, (n_rand, E * (K // 32)))
+            rand = (_rbg_bits(k2, (n_rand, E, K // 32))
                     if n_rand else None)
             pbw, dbw = bs.apply_round_bitsliced(dm, circ, pbw, dbw,
-                                                shift, flat_sites=E,
+                                                shift, site_axis=-2,
                                                 rand_words=rand)
             return (pbw, dbw), None
 
         (pbw, dbw), _ = jax.lax.scan(round_step, (pbw, dbw),
                                      jax.random.split(key, rounds))
-        return (tuple(bs.bitwords_to_stacked_planes(pbw, E)),
-                tuple(bs.bitwords_to_stacked_planes(dbw, E)), lw)
+        return (tuple(bs.bitwords_to_stacked_planes(pbw)),
+                tuple(bs.bitwords_to_stacked_planes(dbw)), lw)
 
     def round_step(carry, k):
         pp, dd, lw = carry
