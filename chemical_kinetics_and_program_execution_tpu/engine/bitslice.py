@@ -576,15 +576,46 @@ def _eval_circuit(ops, outputs, in_words, shape):
     return outs
 
 
+def transposed_word_shape(E: int, W: int) -> tuple[int, ...]:
+    """Word-array shape for the transposed layout: [E, W] or [E, S, P].
+
+    TPU tiles pad the two MINOR dims (second-minor to 8 sublanes,
+    minor to 128 lanes). The 2-D transposed layout [E, W] pads E -> 8,
+    so a tiny-E geometry burns 8/E of every gate op (config 5's E=2
+    measured ~4x below the VPU rate of the dense headline geometry).
+    When W factors as S*P with both tile dims near-dense, store 3-D
+    [E, S, P]: BOTH minor dims are member-derived and dense, E leads
+    untiled, and the site roll by e moves whole tiles along the major
+    axis. Chosen by measured-cost comparison, so already-dense
+    geometries (headline: E=256, W=512) keep the 2-D layout — a flat
+    E*W fold was tried instead and REJECTED: the long dynamic flat
+    rolls cost 3.3x on the headline (RESULTS.md, commit ad6c7e1).
+    """
+    def pad(n, t):
+        return -(-n // t) * t / n
+
+    best, best_cost = (E, W), pad(E, 8) * pad(W, 128)
+    s = 1
+    while s * s <= W:
+        if W % s == 0:
+            for S in (s, W // s):
+                cost = pad(S, 8) * pad(W // S, 128)
+                if cost < best_cost - 1e-12:
+                    best, best_cost = (E, S, W // S), cost
+        s += 1
+    return best
+
+
 def tapes_to_bitplanes(tape, stride, nb, *, transpose: bool = False):
     """[B, L] int tape -> uint32 bit-plane words, 32 members per word.
 
     Straight layout (``transpose=False``): [stride, nb, B//32, E] —
     the site (event) axis rides the 128 lanes; right for E >= 128.
-    Transposed layout: [stride, nb, E, B//32] — the packed member axis
-    rides the lanes; right for tiny-E geometries (BASELINE config 5's
-    L=32, E=2 would waste 126 of 128 lanes in the straight layout, the
-    same reason the weighted frontier stores its planes [E, K]).
+    Transposed layout: [stride, nb, *transposed_word_shape(E, B//32)]
+    — the packed member axis rides the lanes; right for tiny-E
+    geometries (BASELINE config 5's L=32, E=2 would waste 126 of 128
+    lanes in the straight layout, the same reason the weighted
+    frontier stores its planes [E, K]).
     Either way bit k of a word packs 32 consecutive members' k-th
     symbol bit, so site-axis rolls stay whole-array rolls.
     """
@@ -612,7 +643,8 @@ def tapes_to_bitplanes(tape, stride, nb, *, transpose: bool = False):
                 bits.append((b.reshape(E, B // 32, 32)
                              << lanes).sum(-1, dtype=jnp.uint32))
             rows.append(jnp.stack(bits))
-        return jnp.stack(rows)  # [stride, nb, E, B//32]
+        wshape = transposed_word_shape(E, B // 32)
+        return jnp.stack(rows).reshape(stride, nb, *wshape)
     planes = ens._tape_to_planes(tape.astype(jnp.int8), stride)
     lanes = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
     for p in planes:
@@ -631,6 +663,8 @@ def bitplanes_to_tapes(bp, *, transpose: bool = False):
 
     stride, nb = bp.shape[:2]
     if transpose:
+        if bp.ndim == 5:  # 3-D [E, S, P] word layout -> flatten to [E, W]
+            bp = bp.reshape(*bp.shape[:3], -1)
         E, Bw = bp.shape[2:]
         lanes = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
         rows = []
@@ -660,11 +694,12 @@ def bitplanes_to_tapes(bp, *, transpose: bool = False):
 
 
 def stacked_planes_to_bitwords(st, nb):
-    """[stride, E, K] int8 stacked planes -> [stride, nb, E, K//32]
-    uint32 words (members packed 32/word on the minor axis — the
-    transposed frontier layout). Packs per plane so the peak
-    intermediate is one [E, K] uint32 (a one-shot all-plane uint32
-    reshape is 2.5 GB at the K=10^7 config-5 frontier — OOM)."""
+    """[stride, E, K] int8 stacked planes ->
+    [stride, nb, *transposed_word_shape(E, K//32)] uint32 words
+    (members packed 32/word on the minor axis — the transposed
+    frontier layout). Packs per plane so the peak intermediate is one
+    [E, K] uint32 (a one-shot all-plane uint32 reshape is 2.5 GB at
+    the K=10^7 config-5 frontier — OOM)."""
     stride, E, K = st.shape
     if K % 32:
         raise ValueError(f"bit-sliced planes need K % 32 == 0, got {K}")
@@ -677,12 +712,15 @@ def stacked_planes_to_bitwords(st, nb):
             bits.append((b.reshape(E, K // 32, 32)
                          << lanes).sum(-1, dtype=jnp.uint32))
         rows.append(jnp.stack(bits))
-    return jnp.stack(rows)
+    wshape = transposed_word_shape(E, K // 32)
+    return jnp.stack(rows).reshape(stride, nb, *wshape)
 
 
 def bitwords_to_stacked_planes(bw):
     """Inverse of :func:`stacked_planes_to_bitwords` -> [stride, E, K]
     int8."""
+    if bw.ndim == 5:  # 3-D [E, S, P] word layout -> flatten to [E, W]
+        bw = bw.reshape(*bw.shape[:3], -1)
     stride, nb, E, Kw = bw.shape
     lanes = jnp.arange(32, dtype=jnp.uint32)
     rows = []
@@ -703,10 +741,12 @@ def apply_round_bitsliced(dm, circ, p_bp, d_bp, shift, *,
     Same window-cell selection as the stacked plane round
     (`ensemble._apply_plane_round_fsm_stacked`): plane index
     mod/floordiv arithmetic on the dynamic shift, spill planes rolled
-    ±1 along the site axis (-1 for the straight layout, -2 for the
-    transposed one). ``rand_words`` ([n_rand, *word_shape] uint32)
-    feeds a sampling circuit's random input bits (choose-ful machines
-    at tau=1); pass None for a choose-free round circuit.
+    ±1 along the site axis (-1 for the straight layout, -2 for the 2-D
+    transposed one, -3 for the 3-D [E, S, P] transposed one — callers
+    pass ``-len(wshape)`` = `-(bp.ndim - 2)` for transposed layouts).
+    ``rand_words`` ([n_rand, *word_shape] uint32) feeds a sampling
+    circuit's random input bits (choose-ful machines at tau=1); pass
+    None for a choose-free round circuit.
     """
     ops, outputs, nb, n_rand = circ
     stride = p_bp.shape[0]

@@ -1260,8 +1260,16 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
         # axis — tiny-E geometries (config 5: L=32, E=2) transpose, the
         # same reason the weighted frontier stores its planes [E, K].
         transpose = events < B // 32
-        site_axis = -2 if transpose else -1
-        wshape = (events, B // 32) if transpose else (B // 32, events)
+        if transpose:
+            # 2-D [E, W] or 3-D [E, S, P] by tile-padding cost — the
+            # 3-D split keeps both tiled dims dense at tiny E
+            # (config 5) without regressing dense-2-D geometries
+            # (headline). See bitslice.transposed_word_shape.
+            wshape = bs.transposed_word_shape(events, B // 32)
+            site_axis = -len(wshape)
+        else:
+            wshape = (B // 32, events)
+            site_axis = -1
 
         def step(carry, k):
             pbp, dbp = carry
@@ -1787,16 +1795,19 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
         n_rand = circ[3]
         pbw = bs.stacked_planes_to_bitwords(jnp.stack(pp), circ[2])
         dbw = bs.stacked_planes_to_bitwords(jnp.stack(dd), circ[2])
+        wshape = bs.transposed_word_shape(E, K // 32)
+        site_axis = -len(wshape)
 
         def round_step(carry, k):
             pbw, dbw = carry
             k1, k2 = jax.random.split(k)
             shift = jax.random.randint(k1, (), 0, stride,
                                        dtype=jnp.int32)
-            rand = (_rbg_bits(k2, (n_rand, E, K // 32))
+            rand = (_rbg_bits(k2, (n_rand,) + wshape)
                     if n_rand else None)
             pbw, dbw = bs.apply_round_bitsliced(dm, circ, pbw, dbw,
-                                                shift, site_axis=-2,
+                                                shift,
+                                                site_axis=site_axis,
                                                 rand_words=rand)
             return (pbw, dbw), None
 

@@ -296,6 +296,35 @@ def test_bitplane_roundtrip():
         np.asarray(bitslice.bitplanes_to_tapes(bp)), np.asarray(t))
 
 
+def test_transposed_word_shape_cost_choice():
+    """Dense 2-D geometries keep [E, W]; tiny-E geometries with a
+    near-dense member-axis factorisation go 3-D [E, S, P]."""
+    from chemical_kinetics_and_program_execution_tpu.engine import bitslice
+    # Headline geometry: E=256 sublane-dense, W=512 lane-dense -> 2-D.
+    assert bitslice.transposed_word_shape(256, 512) == (256, 512)
+    # Config 5: E=2 pads 4x in 2-D; W=312500 splits near-dense.
+    shape = bitslice.transposed_word_shape(2, 312500)
+    assert len(shape) == 3 and shape[0] == 2
+    assert shape[1] * shape[2] == 312500
+    # W=1024 = 8*128 splits exactly dense.
+    assert bitslice.transposed_word_shape(2, 1024) == (2, 8, 128)
+    # Tiny W with no good split stays 2-D.
+    assert bitslice.transposed_word_shape(2, 128) == (2, 128)
+
+
+def test_bitplane_roundtrip_transposed_3d():
+    """Round-trip through the 3-D [E, S, P] transposed word layout."""
+    from chemical_kinetics_and_program_execution_tpu.engine import bitslice
+    rng = np.random.RandomState(6)
+    B, L, stride = 32768, 32, 16  # E=2, W=1024 -> (2, 8, 128)
+    t = jnp.asarray(rng.randint(0, 3, (B, L)), jnp.int32)
+    bp = bitslice.tapes_to_bitplanes(t, stride, 2, transpose=True)
+    assert bp.shape == (stride, 2, 2, 8, 128)
+    np.testing.assert_array_equal(
+        np.asarray(bitslice.bitplanes_to_tapes(bp, transpose=True)),
+        np.asarray(t))
+
+
 def test_bitsliced_ensemble_matches_fsm():
     """The bit-sliced boolean-circuit round must reproduce the FSM
     plane round's tapes BIT FOR BIT at the same key (choose-free rules
@@ -330,6 +359,48 @@ def test_bitsliced_ensemble_matches_fsm_transposed_layout():
                                         bitslice=True)
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+
+
+def test_bitsliced_ensemble_matches_fsm_3d_layout():
+    """Tiny-E geometry at a member count whose word axis splits dense
+    (B=32768 -> W=1024 = 8x128): the 3-D [E, S, P] transposed layout
+    must also be bit-identical to the FSM round."""
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(19)
+    B, L, E = 32768, 32, 2
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    key = jax.random.PRNGKey(5)
+    (p1, d1), _ = ensemble.run_ensemble(key, (pt, dt), dm, (8, E),
+                                        bitslice=False)
+    (p2, d2), _ = ensemble.run_ensemble(key, (pt, dt), dm, (8, E),
+                                        bitslice=True)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+
+
+def test_blocked_rounds_bitsliced_matches_fsm_3d_layout():
+    """Blocked frontier rounds at a K whose word axis splits dense
+    (K=32768 -> W=1024): 3-D layout bit-identical to the FSM rounds."""
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(29)
+    K, L, E = 32768, 64, 4
+    stride = L // E
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (K, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (K, L)), jnp.int32)
+    pp = ensemble._to_planes_t(pt, stride=stride)
+    dd = ensemble._to_planes_t(dt, stride=stride)
+    lw = jnp.asarray(rng.randn(K))
+    key = jax.random.PRNGKey(11)
+    p1, d1, l1 = ensemble._blocked_rounds(key, pp, dd, lw, dm,
+                                          rounds=4, tau=1.0,
+                                          bitslice=False)
+    p2, d2, l2 = ensemble._blocked_rounds(key, pp, dd, lw, dm,
+                                          rounds=4, tau=1.0,
+                                          bitslice=True)
+    for a, b in zip(p1 + d1, p2 + d2):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l1))
 
 
 def test_blocked_rounds_bitsliced_matches_fsm():
