@@ -142,11 +142,16 @@ def bench_config5():
 
     dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
     B = int(os.environ.get("CKPE_BENCH_C5_B", "10000000"))
-    # 500 rounds per call: the one-time tape<->bit-plane conversion is
-    # ~15 ms per call at B=10^7, which dominated a 50-round call (both
-    # the FSM and bit-sliced paths measured an identical conversion-
-    # bound 1.24e9/s); 500 rounds measure the steady-state stepping.
-    L, E, steps = 32, 2, 500
+    # 2500 rounds per call: the per-call cost (tape<->bit-plane
+    # conversion ~0.36 s at B=10^7 plus dispatch/checksum ~0.1 s) was
+    # still ~45% of a 500-round call — the bit-sliced round itself is
+    # 1.1 ms at this geometry (probes/chunk_decompose.py round/full),
+    # so 500 rounds of stepping is only ~0.55 s. 2500 rounds measure
+    # the steady-state stepping rate, the figure that holds for any
+    # real multi-thousand-round run (same reasoning as the headline
+    # bench's 1250-round calls). At 50 rounds the measurement was
+    # conversion-bound at 1.24e9/s for BOTH tape paths.
+    L, E, steps = 32, 2, 2500
     key = jax.random.PRNGKey(0)
     pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
     dtp = jnp.zeros((B, L), jnp.int32)
