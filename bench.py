@@ -23,10 +23,46 @@ import time
 NORTH_STAR = 1e8
 
 
+def _steady_rate(time_call, per_step, s_hi, *, n_rep=3):
+    """Differenced steady-state stepping rate over two scan lengths.
+
+    ``time_call(steps, rep) -> elapsed_s`` must run one fully synced
+    ensemble call of ``steps`` rounds (compile warm-up is handled here:
+    the first call at each length is discarded). The reported rate is
+
+        per_step * (s_hi - s_lo) / (t(s_hi) - t(s_lo)),  s_lo = s_hi//5
+
+    with medians over ``n_rep`` reps per length — the per-call constant
+    (tape<->bit-plane pack/unpack, tunnel dispatch, checksum sync)
+    cancels EXACTLY, leaving the marginal per-round cost that any
+    multi-thousand-round run pays. Finite-call rates kept climbing with
+    the call length (headline: 5.1e10 at 1250 rounds/call, 7.0e10 at
+    2500, 9.8e10 at 10000 — measured 2026-08-20) because the constant
+    was still 10-50% of the call; the differenced rate is the number
+    those converge to, and the constant is reported alongside so
+    short-burst callers can price their own amortisation.
+    """
+    s_lo = max(1, s_hi // 5)
+    med, raw = {}, {}
+    for s in (s_lo, s_hi):
+        time_call(s, -1)  # compile this scan length, untimed
+        ts = sorted(time_call(s, i) for i in range(n_rep))
+        med[s] = ts[n_rep // 2]
+        raw[s] = [round(t, 4) for t in ts]
+    dt_round = (med[s_hi] - med[s_lo]) / (s_hi - s_lo)
+    if dt_round <= 0:  # timer-noise floor (CPU smoke runs): bulk rate
+        dt_round = med[s_hi] / s_hi
+    overhead = max(0.0, med[s_lo] - dt_round * s_lo)
+    return per_step / dt_round, {
+        "us_per_round": round(dt_round * 1e6, 2),
+        "per_call_overhead_s": round(overhead, 4),
+        "call_s": {s: raw[s] for s in (s_lo, s_hi)},
+    }
+
+
 def bench_ensemble():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from chemical_kinetics_and_program_execution_tpu.engine import ensemble
 
@@ -39,18 +75,12 @@ def bench_ensemble():
     # ~67M tape sites per batch; events at ~6% density per round.
     B = int(os.environ.get("CKPE_BENCH_B", "16384"))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
-    # 1250 rounds per timed call: the bit-sliced round is ~82 us, so a
-    # 250-round call was ~2/3 per-call cost (plane pack/unpack + tunnel
-    # dispatch, ~44 ms; measured 1.62e10 at 250 rounds vs 5.1e10 at
-    # 1250) — this measures the steady-state stepping rate, the figure
-    # that holds for any real multi-thousand-round run (same reasoning
-    # as the config-5 bench's 500-round calls).
-    steps = int(os.environ.get("CKPE_BENCH_STEPS", "1250"))
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "5000"))
     events = max(1, L // 16)
 
     key = jax.random.PRNGKey(0)
-    ptape = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
-    dtape = jnp.zeros((B, L), jnp.int32)
+    state = [jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32),
+             jnp.zeros((B, L), jnp.int32)]
 
     def checksum(pt, dtp):
         # Forces materialisation of the final tapes with an 8-byte
@@ -60,33 +90,23 @@ def bench_ensemble():
         return int(jnp.sum(pt.astype(jnp.int64)) +
                    jnp.sum(dtp.astype(jnp.int64)))
 
-    # Warm up / compile.
-    (pt, dtp), (applied, _) = ensemble.run_ensemble(
-        jax.random.PRNGKey(1), (ptape, dtape), dt, (steps, events)
-    )
-    checksum(pt, dtp)
-
-    n_rep = 5
-    rates = []
-    total = 0
-    for i in range(n_rep):
+    def time_call(s, i):
         t0 = time.time()
-        (pt, dtp), (applied, _) = ensemble.run_ensemble(
-            jax.random.PRNGKey(2 + i), (pt, dtp), dt, (steps, events)
-        )
+        (pt, dtp), _ = ensemble.run_ensemble(
+            jax.random.fold_in(jax.random.PRNGKey(1), s * 131 + i),
+            tuple(state), dt, (s, events))
         checksum(pt, dtp)
         elapsed = time.time() - t0
-        transitions = int(np.asarray(applied).sum())
-        total += transitions
-        rates.append(transitions / elapsed)
-    rates.sort()
-    return rates[n_rep // 2], {
-        "B": B, "L": L, "steps": steps * n_rep, "events_per_step": events,
-        "transitions": total,
-        "rates": [f"{r:.3e}" for r in rates],
+        state[:] = [pt, dtp]
+        return elapsed
+
+    rate, info = _steady_rate(time_call, B * events, steps)
+    info.update({
+        "B": B, "L": L, "events_per_step": events,
         "machine": f"{dt.tag}: {len(dt.nodes)} decision nodes, "
                    f"{dt.num_specs} write specs, span {dt.span}",
-    }
+    })
+    return rate, info
 
 
 def bench_exact_rhs():
@@ -142,29 +162,32 @@ def bench_config5():
 
     dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
     B = int(os.environ.get("CKPE_BENCH_C5_B", "10000000"))
-    # 2500 rounds per call: the per-call cost (tape<->bit-plane
-    # conversion ~0.36 s at B=10^7 plus dispatch/checksum ~0.1 s) was
-    # still ~45% of a 500-round call — the bit-sliced round itself is
-    # 1.1 ms at this geometry (probes/chunk_decompose.py round/full),
-    # so 500 rounds of stepping is only ~0.55 s. 2500 rounds measure
-    # the steady-state stepping rate, the figure that holds for any
-    # real multi-thousand-round run (same reasoning as the headline
-    # bench's 1250-round calls). At 50 rounds the measurement was
-    # conversion-bound at 1.24e9/s for BOTH tape paths.
-    L, E, steps = 32, 2, 2500
+    # Differenced steady-state rate (see _steady_rate): the per-call
+    # constant at B=10^7 is large (tape<->bit-plane conversion ~0.36 s
+    # each way plus dispatch/checksum — fitted ~0.9 s total), so
+    # finite-call rates climbed 9.9e9 (500 rounds/call) -> 3.25e10
+    # (2500) -> 5.7e10 (10000); the differencing cancels the constant
+    # exactly. At 50 rounds the measurement was conversion-bound at
+    # 1.24e9/s for BOTH tape paths.
+    L, E = 32, 2
+    steps = int(os.environ.get("CKPE_BENCH_C5_STEPS", "5000"))
     key = jax.random.PRNGKey(0)
-    pt = jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32)
-    dtp = jnp.zeros((B, L), jnp.int32)
-    (pt, dtp), _ = ensemble.run_ensemble(
-        jax.random.PRNGKey(1), (pt, dtp), dm, (steps, E))
-    int(jnp.sum(pt.astype(jnp.int64)))  # sync
-    t0 = time.time()
-    (pt, dtp), _ = ensemble.run_ensemble(
-        jax.random.PRNGKey(2), (pt, dtp), dm, (steps, E))
-    int(jnp.sum(pt.astype(jnp.int64)))
-    elapsed = time.time() - t0
-    return B * E * steps / elapsed, {"tapes": B, "L": L,
-                                     "elapsed_s": round(elapsed, 3)}
+    state = [jax.random.randint(key, (B, L), 0, 3, dtype=jnp.int32),
+             jnp.zeros((B, L), jnp.int32)]
+
+    def time_call(s, i):
+        t0 = time.time()
+        (pt, dtp), _ = ensemble.run_ensemble(
+            jax.random.fold_in(jax.random.PRNGKey(2), s * 131 + i),
+            tuple(state), dm, (s, E))
+        int(jnp.sum(pt.astype(jnp.int64)))  # sync
+        elapsed = time.time() - t0
+        state[:] = [pt, dtp]
+        return elapsed
+
+    rate, info = _steady_rate(time_call, B * E, steps)
+    info.update({"tapes": B, "L": L})
+    return rate, info
 
 
 def bench_ssa():
@@ -302,10 +325,10 @@ def bench_branching_ensemble():
     B = int(os.environ.get("CKPE_BENCH_EX4_B",
                            os.environ.get("CKPE_BENCH_B", "16384")))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
-    # 1250 rounds per call for the same reason as bench_ensemble: the
-    # sampling-circuit round is ~0.12 ms, so 250-round calls are
-    # ~2/3 per-call pack/dispatch cost (1.35e10 vs 3.5e10 steady).
-    steps = int(os.environ.get("CKPE_BENCH_STEPS", "1250"))
+    # Differenced steady-state rate, like bench_ensemble: at 250
+    # rounds/call the sampling-circuit round's per-call pack/dispatch
+    # cost was ~2/3 of the call (1.35e10 vs 3.5e10 at 1250 rounds).
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "5000"))
     events = max(1, L // 16)
     # ex4 alphabet order (`models/problems.py:_EX4_SYMBOLS`):
     # A(0) B(1) C(2) D(3) I(4) O(5) P(6) X(7) S(8). The rule fires off
@@ -319,8 +342,8 @@ def bench_branching_ensemble():
     dtape = jax.random.choice(
         kd, jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32), (B, L),
         p=jnp.asarray([0.10, 0.10, 0.10, 0.10, 0.30, 0.30]))
-    (pt, dtp), (applied, _) = ensemble.run_ensemble(
-        jax.random.PRNGKey(1), (ptape, dtape), dm, (steps, events))
+    (pt, dtp), _ = ensemble.run_ensemble(
+        jax.random.PRNGKey(1), (ptape, dtape), dm, (64, events))
     # The point of this bench is the choose/renormalisation path: the
     # rule must actually fire (P-sites execute a choose and may write
     # X back to the program tape). Guard against a regression where an
@@ -328,25 +351,22 @@ def bench_branching_ensemble():
     n_changed = int(jnp.sum(pt != ptape))
     assert n_changed > 0, "ex4 rule never wrote — inert bench tape mix"
     int(jnp.sum(pt.astype(jnp.int64)))
-    # Median of 5 timed calls, like bench_ensemble: one 250-round call
-    # is ~0.4 s on-chip, so a single-call timing folds the ~0.1-0.25 s
-    # tunnel dispatch into the rate (measured 2.8e9 single-call vs
-    # 1.4e10 steady-state for the identical kernel).
-    import numpy as np
-    n_rep = 5
-    rates = []
-    for i in range(n_rep):
+    state = [pt, dtp]
+
+    def time_call(s, i):
         t0 = time.time()
-        (pt, dtp), (applied, _) = ensemble.run_ensemble(
-            jax.random.PRNGKey(2 + i), (pt, dtp), dm, (steps, events))
+        (pt, dtp), _ = ensemble.run_ensemble(
+            jax.random.fold_in(jax.random.PRNGKey(2), s * 131 + i),
+            tuple(state), dm, (s, events))
         int(jnp.sum(pt.astype(jnp.int64)) + jnp.sum(dtp.astype(jnp.int64)))
-        dt = time.time() - t0
-        rates.append(int(np.asarray(applied).sum()) / dt)
-    rates.sort()
-    return rates[n_rep // 2], {
-        "B": B, "L": L, "steps": steps * n_rep,
-        "rates": [f"{r:.3e}" for r in rates],
-        "machine": f"{dm.tag}: {len(dm.nodes)} nodes"}
+        elapsed = time.time() - t0
+        state[:] = [pt, dtp]
+        return elapsed
+
+    rate, info = _steady_rate(time_call, B * events, steps)
+    info.update({"B": B, "L": L,
+                 "machine": f"{dm.tag}: {len(dm.nodes)} nodes"})
+    return rate, info
 
 
 def bench_bff():
