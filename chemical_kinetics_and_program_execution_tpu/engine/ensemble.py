@@ -973,6 +973,62 @@ def _apply_lattice_round_fsm(dm: DeviceMachine, ptape, dtape, shift,
 _MAX_PLANE_STRIDE = 64  # switch branches per round; guards compile size
 
 
+@jax.tree_util.register_pytree_node_class
+class PlaneState:
+    """Opaque plane-resident ensemble state (device tape representation).
+
+    `run_ensemble(..., keep_planes=True)` returns one, and accepts one
+    in place of the ``(ptape, dtape)`` tuple, so snapshot-style callers
+    (step N rounds, measure, step N more) skip the per-call
+    tape<->plane conversion: at the config-5 geometry (B=10⁷, L=32)
+    the conversion dominates the ~0.87 s per-call constant vs a 268 µs
+    round (RESULTS.md bench methodology). Decode with :meth:`tapes`
+    when sites are needed; the state is only valid for calls with the
+    same machine bit-width and ``(L // events)`` stride it was packed
+    for (checked at trace time).
+
+    ``kind`` is ``"bits"`` (uint32 bit-plane words, the bit-sliced
+    round's layout) or ``"fsm"`` (stacked int8 symbol planes).
+    """
+
+    def __init__(self, kind, pbp, dbp, *, nb, transpose, batch, length):
+        self.kind = kind
+        self.pbp = pbp
+        self.dbp = dbp
+        self.nb = nb
+        self.transpose = transpose
+        self.batch = batch
+        self.length = length
+
+    @property
+    def stride(self):
+        return self.pbp.shape[0]
+
+    def tapes(self):
+        """Decodes back to (ptape, dtape) int32 [B, L] arrays."""
+        from . import bitslice as bs
+        if self.kind == "bits":
+            return (bs.bitplanes_to_tapes(
+                        self.pbp, transpose=self.transpose)
+                    .astype(jnp.int32),
+                    bs.bitplanes_to_tapes(
+                        self.dbp, transpose=self.transpose)
+                    .astype(jnp.int32))
+        return (_planes_to_tape(tuple(self.pbp)).astype(jnp.int32),
+                _planes_to_tape(tuple(self.dbp)).astype(jnp.int32))
+
+    def tree_flatten(self):
+        return ((self.pbp, self.dbp),
+                (self.kind, self.nb, self.transpose, self.batch,
+                 self.length))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, nb, transpose, batch, length = aux
+        return cls(kind, *children, nb=nb, transpose=transpose,
+                   batch=batch, length=length)
+
+
 def _tape_to_planes(tape, stride):
     return tuple(tape[:, c::stride] for c in range(stride))
 
@@ -1162,10 +1218,12 @@ def _rbg_bits(k, shape):
 
 
 @partial(jax.jit, static_argnums=(3,),
-         static_argnames=("independent_sites", "bitslice"))
+         static_argnames=("independent_sites", "bitslice",
+                          "keep_planes"))
 def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
                  *, independent_sites: bool = False,
-                 bitslice: bool | None = None):
+                 bitslice: bool | None = None,
+                 keep_planes: bool = False):
     """Advances a batch of tape pairs with stratified lattice rounds.
 
     Each round fires the rule at E sites per replica arranged as a
@@ -1212,13 +1270,25 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
     keys) when measuring rare patterns; the shared mode is the
     dense-data-path hot kernel.
 
+    ``keep_planes=True`` returns a :class:`PlaneState` in place of the
+    tape tuple, and ``tapes`` may be a :class:`PlaneState` from a
+    previous call — together they amortise the per-call tape<->plane
+    conversion across a snapshot loop (valid for the plane paths only:
+    bit-sliced and FSM-plane rounds, not ``independent_sites`` or
+    transition tables).
+
     Returns:
-      ((ptape, dtape), (applied [num_steps] summed over replicas,
+      ((ptape, dtape) — or a PlaneState under ``keep_planes`` —,
+      (applied [num_steps] summed over replicas,
       time [num_steps] cumulative)).
     """
     num_steps, events = steps_events
-    ptape, dtape = tapes
-    B, L = ptape.shape
+    in_state = isinstance(tapes, PlaneState)
+    if in_state:
+        B, L = tapes.batch, tapes.length
+    else:
+        ptape, dtape = tapes
+        B, L = ptape.shape
     _check_round_geometry(L, events, dtable.span)
 
     is_machine = isinstance(dtable, DeviceMachine)
@@ -1239,6 +1309,29 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
             "bitslice=True needs a plane-eligible machine "
             f"and B % 32 == 0 (got B={B}, "
             f"machine={getattr(dtable, 'tag', dtable)!r})")
+    if in_state:
+        # A packed state pins the path it was packed for.
+        if tapes.kind == "bits" and not use_bitslice:
+            raise ValueError(
+                "PlaneState packed for the bit-sliced round, but this "
+                "call resolves to a different path (bitslice="
+                f"{bitslice}, eligible={eligible})")
+        if tapes.kind == "fsm":
+            if not use_planes:
+                raise ValueError(
+                    "PlaneState packed for the FSM plane round needs a "
+                    "plane-eligible call (machine, stride <= "
+                    f"{_MAX_PLANE_STRIDE}, not independent_sites)")
+            use_bitslice = False
+        if tapes.stride != stride:
+            raise ValueError(
+                f"PlaneState stride {tapes.stride} != L//events = "
+                f"{stride}: pack and continuation calls must use the "
+                "same events_per_step")
+    if (keep_planes or in_state) and not (use_planes or use_bitslice):
+        raise ValueError(
+            "keep_planes/PlaneState need a plane-path call (machine, "
+            "stride <= 64, not independent_sites)")
 
     if use_bitslice:
         # Hottest path: the round as a bit-sliced boolean circuit, 32
@@ -1284,13 +1377,25 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
             return (pbp, dbp), None
 
         nb = circ[2]
-        carry = (bs.tapes_to_bitplanes(ptape, stride, nb,
-                                       transpose=transpose),
-                 bs.tapes_to_bitplanes(dtape, stride, nb,
-                                       transpose=transpose))
+        if in_state:
+            if tapes.nb != nb or tapes.transpose != transpose:
+                raise ValueError(
+                    f"PlaneState layout (nb={tapes.nb}, transpose="
+                    f"{tapes.transpose}) does not match this call "
+                    f"(nb={nb}, transpose={transpose})")
+            carry = (tapes.pbp, tapes.dbp)
+        else:
+            carry = (bs.tapes_to_bitplanes(ptape, stride, nb,
+                                           transpose=transpose),
+                     bs.tapes_to_bitplanes(dtape, stride, nb,
+                                           transpose=transpose))
         (pbp, dbp), _ = jax.lax.scan(step, carry, keys)
-        ptape = bs.bitplanes_to_tapes(pbp, transpose=transpose)
-        dtape = bs.bitplanes_to_tapes(dbp, transpose=transpose)
+        if keep_planes:
+            out = PlaneState("bits", pbp, dbp, nb=nb,
+                             transpose=transpose, batch=B, length=L)
+        else:
+            ptape = bs.bitplanes_to_tapes(pbp, transpose=transpose)
+            dtape = bs.bitplanes_to_tapes(dbp, transpose=transpose)
     elif use_planes:
         # Hot path: plane-stored int8 tapes, roll-free rounds, phase
         # drawn over [0, stride) (site-set equivalent to a full-tape
@@ -1304,13 +1409,20 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
                                                     uniforms)
             return (pp, dd), None
 
-        carry = (jnp.stack(_tape_to_planes(ptape.astype(jnp.int8),
-                                           stride)),
-                 jnp.stack(_tape_to_planes(dtape.astype(jnp.int8),
-                                           stride)))
+        if in_state:
+            carry = (tapes.pbp, tapes.dbp)
+        else:
+            carry = (jnp.stack(_tape_to_planes(ptape.astype(jnp.int8),
+                                               stride)),
+                     jnp.stack(_tape_to_planes(dtape.astype(jnp.int8),
+                                               stride)))
         (pp, dd), _ = jax.lax.scan(step, carry, keys)
-        ptape = _planes_to_tape(tuple(pp)).astype(jnp.int32)
-        dtape = _planes_to_tape(tuple(dd)).astype(jnp.int32)
+        if keep_planes:
+            out = PlaneState("fsm", pp, dd, nb=0, transpose=False,
+                             batch=B, length=L)
+        else:
+            ptape = _planes_to_tape(tuple(pp)).astype(jnp.int32)
+            dtape = _planes_to_tape(tuple(dd)).astype(jnp.int32)
     else:
         round_fn = _apply_lattice_round_fsm if is_machine \
             else _apply_lattice_round
@@ -1358,7 +1470,7 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
     applied = jnp.full((num_steps,), B * events, jnp.int64)
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
-    return (ptape, dtape), (applied, times)
+    return (out if keep_planes else (ptape, dtape)), (applied, times)
 
 
 def contains_pattern(tape, pattern):

@@ -130,11 +130,17 @@ def magnetization_series(spd):
                           - 1.0)
 
     ms = [mag(dtape)]
+    # Plane-resident snapshot loop: keep_planes returns the packed
+    # device state so only the decode (for the magnetization readout)
+    # is paid per snapshot, not the re-pack — bit-identical tape stream
+    # to the plain loop at the same keys
+    # (tests/test_ensemble.py::test_plane_state_continuation_*).
+    state = (ptape, dtape)
     for snap in range(N_SNAPS):
-        (ptape, dtape), _ = ensemble.run_ensemble(
-            jax.random.fold_in(key, 1 + snap), (ptape, dtape), dm,
-            (ROUNDS_PER_SNAP, E))
-        ms.append(mag(dtape))
+        state, _ = ensemble.run_ensemble(
+            jax.random.fold_in(key, 1 + snap), state, dm,
+            (ROUNDS_PER_SNAP, E), keep_planes=True)
+        ms.append(mag(state.tapes()[1]))
     return np.stack(ms)
 
 

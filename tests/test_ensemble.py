@@ -1034,3 +1034,59 @@ def test_weighted_first_passage_matches_unweighted_and_is_tau_invariant():
         # tau-invariance: the tempered estimator targets the same S(t).
         s_t = float(surv[0.5][0][bi])
         assert abs(s_t - s_bf) < 10 * se + 0.05, (bi, s_t, s_bf)
+
+
+def test_plane_state_continuation_bit_identical():
+    """keep_planes/PlaneState continuation reproduces plain chained
+    calls bit-for-bit (pack<->unpack is an exact roundtrip), for both
+    the bit-sliced and the FSM plane rounds."""
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(3)
+    B, L, E = 4096, 64, 4
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    k1, k2 = jax.random.PRNGKey(11), jax.random.PRNGKey(12)
+    for flag in (True, False):
+        (p_a, d_a), _ = ensemble.run_ensemble(k1, (pt, dt), dm, (6, E),
+                                              bitslice=flag)
+        (p_a, d_a), (app_a, t_a) = ensemble.run_ensemble(
+            k2, (p_a, d_a), dm, (6, E), bitslice=flag)
+        st, _ = ensemble.run_ensemble(k1, (pt, dt), dm, (6, E),
+                                      bitslice=flag, keep_planes=True)
+        assert isinstance(st, ensemble.PlaneState)
+        assert st.kind == ("bits" if flag else "fsm")
+        st, (app_b, t_b) = ensemble.run_ensemble(
+            k2, st, dm, (6, E), bitslice=flag, keep_planes=True)
+        p_b, d_b = st.tapes()
+        np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_a))
+        np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_a))
+        np.testing.assert_array_equal(np.asarray(app_b),
+                                      np.asarray(app_a))
+        np.testing.assert_array_equal(np.asarray(t_b), np.asarray(t_a))
+        # Mixed continuation: PlaneState in, decoded tapes out.
+        st2, _ = ensemble.run_ensemble(k1, (pt, dt), dm, (6, E),
+                                       bitslice=flag, keep_planes=True)
+        (p_c, d_c), _ = ensemble.run_ensemble(k2, st2, dm, (6, E),
+                                              bitslice=flag)
+        np.testing.assert_array_equal(np.asarray(p_c), np.asarray(p_a))
+        np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_a))
+
+
+def test_plane_state_rejects_mismatched_calls():
+    """PlaneState geometry/path mismatches fail loudly at trace time."""
+    import pytest
+    dm = ensemble.compile_decision_machine("ex5-msrtf-machine")
+    rng = np.random.RandomState(4)
+    B, L, E = 2048, 64, 4
+    pt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    dt = jnp.asarray(rng.randint(0, dm.size_a, (B, L)), jnp.int32)
+    key = jax.random.PRNGKey(5)
+    st, _ = ensemble.run_ensemble(key, (pt, dt), dm, (2, E),
+                                  keep_planes=True)
+    with pytest.raises(ValueError, match="stride"):
+        ensemble.run_ensemble(key, st, dm, (2, 2 * E))
+    with pytest.raises(ValueError, match="bit-sliced"):
+        ensemble.run_ensemble(key, st, dm, (2, E), bitslice=False)
+    with pytest.raises(ValueError, match="plane"):
+        ensemble.run_ensemble(key, (pt, dt), dm, (2, E),
+                              independent_sites=True, keep_planes=True)
