@@ -251,31 +251,36 @@ def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
     # cadence is a cost knob, not a quality knob).
     L, rounds, events = 64, 512, 4
     if blocks is None:
-        blocks = 2
-    plan = (blocks, rounds, events)
+        # Differenced over the BLOCK count (the block — rounds*events
+        # transitions + one merge/resample pass — is the frontier's
+        # repeating unit): per-call constants cancel, like the
+        # ensemble benches. 6 blocks at K=10^6 is ~3 s per call; the
+        # K=10^7 config-5 caller passes blocks=3 to bound call time.
+        blocks = 6
     pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
                             dtype=jnp.int8)
     dtp = jnp.zeros((K, L), jnp.int8)
-    lw = jnp.full((K,), -np.log(K), jnp.float64)
-    (pt, dtp), lw, nu = ensemble.run_weighted_frontier_blocked(
-        jax.random.PRNGKey(1), (pt, dtp), lw, dm, plan)
-    float(jnp.sum(lw))  # sync
-    rates = []
-    for i in range(n_rep):
+    state = [pt, dtp, jnp.full((K,), -np.log(K), jnp.float64)]
+    last_nu = [0]
+
+    def time_call(b, i):
         t0 = time.time()
         (pt, dtp), lw, nu = ensemble.run_weighted_frontier_blocked(
-            jax.random.PRNGKey(2 + i), (pt, dtp), lw, dm, plan)
+            jax.random.fold_in(jax.random.PRNGKey(2), b * 131 + i),
+            (state[0], state[1]), state[2], dm, (b, rounds, events))
         float(jnp.sum(pt.astype(jnp.int64))) + float(jnp.sum(lw))
-        dt = time.time() - t0
-        rates.append(K * blocks * rounds * events / dt)
-    rates.sort()
-    # Lower median: for even n_rep this reports the smaller middle
-    # element (never best-of-n).
-    return rates[(n_rep - 1) // 2], {
-        "tag": tag, "K": K, "plan": plan,
-        "n_unique_last": int(np.asarray(nu)[-1]),
-        "rates": [f"{r:.3e}" for r in rates],
-    }
+        elapsed = time.time() - t0
+        state[:] = [pt, dtp, lw]
+        last_nu[0] = int(np.asarray(nu)[-1])
+        return elapsed
+
+    rate, info = _steady_rate(time_call, K * rounds * events, blocks,
+                              n_rep=n_rep)
+    info.update({
+        "tag": tag, "K": K, "rounds": rounds, "events": events,
+        "n_unique_last": last_nu[0],
+    })
+    return rate, info
 
 
 def bench_frontier_per_step():
@@ -383,40 +388,33 @@ def bench_bff():
     B = int(os.environ.get("CKPE_BENCH_BFF_B",
                            os.environ.get("CKPE_BENCH_B", "16384")))
     L = int(os.environ.get("CKPE_BENCH_L", "4096"))
-    steps = int(os.environ.get("CKPE_BENCH_STEPS", "250"))
+    steps = int(os.environ.get("CKPE_BENCH_STEPS", "1000"))
     events = max(1, L // 64)  # stride 64 > 2*span = 62
 
     key = jax.random.PRNGKey(0)
-    ptape = jax.random.randint(key, (B, L), 0, m.size_a, dtype=jnp.int32)
-    dtape = jax.random.randint(jax.random.fold_in(key, 1), (B, L), 0,
-                               m.size_a, dtype=jnp.int32)
+    state = [jax.random.randint(key, (B, L), 0, m.size_a,
+                                dtype=jnp.int32),
+             jax.random.randint(jax.random.fold_in(key, 1), (B, L), 0,
+                                m.size_a, dtype=jnp.int32)]
 
-    def checksum(pt, dtp):
-        return int(jnp.sum(pt.astype(jnp.int64)) +
-                   jnp.sum(dtp.astype(jnp.int64)))
-
-    (pt, dtp), _ = bff.run_ensemble_bff(
-        jax.random.PRNGKey(1), (ptape, dtape), m, (steps, events))
-    checksum(pt, dtp)
-
-    n_rep = 3
-    rates = []
-    for i in range(n_rep):
+    def time_call(s, i):
         t0 = time.time()
-        (pt, dtp), (ops, _) = bff.run_ensemble_bff(
-            jax.random.PRNGKey(2 + i), (pt, dtp), m, (steps, events))
-        checksum(pt, dtp)
+        (pt, dtp), _ = bff.run_ensemble_bff(
+            jax.random.fold_in(jax.random.PRNGKey(2), s * 131 + i),
+            tuple(state), m, (s, events))
+        int(jnp.sum(pt.astype(jnp.int64)) + jnp.sum(dtp.astype(jnp.int64)))
         elapsed = time.time() - t0
-        rates.append(B * events * steps / elapsed)
-    rates.sort()
-    med = rates[n_rep // 2]
-    return med, {
-        "B": B, "L": L, "steps": steps, "events_per_step": events,
+        state[:] = [pt, dtp]
+        return elapsed
+
+    rate, info = _steady_rate(time_call, B * events, steps)
+    info.update({
+        "B": B, "L": L, "events_per_step": events,
         "ops_per_event": m.fuel,
-        "ops_per_s": f"{med * m.fuel:.3e}",
-        "rates": [f"{r:.3e}" for r in rates],
+        "ops_per_s": f"{rate * m.fuel:.3e}",
         "machine": m.summary(),
-    }
+    })
+    return rate, info
 
 
 def _probe_backend(timeout_s: int = 240) -> None:
@@ -501,7 +499,7 @@ def main():
             "CKPE_BENCH_FRONTIER_K7",
             k_reduced if k_reduced is not None else "10000000"))
         fr, finfo = bench_frontier("ex2-ferromagnetic-chain", K=k7,
-                                   blocks=2, n_rep=2)
+                                   blocks=3, n_rep=2)
         print(f"# frontier (blocked, 1e7-tape config 5): {fr:.3e} "
               f"branch-steps/s {finfo}", file=sys.stderr)
     except Exception as e:
