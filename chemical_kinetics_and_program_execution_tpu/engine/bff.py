@@ -191,9 +191,16 @@ def bff_fire(mach: BffMachine, p_cells, d_cells, prov_cells=None):
             "from d_cells); two-tape machines require a program window")
     shape = d_cells.shape[:-1]
     i32 = jnp.int32
+    # Cell dtype is preserved (int8 fast path / int32): the ensemble
+    # round loop is HBM-bound on the per-step window rewrites, so the
+    # scan runs tapes as int8 (symbols < 12 are exact) and only the
+    # register vectors live in int32. Selects still reduce to int32
+    # (`_sel` pins the sum dtype); writes cast back to the cell dtype
+    # so no step promotes the window arrays.
+    d_cells = jnp.asarray(d_cells)
+    cdt = d_cells.dtype
     if p_cells is not None:
-        p_cells = p_cells.astype(i32)
-    d_cells = d_cells.astype(i32)
+        p_cells = jnp.asarray(p_cells, cdt)
     pc = jnp.zeros(shape, i32)
     d0 = jnp.zeros(shape, i32)
     d1 = jnp.full(shape, mach.d1_start, i32)
@@ -266,7 +273,7 @@ def bff_fire(mach: BffMachine, p_cells, d_cells, prov_cells=None):
                            _sel(prov_cells, d1 - mach.d_lo))
             ohp = oh & (is_dot | is_comma)[..., None]
             prov_cells = jnp.where(ohp, pv[..., None], prov_cells)
-        d_cells = jnp.where(oh, w_val[..., None], d_cells)
+        d_cells = jnp.where(oh, w_val.astype(cdt)[..., None], d_cells)
 
         pc = jnp.where(in_l, pc_l, jnp.where(in_r, pc_r, pc_e))
         mode = jnp.where(in_l, mode_l, jnp.where(in_r, mode_r, mode_e))
@@ -461,7 +468,7 @@ def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
             hit = jax.random.uniform(ku, (B, L)) < mutation_rate
             vals = jax.random.randint(kv, (B, L), 0, mach.size_a,
                                       dtype=jnp.int32)
-            new_t = jnp.where(hit, vals, ts[0])
+            new_t = jnp.where(hit, vals.astype(ts[0].dtype), ts[0])
             ts = ((new_t, jnp.where(hit, jnp.int32(-1), ts[1]))
                   if lineage else (new_t,))
         return (ts, phase), ops
@@ -473,11 +480,22 @@ def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
     # streams are bit-identical: the added term is exactly 0.
     phase0 = (jnp.zeros((B,), jnp.int32)
               + (keys[0].sum() * 0).astype(jnp.int32))
-    carry = (tuple(jnp.asarray(t).astype(jnp.int32) for t in ts),
+    # Symbol tapes run the scan as int8 (alphabet < 12 fits exactly):
+    # the round loop is HBM-bound on the per-step window rewrites, so
+    # the narrower dtype cuts its dominant traffic 4x (measured 2026-
+    # 08-20, RESULTS.md "bff interpreter"); `bff_fire` preserves the
+    # cell dtype throughout, and the int32 API reappears below. The
+    # lineage ring (self+prov mode) must STAY int32 — provenance ids
+    # range over B*L.
+    is_prov = lambda j: lineage and j == len(ts) - 1
+    carry = (tuple(jnp.asarray(t).astype(
+                 jnp.int32 if is_prov(j) else jnp.int8)
+                 for j, t in enumerate(ts)),
              phase0)
     (ts, phase), op_totals = jax.lax.scan(step, carry, keys)
     if independent_sites:
         ts = tuple(_roll_rows(t, -phase) for t in ts)
+    ts = tuple(t.astype(jnp.int32) for t in ts)
     dt_round = -jnp.log1p(-events / L)
     times = dt_round * jnp.arange(1, num_steps + 1, dtype=jnp.float64)
     return ts, (op_totals, times)
