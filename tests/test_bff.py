@@ -311,6 +311,47 @@ def test_run_ensemble_bff_contract():
         bff.compile_bff("ex2-ferromagnetic-chain")
 
 
+def test_run_ensemble_bff_scan_matches_serial_rounds():
+    """The jitted scan path (which runs its tape carry as int8 —
+    `_run_ensemble_bff`) is bit-identical to serially applying
+    `apply_bff_round` / `apply_bff_self_round` on int32 tapes at the
+    same shift stream: gates the scan-boundary dtype conversion end to
+    end, lineage ring included."""
+    import jax
+
+    # Two-tape faithful machine.
+    m = bff.compile_bff("ex6-mini-bff")
+    B, L, E, steps = 8, 256, 4, 5
+    key = jax.random.PRNGKey(7)
+    pt = jax.random.randint(jax.random.fold_in(key, 0), (B, L), 0,
+                            m.size_a, dtype=np.int32)
+    dt = jax.random.randint(jax.random.fold_in(key, 1), (B, L), 0,
+                            m.size_a, dtype=np.int32)
+    k_run = jax.random.fold_in(key, 2)
+    (_, d_out), _ = bff.run_ensemble_bff(k_run, (pt, dt), m, (steps, E))
+    d_ser = dt
+    for k in jax.random.split(k_run, steps):
+        shift = jax.random.randint(k, (), 0, L, dtype=np.int32)
+        _, d_ser = bff.apply_bff_round(m, pt, d_ser, shift, events=E)
+    assert np.array_equal(np.asarray(d_out), np.asarray(d_ser))
+
+    # Self-modifying machine with the int32 lineage ring riding along.
+    ms = bff.compile_bff("ex6-mini-bff-self")
+    t0 = jax.random.randint(jax.random.fold_in(key, 3), (B, L), 0,
+                            ms.size_a, dtype=np.int32)
+    prov0 = np.arange(B * L, dtype=np.int32).reshape(B, L)
+    k_run2 = jax.random.fold_in(key, 4)
+    (t_out, p_out), _ = bff.run_ensemble_bff(
+        k_run2, t0, ms, (steps, E), prov=prov0)
+    t_ser, p_ser = t0, prov0
+    for k in jax.random.split(k_run2, steps):
+        shift = jax.random.randint(k, (), 0, L, dtype=np.int32)
+        t_ser, p_ser = bff.apply_bff_self_round(
+            ms, t_ser, shift, events=E, prov=p_ser)
+    assert np.array_equal(np.asarray(t_out), np.asarray(t_ser))
+    assert np.array_equal(np.asarray(p_out), np.asarray(p_ser))
+
+
 def test_bff_self_ensemble_tracks_exact_spd_closure():
     """Cross-engine triangle for the SELF-MODIFYING rule: the device
     interpreter's sampled window statistics must follow the exact SPD
