@@ -443,41 +443,57 @@ def _probe_backend(timeout_s: int = 240) -> None:
 
 
 def main():
+    """Run every family bench; print the driver headline JSON line LAST.
+
+    Round-2 regression: the headline was printed FIRST and the stderr
+    detail grew long enough to push it out of the driver's tail capture
+    (`BENCH_r02.json` ``"parsed": null``). The headline is therefore
+    printed twice — once up front (humans watching the stream) and once
+    as the FINAL stdout line (the driver parses the tail) — preceded by
+    one compact ``{"families": ...}`` JSON line with every family rate.
+    """
     _probe_backend()
+    families = {}
     tps, info = bench_ensemble()
+    families["ensemble_ex5"] = tps
     result = {
         "metric": "tape transitions/sec/chip",
         "value": tps,
         "unit": "transitions/s",
         "vs_baseline": tps / NORTH_STAR,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     print(f"# ensemble: {info}", file=sys.stderr)
     try:
         eps, einfo = bench_exact_rhs()
+        families["exact_rhs"] = eps
         print(f"# exact RHS: {eps:.3e} accumulation events/s {einfo}",
               file=sys.stderr)
     except Exception as e:  # secondary metric must never fail the bench
         print(f"# exact RHS bench skipped: {e}", file=sys.stderr)
     try:
         sps, sinfo = bench_ssa()
+        families["ssa"] = sps
         print(f"# SSA: {sps:.3e} trajectories/s {sinfo}", file=sys.stderr)
     except Exception as e:
         print(f"# SSA bench skipped: {e}", file=sys.stderr)
     try:
         c5, cinfo = bench_config5()
+        families["config5"] = c5
         print(f"# config5 (1e7-tape ensemble): {c5:.3e} transitions/s "
               f"{cinfo}", file=sys.stderr)
     except Exception as e:
         print(f"# config5 bench skipped: {e}", file=sys.stderr)
     try:
         br, binfo = bench_branching_ensemble()
+        families["ensemble_branching_ex4"] = br
         print(f"# ensemble (branching rule, ex4): {br:.3e} transitions/s "
               f"{binfo}", file=sys.stderr)
     except Exception as e:
         print(f"# branching ensemble bench skipped: {e}", file=sys.stderr)
     try:
         bf, bfinfo = bench_bff()
+        families["bff"] = bf
         print(f"# bff interpreter (faithful ex6): {bf:.3e} site "
               f"events/s {bfinfo}", file=sys.stderr)
     except Exception as e:
@@ -485,6 +501,7 @@ def main():
     for tag in ("ex5-msrtf-machine", "ex2-ferromagnetic-chain"):
         try:
             fr, finfo = bench_frontier(tag)
+            families[f"frontier_{tag.split('-')[0]}"] = fr
             print(f"# frontier (blocked, {tag}): {fr:.3e} branch-steps/s "
                   f"{finfo}", file=sys.stderr)
         except Exception as e:
@@ -500,10 +517,17 @@ def main():
             k_reduced if k_reduced is not None else "10000000"))
         fr, finfo = bench_frontier("ex2-ferromagnetic-chain", K=k7,
                                    blocks=3, n_rep=2)
+        families["frontier_1e7"] = fr
         print(f"# frontier (blocked, 1e7-tape config 5): {fr:.3e} "
               f"branch-steps/s {finfo}", file=sys.stderr)
     except Exception as e:
         print(f"# frontier 1e7 bench skipped: {e}", file=sys.stderr)
+    # Final two stdout lines, in this order: the compact family rates,
+    # then the driver-parseable headline (MUST be last — see docstring).
+    print(json.dumps(
+        {"families": {k: float(f"{v:.4e}") for k, v in families.items()},
+         "unit": "events/s (per family)"}), flush=True)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -487,6 +487,10 @@ def _run_ensemble_bff(key, ts, mach, steps_events, mutation_rate, *,
     # cell dtype throughout, and the int32 API reappears below. The
     # lineage ring (self+prov mode) must STAY int32 — provenance ids
     # range over B*L.
+    if mach.size_a > 127:
+        raise ValueError(
+            f"BFF scan int8 fast path requires size_a <= 127 "
+            f"(got {mach.size_a}); symbols would wrap silently")
     is_prov = lambda j: lineage and j == len(ts) - 1
     carry = (tuple(jnp.asarray(t).astype(
                  jnp.int32 if is_prov(j) else jnp.int8)
