@@ -397,6 +397,27 @@ def bench_bff():
              jax.random.randint(jax.random.fold_in(key, 1), (B, L), 0,
                                 m.size_a, dtype=jnp.int32)]
 
+    # The faithful rule's bit-sliced circuit is too big for CI's CPU
+    # backend (`bff_bitslice.CPU_MAX_CIRCUIT_OPS`), so ITS cross-engine
+    # bit-identity gate lives here, on the accelerator, ahead of the
+    # timing: 2 rounds on a 32-member slice, tapes AND opcode totals
+    # exactly equal between the circuit and the int8 scan.
+    engine_used = "scan"
+    if jax.default_backend() != "cpu":
+        engine_used = "bitslice"
+        kchk = jax.random.PRNGKey(99)
+        sl = tuple(t[:32, :512] for t in state)
+        ev_chk = max(1, 512 // 64)
+        a = bff.run_ensemble_bff(kchk, sl, m, (2, ev_chk),
+                                 engine="bitslice")
+        b = bff.run_ensemble_bff(kchk, sl, m, (2, ev_chk),
+                                 engine="scan")
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            if not np.array_equal(np.asarray(x), np.asarray(y)):
+                raise RuntimeError(
+                    "bff bitslice/scan cross-engine parity FAILED on "
+                    "the faithful rule")
+
     def time_call(s, i):
         t0 = time.time()
         (pt, dtp), _ = bff.run_ensemble_bff(
@@ -413,6 +434,7 @@ def bench_bff():
         "ops_per_event": m.fuel,
         "ops_per_s": f"{rate * m.fuel:.3e}",
         "machine": m.summary(),
+        "engine": engine_used,
     })
     return rate, info
 

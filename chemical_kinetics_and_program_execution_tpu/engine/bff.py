@@ -349,7 +349,8 @@ def apply_bff_self_round(mach: BffMachine, tape, shift, *,
 
 def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
                      *, independent_sites: bool = False,
-                     mutation_rate: float = 0.0, prov=None):
+                     mutation_rate: float = 0.0, prov=None,
+                     engine: str = "auto"):
     """Advances a batch of tape pairs under the BFF interpreter.
 
     The `run_ensemble` contract (stratified lattice rounds, Poisson
@@ -384,6 +385,17 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
         keep it, background mutation stamps -1 "de novo"). The content
         trajectory is bit-identical with or without it. When given,
         the returned tape is ``(tape, prov)``.
+      engine: ``"auto"`` (default) runs the bit-sliced boolean-circuit
+        interpreter (`bff_bitslice`, 32 members per int32 lane) when
+        the call is eligible — B % 32 == 0, common random sites, no
+        mutation, no lineage, and (on the CPU backend only) a circuit
+        within `bff_bitslice.CPU_MAX_CIRCUIT_OPS` — and the int8
+        select-cascade scan otherwise; the two paths are BIT-IDENTICAL
+        in tapes and op totals at the same key
+        (`tests/test_bff_bitslice.py`; the faithful rule's identity is
+        gated on TPU by `bench.py`). ``"scan"`` / ``"bitslice"`` force
+        a path (the latter raises on ineligible calls and ignores the
+        CPU circuit-size limit).
 
     Returns:
       ((ptape, dtape), (op_totals [num_steps, size_a] int64 executed
@@ -402,6 +414,39 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
         ts = (tapes,) if prov is None else (tapes, prov)
     else:
         ts = tuple(tapes)
+    if engine not in ("auto", "scan", "bitslice"):
+        raise ValueError(f"unknown engine {engine!r}; "
+                         "expected 'auto', 'scan' or 'bitslice'")
+    if engine != "scan":
+        from . import bff_bitslice as bbs
+
+        eligible = bbs.bff_bitslice_eligible(
+            mach, ts[0].shape[0], independent_sites=independent_sites,
+            mutation_rate=mu, lineage=prov is not None)
+        if engine == "bitslice" and not eligible:
+            raise ValueError(
+                "engine='bitslice' needs B % 32 == 0, common random "
+                "sites, mutation_rate=0 and no lineage ring "
+                f"(got B={ts[0].shape[0]}, independent_sites="
+                f"{independent_sites}, mutation_rate={mu}, "
+                f"lineage={prov is not None})")
+        if eligible and engine == "auto":
+            # XLA:CPU's per-fusion LLVM codegen blows up on the big
+            # circuits (the faithful rule's 7.3k-gate round compiles in
+            # ~25 s on TPU but >9 MINUTES on the CPU backend, measured
+            # round-3 — fusion duplication shreds the hash-consed
+            # sharing into ~300k HLO ops / 300+ LLVM kernels; barriers
+            # don't help). auto therefore keeps the scan on CPU unless
+            # the circuit is CI-small; `engine="bitslice"` overrides.
+            eligible = (jax.default_backend() != "cpu"
+                        or len(bbs.compile_bff_circuit(mach)[0])
+                        <= bbs.CPU_MAX_CIRCUIT_OPS)
+        if eligible:
+            out, aux = bbs.run_ensemble_bff_bitsliced(
+                key, ts, mach, steps_events)
+            if mach.self_modifying:
+                return out[0], aux
+            return out, aux
     out, aux = _run_ensemble_bff(
         key, ts, mach, steps_events, jnp.float64(mu),
         independent_sites=independent_sites, mutate_on=bool(mu),

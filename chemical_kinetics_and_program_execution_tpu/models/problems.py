@@ -606,6 +606,19 @@ _ex6_lite = _ex6_rule(fuel=2, d1_start=1)
 _ex6_lite.native_ex6 = (2, 1)
 register_problem("ex6-mini-bff-lite", _EX6_SYMBOLS)(_ex6_lite)
 
+# The "midi" variant (fuel 4, heads 3 apart) sits between lite and
+# faithful: deep enough that the interpreter's mode counter reaches
+# +-2+, heads walk multiple cells and d0/d1 write windows alias, yet
+# its bit-sliced boolean circuit (~2k gates, `bff_bitslice`) still
+# compiles on the CPU backend in CI time — the faithful rule's ~7k-gate
+# circuit does not (XLA:CPU's per-fusion LLVM codegen; measured
+# round-3, DESIGN.md), so midi carries the deep-circuit parity gates on
+# the virtual-CPU test mesh while the faithful rule is gated on TPU by
+# `bench.py`'s cross-engine check.
+_ex6_midi = _ex6_rule(fuel=4, d1_start=3)
+_ex6_midi.native_ex6 = (4, 3)
+register_problem("ex6-mini-bff-midi", _EX6_SYMBOLS)(_ex6_midi)
+
 # Single-tape SELF-MODIFYING variants (beyond reference): opcodes and
 # data live on ONE ring, so plus/minus/comma/dot writes land in the
 # instruction stream — 'dot' copies the cell under d0 to d1_start cells
@@ -622,3 +635,7 @@ _ex6_self_lite = _ex6_rule(fuel=2, d1_start=1,
                            code_tape=DATA, data_tape=DATA)
 _ex6_self_lite.native_ex6_self = (2, 1)
 register_problem("ex6-mini-bff-self-lite", _EX6_SYMBOLS)(_ex6_self_lite)
+_ex6_self_midi = _ex6_rule(fuel=4, d1_start=3,
+                           code_tape=DATA, data_tape=DATA)
+_ex6_self_midi.native_ex6_self = (4, 3)
+register_problem("ex6-mini-bff-self-midi", _EX6_SYMBOLS)(_ex6_self_midi)

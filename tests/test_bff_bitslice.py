@@ -1,0 +1,133 @@
+"""Bit-sliced BFF interpreter tests (`engine/bff_bitslice.py`).
+
+The circuit path is a pure re-formulation of `bff.bff_fire`'s unrolled
+select cascade (itself host-validated — see `tests/test_bff.py`), and
+its round driver consumes the PRNG stream identically to the int8 scan,
+so the gate here is BIT-IDENTITY against the scan engine: tapes,
+executed-opcode totals, and times, for the two-tape machines (faithful
+and lite) and the self-modifying ones.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chemical_kinetics_and_program_execution_tpu.engine import (
+    bff,
+    bff_bitslice,
+)
+import chemical_kinetics_and_program_execution_tpu.models.problems  # noqa: F401  (registers ex6 family)
+
+
+def _random_tapes(key, n, B, L, size_a):
+    keys = jax.random.split(key, n)
+    return tuple(jax.random.randint(k, (B, L), 0, size_a,
+                                    dtype=jnp.int32) for k in keys)
+
+
+@pytest.mark.parametrize("tag,B,L,steps,events", [
+    # midi (fuel 4, span 10): deepest circuit XLA:CPU compiles in CI
+    # time; the faithful rule (fuel 10, 7.3k gates) is gated on TPU by
+    # bench.py's cross-engine check (CPU compile >9 min, DESIGN.md).
+    ("ex6-mini-bff-midi", 32, 256, 5, 4),
+    ("ex6-mini-bff-lite", 64, 64, 6, 4),    # lite: span 4, stride 16
+])
+def test_bitslice_matches_scan_two_tape(tag, B, L, steps, events):
+    m = bff.compile_bff(tag)
+    kp, kd, kr = jax.random.split(jax.random.PRNGKey(0), 3)
+    pt, = _random_tapes(kp, 1, B, L, m.size_a)
+    dt, = _random_tapes(kd, 1, B, L, m.size_a)
+    (p1, d1), (ops1, t1) = bff.run_ensemble_bff(
+        kr, (pt, dt), m, (steps, events), engine="scan")
+    (p2, d2), (ops2, t2) = bff.run_ensemble_bff(
+        kr, (pt, dt), m, (steps, events), engine="bitslice")
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(ops1), np.asarray(ops2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    # The run did something: opcode totals count every fetched op.
+    assert int(np.asarray(ops1).sum()) == steps * B * events * m.fuel
+
+
+@pytest.mark.parametrize("tag,B,L,steps,events", [
+    ("ex6-mini-bff-self-midi", 32, 256, 4, 4),
+    ("ex6-mini-bff-self-lite", 64, 64, 6, 4),
+])
+def test_bitslice_matches_scan_self_modifying(tag, B, L, steps, events):
+    m = bff.compile_bff(tag)
+    kt, kr = jax.random.split(jax.random.PRNGKey(1))
+    tape, = _random_tapes(kt, 1, B, L, m.size_a)
+    t1, (ops1, _) = bff.run_ensemble_bff(
+        kr, tape, m, (steps, events), engine="scan")
+    t2, (ops2, _) = bff.run_ensemble_bff(
+        kr, tape, m, (steps, events), engine="bitslice")
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(ops1), np.asarray(ops2))
+
+
+def test_auto_engages_bitslice_identically():
+    """engine='auto' on an eligible call returns the scan's exact
+    stream (the auto default changed the hot path; this pins it)."""
+    m = bff.compile_bff("ex6-mini-bff-lite")
+    kp, kd, kr = jax.random.split(jax.random.PRNGKey(2), 3)
+    pt, = _random_tapes(kp, 1, 32, 64, m.size_a)
+    dt, = _random_tapes(kd, 1, 32, 64, m.size_a)
+    (pa, da), (opsa, _) = bff.run_ensemble_bff(kr, (pt, dt), m, (3, 4))
+    (ps, ds), (opss, _) = bff.run_ensemble_bff(kr, (pt, dt), m, (3, 4),
+                                               engine="scan")
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(ds))
+    np.testing.assert_array_equal(np.asarray(opsa), np.asarray(opss))
+
+
+def test_bitslice_ineligible_calls_raise_or_fall_back():
+    m = bff.compile_bff("ex6-mini-bff-self-lite")
+    kt, kr = jax.random.split(jax.random.PRNGKey(3))
+    tape = jax.random.randint(kt, (48, 64), 0, m.size_a,
+                              dtype=jnp.int32)  # B % 32 != 0
+    with pytest.raises(ValueError, match="bitslice"):
+        bff.run_ensemble_bff(kr, tape, m, (2, 4), engine="bitslice")
+    tape32 = tape[:32]
+    with pytest.raises(ValueError, match="bitslice"):
+        bff.run_ensemble_bff(kr, tape32, m, (2, 4), engine="bitslice",
+                             independent_sites=True)
+    with pytest.raises(ValueError, match="bitslice"):
+        bff.run_ensemble_bff(kr, tape32, m, (2, 4), engine="bitslice",
+                             mutation_rate=0.01)
+    with pytest.raises(ValueError, match="unknown engine"):
+        bff.run_ensemble_bff(kr, tape32, m, (2, 4), engine="warp")
+    # auto on an ineligible call silently keeps the scan path.
+    out, _ = bff.run_ensemble_bff(kr, tape, m, (2, 4))
+    assert out.shape == tape.shape
+
+
+def test_auto_keeps_scan_for_big_circuits_on_cpu():
+    """The faithful rule's circuit must stay OVER the CPU auto limit
+    (so auto never hands the CPU backend a >9-minute compile) while
+    midi stays UNDER it (so the deep-circuit path keeps CPU CI
+    coverage). Decision logic pinned without running the big circuit."""
+    assert jax.default_backend() == "cpu"  # conftest forces it
+    big = bff_bitslice.compile_bff_circuit(bff.compile_bff("ex6-mini-bff"))
+    mid = bff_bitslice.compile_bff_circuit(
+        bff.compile_bff("ex6-mini-bff-midi"))
+    assert len(big[0]) > bff_bitslice.CPU_MAX_CIRCUIT_OPS
+    assert len(mid[0]) <= bff_bitslice.CPU_MAX_CIRCUIT_OPS
+
+
+def test_circuit_is_pure_window_function():
+    """Same key, different batch slices: slicing members out of a batch
+    and running them alone reproduces their rows exactly (the packing
+    into 32-member words must not couple members)."""
+    m = bff.compile_bff("ex6-mini-bff-lite")
+    kp, kd, kr = jax.random.split(jax.random.PRNGKey(4), 3)
+    pt, = _random_tapes(kp, 1, 64, 64, m.size_a)
+    dt, = _random_tapes(kd, 1, 64, 64, m.size_a)
+    (_, d_all), _ = bff.run_ensemble_bff(kr, (pt, dt), m, (4, 4),
+                                         engine="bitslice")
+    # NOTE the shift stream depends only on the key, not on B, so the
+    # first 32 members see identical site lattices in both runs.
+    (_, d_sub), _ = bff.run_ensemble_bff(kr, (pt[:32], dt[:32]), m,
+                                         (4, 4), engine="bitslice")
+    np.testing.assert_array_equal(np.asarray(d_all)[:32],
+                                  np.asarray(d_sub))
