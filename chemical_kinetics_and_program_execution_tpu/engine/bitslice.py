@@ -299,9 +299,9 @@ def _event_truth_tables(dm):
 
     tables = []
     for c in range(dm.n_cells):
-        w = np.asarray(dm.wr_words[c], np.int64)
-        f = (w[spec // 6] >> (5 * (spec % 6))) & 31
-        new_c = np.where((f >> 4) == 1, f & 15, cellv[c])
+        wmask, wval = ens.wr_field_host(dm.wr_words[c], spec,
+                                        dm.wr_bits)
+        new_c = np.where(wmask, wval, cellv[c])
         for k in range(nb):
             tables.append(((new_c >> k) & 1).astype(bool))
     return tables, n_in, nb
@@ -309,7 +309,7 @@ def _event_truth_tables(dm):
 
 @functools.lru_cache(maxsize=None)
 def _compile_circuit(nodes, root, num_specs, size_a, bits, wr_words,
-                     n_p, n_d, p_lo, d_lo, span, tag):
+                     n_p, n_d, p_lo, d_lo, span, tag, wr_bits=5):
     """(ops, outputs, nb): the round circuit for a hashable machine key."""
     from . import ensemble as ens
 
@@ -317,7 +317,7 @@ def _compile_circuit(nodes, root, num_specs, size_a, bits, wr_words,
         tag=tag, size_a=size_a, p_lo=p_lo, d_lo=d_lo, n_p=n_p, n_d=n_d,
         span=span, p_offs=jnp.arange(1), d_offs=jnp.arange(1),
         nodes=nodes, root=root, n_states=0, bits=bits,
-        wr_words=wr_words, num_specs=num_specs)
+        wr_words=wr_words, num_specs=num_specs, wr_bits=wr_bits)
     tables, n_in, nb = _event_truth_tables(dm)
     builder = _Builder(n_in)
     memo: dict = {}
@@ -334,7 +334,8 @@ def _compile_circuit(nodes, root, num_specs, size_a, bits, wr_words,
 def compile_round_circuit(dm):
     return _compile_circuit(dm.nodes, dm.root, dm.num_specs, dm.size_a,
                             dm.bits, dm.wr_words, dm.n_p, dm.n_d,
-                            dm.p_lo, dm.d_lo, dm.span, dm.tag)
+                            dm.p_lo, dm.d_lo, dm.span, dm.tag,
+                            dm.wr_bits)
 
 
 # --------------------------------------------------------------------------
@@ -372,7 +373,7 @@ def machine_is_sampleable(dm) -> bool:
 @functools.lru_cache(maxsize=None)
 def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
                               wr_words, n_p, n_d, p_lo, d_lo, span, tag,
-                              rand_bits):
+                              rand_bits, wr_bits=5):
     """Layered circuit for ONE event of a choose-ful machine at tau=1.
 
     Inputs: window cell bits (n_cells*nb) followed by ``rand_bits``
@@ -398,7 +399,7 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
         tag=tag, size_a=size_a, p_lo=p_lo, d_lo=d_lo, n_p=n_p, n_d=n_d,
         span=span, p_offs=jnp.arange(1), d_offs=jnp.arange(1),
         nodes=nodes, root=root, n_states=0, bits=bits,
-        wr_words=wr_words, num_specs=num_specs)
+        wr_words=wr_words, num_specs=num_specs, wr_bits=wr_bits)
     plan = ens._level_plan(dm)
     nb = max(1, (size_a - 1).bit_length())
     n_cells = n_p + n_d
@@ -512,9 +513,8 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
         idx = np.arange(1 << (sb + nb), dtype=np.int64)
         v = np.minimum(idx & ((1 << sb) - 1), S - 1)
         cv = np.minimum((idx >> sb) & ((1 << nb) - 1), size_a - 1)
-        w = np.asarray(wr_words[c], np.int64)
-        f = (w[v // 6] >> (5 * (v % 6))) & 31
-        new_c = np.where((f >> 4) == 1, f & 15, cv)
+        wmask, wval = ens.wr_field_host(wr_words[c], v, wr_bits)
+        new_c = np.where(wmask, wval, cv)
         memo = {}
         for k in range(nb):
             outputs.append(_synth_over(
@@ -540,7 +540,7 @@ def compile_sampling_circuit(dm, *, rand_bits: int = _RAND_BITS):
     return _compile_sampling_circuit(
         dm.nodes, dm.root, dm.num_specs, dm.size_a, dm.bits,
         dm.wr_words, dm.n_p, dm.n_d, dm.p_lo, dm.d_lo, dm.span, dm.tag,
-        rand_bits)
+        rand_bits, dm.wr_bits)
 
 
 # --------------------------------------------------------------------------

@@ -273,7 +273,7 @@ _SPEC_BITS = 6  # up to 63 write specs
     data_fields=("p_offs", "d_offs"),
     meta_fields=("tag", "size_a", "span", "p_lo", "d_lo", "n_p", "n_d",
                  "nodes", "root", "n_states", "bits", "wr_words",
-                 "num_specs"),
+                 "num_specs", "wr_bits"),
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceMachine:
@@ -292,10 +292,14 @@ class DeviceMachine:
     root: int     # initial FSM state (0 iff the rule never branches)
     n_states: int
     bits: int     # field width of child/spec words
-    # Per-cell write words: 5-bit field s = (writes?<<4 | symbol) for
-    # write-spec s, 6 fields per int32 word.
+    # Per-cell write words: wr_bits-wide field s =
+    # (writes?<<(wr_bits-1) | symbol) for write-spec s, 31//wr_bits
+    # fields per int32 word (wr_bits = 5 whenever size_a <= 16 — the
+    # historical fixed packing; wider alphabets widen the field, round
+    # 3's fast-path-cliff removal).
     wr_words: tuple[tuple[int, ...], ...]
     num_specs: int
+    wr_bits: int = 5
 
     @property
     def n_cells(self) -> int:
@@ -342,11 +346,6 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
             wr_val_list.append(val)
         leaf_spec[w.decisions] = wr_specs[key]
     num_specs = len(wr_mask_list)
-    if num_specs > (1 << _SPEC_BITS) - 1:
-        raise ValueError(
-            f"{tag!r}: {num_specs} write specs exceed the {_SPEC_BITS}-bit "
-            "packing of the decision machine; use the transition table."
-        )
 
     # Trie over decision sequences (meta consistent across shared
     # prefixes because replay is deterministic).
@@ -396,11 +395,17 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
     order.reverse()
     ids = {sig: i + 1 for i, sig in enumerate(order)}  # 0 = terminal
     n_states = len(order) + 1
-    bits = max(_SPEC_BITS, (n_states - 1).bit_length())
-    if bits > 15:
+    # Field width: child ids AND spec ids share the packed words, so
+    # both must fit. No hard cap below 30 bits (round 3: the old 6-bit
+    # spec / 15-bit state ceilings silently demoted rules like ex6-lite
+    # — 85 specs — to the gather-heavy table); the select cascade in
+    # `_unpack_field` just grows with the word count.
+    bits = max(_SPEC_BITS, num_specs.bit_length(),
+               (n_states - 1).bit_length())
+    if bits > 30:
         raise ValueError(
-            f"{tag!r}: {n_states} FSM states exceed the int32 field "
-            "packing; use the transition table."
+            f"{tag!r}: {n_states} FSM states / {num_specs} specs "
+            "exceed the int32 field packing; use the transition table."
         )
 
     nodes: list = []
@@ -418,16 +423,16 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
             nodes.append(_Choose(ids[sig], tuple(meta[1]), child_words,
                                  spec_words))
 
-    # Per-cell write words: 5-bit (writes<<4 | symbol) fields, 6/word.
-    for s in range(num_specs):
-        if (wr_val_list[s] >= 16).any():
-            raise ValueError(
-                f"{tag!r}: symbol values exceed the 4-bit write packing."
-            )
+    # Per-cell write words: (writes << sym_bits | symbol) fields. The
+    # historical packing is 5-bit fields (4-bit symbols); alphabets
+    # past 16 widen the field instead of erroring out (round 3).
+    sym_bits = max(4, (size_a - 1).bit_length())
+    wr_bits = sym_bits + 1
     wr_words = tuple(
         _pack_fields(
-            [int(wr_mask_list[s][c]) << 4 | int(wr_val_list[s][c])
-             for s in range(num_specs)], 5)
+            [int(wr_mask_list[s][c]) << sym_bits
+             | int(wr_val_list[s][c])
+             for s in range(num_specs)], wr_bits)
         for c in range(n_cells)
     )
 
@@ -447,6 +452,7 @@ def compile_decision_machine(tag: str, *, max_worlds: int | None = None
         bits=bits,
         wr_words=wr_words,
         num_specs=num_specs,
+        wr_bits=wr_bits,
     )
 
 
@@ -515,14 +521,37 @@ def _machine_specs_planes(dm: DeviceMachine, cells, uniforms, *,
                                          want_logp=want_logp)
 
 
+def wr_field_host(words, s, wr_bits: int = 5):
+    """Host-side decode of one cell's packed write field(s).
+
+    ``words`` is a `DeviceMachine.wr_words[c]` tuple, ``s`` a spec
+    index (or numpy array of them). Returns ``(writes?, symbol)``
+    numpy arrays — the one decode shared by every host consumer
+    (`ops/thermo`, `bitslice` truth tables) so the field width lives
+    in exactly one place.
+    """
+    per = 31 // wr_bits
+    w = np.asarray(words, np.int64)
+    f = (w[np.asarray(s) // per] >> (wr_bits * (np.asarray(s) % per))
+         ) & ((1 << wr_bits) - 1)
+    return (f >> (wr_bits - 1)) == 1, f & ((1 << (wr_bits - 1)) - 1)
+
+
+def _int_dtype_for(n: int):
+    """Narrowest of int8/int16/int32 holding values in [0, n]."""
+    return (jnp.int8 if n <= 127
+            else jnp.int16 if n <= 32767 else jnp.int32)
+
+
 def _machine_specs_planes_nodes(dm: DeviceMachine, cells, uniforms, *,
                                 tau: float = 1.0, want_logp: bool = False):
     """Per-node masked-cascade FSM walk (reference formulation)."""
     bits = dm.bits
     fields = 31 // bits
-    sdt = jnp.int8 if dm.n_states <= 127 else jnp.int16
+    sdt = _int_dtype_for(dm.n_states - 1)
+    spdt = _int_dtype_for(dm.num_specs - 1)
     state = jnp.full(cells[0].shape, dm.root, sdt)
-    spec = jnp.zeros(cells[0].shape, jnp.int8)
+    spec = jnp.zeros(cells[0].shape, spdt)
     logp = jnp.zeros(cells[0].shape, jnp.float32) if want_logp else None
     u = uniforms
     for node in dm.nodes:
@@ -552,7 +581,7 @@ def _machine_specs_planes_nodes(dm: DeviceMachine, cells, uniforms, *,
         child = _unpack_field(node.child_words, widx, shift_amt, bits)
         nspec = _unpack_field(node.spec_words, widx, shift_amt, bits)
         state = jnp.where(mask, child.astype(sdt), state)
-        spec = jnp.where(mask, nspec.astype(jnp.int8), spec)
+        spec = jnp.where(mask, nspec.astype(spdt), spec)
     return (spec, logp) if want_logp else spec
 
 
@@ -614,11 +643,15 @@ def _build_level_plan(nodes, root, num_specs, size_a, bits):
                     nxt.append(child)
         if not nxt:
             break
-        # Reveals grouped by cell (ascending), chooses last; ties broken
-        # by node id for determinism.
+        # Reveals grouped by cell (ascending), chooses last GROUPED BY
+        # DISTRIBUTION (same-probs choose nodes contiguous, so the walk
+        # samples each distinct distribution once per level and applies
+        # it with one range compare — wide rules can carry hundreds of
+        # hash-consed choose nodes that all share one distribution);
+        # ties broken by node id for determinism.
         nxt.sort(key=lambda i: (
-            (0, by_id[i].cell) if isinstance(by_id[i], _Reveal)
-            else (1, 0), i))
+            (0, by_id[i].cell, ()) if isinstance(by_id[i], _Reveal)
+            else (1, 0, tuple(by_id[i].probs)), i))
         levels.append(nxt)
 
     plan = []
@@ -678,8 +711,29 @@ def _machine_specs_planes_leveled(dm: DeviceMachine, cells, uniforms, *,
                               cells[cell].astype(jnp.int32), b)
         else:
             b = jnp.zeros(shape, jnp.int32)
-        for local_id, probs in lv.chooses:
-            mask = state == S + local_id
+        # Same-distribution choose nodes are CONTIGUOUS in local id
+        # (`_build_level_plan`'s sort), so each distinct distribution is
+        # sampled once and applied with one range mask — member-wise
+        # math identical to the per-node loop (a member sits at exactly
+        # one node; bb/lo_/width depend only on u and the shared
+        # distribution), but wide rules with hundreds of hash-consed
+        # choose continuations pay O(distinct distributions) where-
+        # cascades instead of O(nodes) (round 3: fuzz-wide-specs has
+        # 144 choose nodes, ONE distribution).
+        g = 0
+        while g < len(lv.chooses):
+            id_lo, probs = lv.chooses[g]
+            h = g + 1
+            while (h < len(lv.chooses)
+                   and lv.chooses[h][1] == probs
+                   and lv.chooses[h][0] == lv.chooses[h - 1][0] + 1):
+                h += 1
+            id_hi = lv.chooses[h - 1][0]
+            if id_lo == id_hi:
+                mask = state == S + id_lo
+            else:
+                mask = ((state >= S + id_lo) & (state <= S + id_hi))
+            g = h
             q, delta = _choose_sampling_dist(probs, tau)
             cum = np.cumsum(q)
             bb = jnp.zeros(shape, jnp.int32)
@@ -703,7 +757,7 @@ def _machine_specs_planes_leveled(dm: DeviceMachine, cells, uniforms, *,
         nxt = _unpack_field(lv.trans_words, idx // fields,
                             lv.bits * (idx % fields), lv.bits)
         state = jnp.where(state >= S, nxt, state)
-    spec = state.astype(jnp.int8)
+    spec = state.astype(_int_dtype_for(dm.num_specs - 1))
     return (spec, logp) if want_logp else spec
 
 
@@ -712,14 +766,16 @@ def _machine_writes_planes(dm: DeviceMachine, spec, cells):
 
     Returns the list of new planes (same dtypes as the inputs).
     """
+    wb = dm.wr_bits
+    per = 31 // wb
     spec32 = spec.astype(jnp.int32)
-    shift5 = 5 * (spec32 % 6)
-    widx = spec32 // 6
+    shift_amt = wb * (spec32 % per)
+    widx = spec32 // per
     outs = []
     for c in range(dm.n_cells):
-        f = _unpack_field(dm.wr_words[c], widx, shift5, 5)
-        writes = jnp.right_shift(f, 4) == 1
-        val = (f & 15).astype(cells[c].dtype)
+        f = _unpack_field(dm.wr_words[c], widx, shift_amt, wb)
+        writes = jnp.right_shift(f, wb - 1) == 1
+        val = (f & ((1 << (wb - 1)) - 1)).astype(cells[c].dtype)
         outs.append(jnp.where(writes, val, cells[c]))
     return outs
 
@@ -1933,10 +1989,22 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
         k1, k2 = jax.random.split(k)
         shift = jax.random.randint(k1, (), 0, stride, dtype=jnp.int32)
         uniforms = jax.random.uniform(k2, (E, K), dtype=jnp.float32)
-        pp, dd, dlp = _apply_plane_round_fsm_stacked(
-            dm, pp, dd, shift, uniforms, tau=tau, want_logp=True,
-            site_axis=0)
-        return (pp, dd, lw + dlp.astype(lw.dtype)), None
+        if tau == 1.0:
+            # q = p exactly, so the importance increments are
+            # IDENTICALLY zero (`_choose_sampling_dist`) — skip the
+            # logp plumbing. Besides the saved where-chains this
+            # sidesteps an XLA:CPU "Unknown MLIR failure" that the
+            # constant-folded zero-increment graph triggers on wide
+            # machines (fuzz-wide-specs, 199 specs — round 3; the
+            # tau<1 graph with real increments compiles fine).
+            pp, dd = _apply_plane_round_fsm_stacked(
+                dm, pp, dd, shift, uniforms, tau=tau, site_axis=0)
+        else:
+            pp, dd, dlp = _apply_plane_round_fsm_stacked(
+                dm, pp, dd, shift, uniforms, tau=tau, want_logp=True,
+                site_axis=0)
+            lw = lw + dlp.astype(lw.dtype)
+        return (pp, dd, lw), None
 
     (pp, dd, lw), _ = jax.lax.scan(
         round_step, (jnp.stack(pp), jnp.stack(dd), lw),
@@ -2048,8 +2116,11 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
       key: PRNG key.
       tapes: (ptape [K, L] int, dtape [K, L] int) initial frontier.
       logw: [K] float64 log-weights.
-      dm: compiled :class:`DeviceMachine` (the FSM form; rules that
-        only compile to a :class:`DeviceTable` use the per-step path).
+      dm: compiled :class:`DeviceMachine` (the FSM form — since round
+        3's adaptive packing this covers wide rules too: >63 write
+        specs, >15-symbol alphabets, >2^15 states all compile, so
+        "table-only" rules are rules whose WORLD ENUMERATION is
+        infeasible, not a packing artifact).
       plan: static (num_blocks, rounds_per_block, events_per_round);
         events_per_round must divide L with L/events > 2·span.
       tau: static branch-sampling temperature in (0, 1].

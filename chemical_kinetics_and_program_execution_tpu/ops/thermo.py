@@ -59,15 +59,15 @@ def _machine_write_specs(dm) -> tuple[np.ndarray, np.ndarray]:
     int32)`` — the write set of each spec over the combined window
     (cells in machine order: program cells then data cells).
     """
+    from ..engine.ensemble import wr_field_host
+
     n = dm.n_cells
     mask = np.zeros((dm.num_specs, n), bool)
     val = np.zeros((dm.num_specs, n), np.int32)
+    specs = np.arange(dm.num_specs)
     for c in range(n):
-        words = dm.wr_words[c]
-        for s in range(dm.num_specs):
-            f = (words[s // 6] >> (5 * (s % 6))) & 31
-            mask[s, c] = bool(f >> 4)
-            val[s, c] = f & 15
+        mask[:, c], val[:, c] = wr_field_host(dm.wr_words[c], specs,
+                                              dm.wr_bits)
     return mask, val
 
 

@@ -1,0 +1,64 @@
+"""Blocked-frontier rate on WIDE decision machines (round 3).
+
+The adaptive packing (`ensemble.compile_decision_machine`) lifts the
+63-spec / 16-symbol / 2^15-state cliffs, so rules that previously only
+had the gather-heavy table (or, like ex6-lite at 12^7 table rows, no
+fast engine at all) now run the blocked weighted frontier. Run ON THE
+ACCELERATOR:
+
+    python probes/wide_machine_rate.py
+
+Measured 2026-08-20 (TPU v5 lite, K=10^6, L=64, merge every 512x4
+transitions, differenced over blocks 1 vs 4):
+
+  fuzz-wide-specs   (199 specs, 276 states): 5.50e8 branch-steps/s
+  ex6-mini-bff-lite ( 85 specs, 262 states): 4.31e8 branch-steps/s
+
+Before the same-distribution choose grouping in
+`ensemble._machine_specs_planes_leveled` the fuzz rule measured 6.11e7
+(the 144 hash-consed choose continuations each paid their own
+where-cascade); grouping bought 9.0x.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+import chemical_kinetics_and_program_execution_tpu.models.problems  # noqa: F401
+
+
+def main():
+    for tag, L in (("fuzz-wide-specs", 64), ("ex6-mini-bff-lite", 64)):
+        dm = ensemble.compile_decision_machine(tag)
+        K, rounds, events = 1_000_000, 512, 4
+        pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0,
+                                dm.size_a, dtype=jnp.int8)
+        dtp = jnp.zeros((K, L), jnp.int8)
+        lw0 = jnp.full((K,), -np.log(K), jnp.float64)
+        times = {}
+        for b in (1, 4):
+            ts = []
+            for i in range(3):
+                t0 = time.time()
+                (p, d), lw, nu = ensemble.run_weighted_frontier_blocked(
+                    jax.random.fold_in(jax.random.PRNGKey(2),
+                                       b * 131 + i),
+                    (pt, dtp), lw0, dm, (b, rounds, events))
+                float(jnp.sum(p.astype(jnp.int64))) + float(jnp.sum(lw))
+                ts.append(time.time() - t0)
+            times[b] = min(ts[1:])
+            print(tag, "blocks", b, ["%.3f" % t for t in ts],
+                  flush=True)
+        rate = K * rounds * events * (4 - 1) / (times[4] - times[1])
+        print(f"{tag} ({dm.num_specs} specs, {dm.n_states} states): "
+              f"{rate:.3e} branch-steps/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
