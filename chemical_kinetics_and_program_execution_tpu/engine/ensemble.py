@@ -2279,6 +2279,142 @@ def weighted_first_passage(key, tapes, logw, dm: DeviceMachine, pattern,
             (ptape, dtape), lw, hit, jnp.stack(n_unique))
 
 
+def pattern_progress(tape, pattern):
+    """[B] longest matched PREFIX of ``pattern`` anywhere on each ring
+    (cyclic) — the default progress coordinate for
+    :func:`weighted_first_passage_binned`: value ``len(pattern)``
+    means the full pattern is present (`contains_pattern` true)."""
+    tape = jnp.asarray(tape)
+    pattern = tuple(int(s) for s in pattern)
+    ok = jnp.ones(tape.shape, bool)
+    best = jnp.zeros(tape.shape[0], jnp.int32)
+    for j, s in enumerate(pattern):
+        ok = ok & (jnp.roll(tape, -j, axis=-1) == s)
+        best = jnp.maximum(
+            best, jnp.where(ok.any(axis=-1), jnp.int32(j + 1), 0))
+    return best
+
+
+def weighted_first_passage_binned(key, tapes, logw, dm: DeviceMachine,
+                                  pattern, plan: tuple, *,
+                                  tau: float = 1.0,
+                                  data_tape: bool = True,
+                                  q_fn=None, q_target: int | None = None,
+                                  split: bool = True, seed: int = 0):
+    """Weighted-ensemble SPLITTING on a progress coordinate for
+    STATE-rare first-passage targets on decision-machine rules.
+
+    :func:`weighted_first_passage` enriches branch-rare events (tau
+    tempering) but gives state-rare ones — a motif that needs many
+    individually-likely events to assemble — no mechanism beyond
+    merge dedup. This is the classic WE splitting scheme
+    (Huber & Kim 1996) that `soup_we.we_emergence` provides for the
+    BFF engine, ported to the blocked DM frontier: after each block,
+    live walkers are binned by a progress coordinate (default:
+    :func:`pattern_progress`, the longest matched prefix of
+    ``pattern``), each occupied bin is systematically resampled to its
+    slot allocation with the bin's total weight preserved (extra slots
+    to the leading edge), and walkers that reach ``q_target``
+    contribute their weight to the first-passage flux and are frozen
+    out (survival mode, directly comparable to brute force).
+    ``split=False`` disables the resampling — plain Monte Carlo in the
+    same harness, the unbiasedness reference
+    (`tests/test_ensemble.py::test_we_binned_first_passage_unbiased`).
+
+    The block dynamics are the same jitted stratified rounds as
+    :func:`weighted_first_passage` (host loop over cached device
+    blocks — the WE control flow is host-side numpy like `soup_we`,
+    one [K] transfer per block). tau < 1 composes: the tempered branch
+    weights multiply into the walker weights before binning.
+
+    Returns ``(survival [num_blocks], t_blocks, occupancy [num_blocks],
+    q_max [num_blocks])``.
+    """
+    from .soup_we import _systematic
+
+    num_blocks, rounds, events = plan
+    ptape, dtape = tapes
+    K, L = ptape.shape
+    _validate_blocked_plan(dm, L, plan, tau)
+    stride = L // events
+    if q_fn is None:
+        q_fn = lambda t: pattern_progress(t, pattern)  # noqa: E731
+        q_tgt = len(tuple(pattern))
+    else:
+        if q_target is None:
+            raise ValueError("custom q_fn needs an explicit q_target")
+        q_tgt = q_target
+    rng = np.random.default_rng(seed)
+
+    pp = _to_planes_t(jnp.asarray(ptape), stride=stride)
+    dd = _to_planes_t(jnp.asarray(dtape), stride=stride)
+    w = np.exp(np.asarray(logw, np.float64))
+    live = np.ones(K, bool)
+    block_keys = np.asarray(jax.random.split(key, num_blocks))
+
+    dt_round = -math.log1p(-events / L)
+    survival = np.zeros(num_blocks)
+    occupancy = np.zeros(num_blocks, np.int64)
+    q_best = np.zeros(num_blocks, np.int64)
+    cum_flux = 0.0
+
+    # Walkers born at the target absorb at t=0 (frozen out, their
+    # weight in the flux immediately) — same boundary convention as
+    # `soup_we.we_emergence`'s absorb; without the freeze they would
+    # re-hit in block 0 and double-count.
+    q = np.asarray(q_fn(jnp.asarray(dtape if data_tape else ptape)))
+    born = live & (q >= q_tgt)
+    cum_flux += w[born].sum()
+    w[born] = 0.0
+    live[born] = False
+
+    for b in range(num_blocks):
+        lw_dev = jnp.asarray(np.log(np.maximum(w, 1e-300)))
+        pp, dd, lw_dev = _blocked_rounds(
+            block_keys[b], pp, dd, lw_dev, dm, rounds=rounds, tau=tau)
+        if tau != 1.0:
+            w = np.where(live, np.exp(np.asarray(lw_dev)), 0.0)
+        tape_now = _from_planes_t(dd if data_tape else pp)
+        q = np.asarray(q_fn(tape_now))
+        q_best[b] = int(q[live].max()) if live.any() else 0
+        hit = live & (q >= q_tgt)
+        cum_flux += w[hit].sum()
+        w[hit] = 0.0
+        live[hit] = False
+        survival[b] = 1.0 - cum_flux
+        if split and live.any():
+            qb = np.minimum(q, q_tgt - 1)
+            vals = np.unique(qb[live])
+            n_occ = len(vals)
+            base = K // n_occ
+            extra = K - base * n_occ
+            parent = np.zeros(K, np.int64)
+            new_w = np.zeros(K)
+            pos = 0
+            for vi, v in enumerate(vals):
+                n_v = base + (1 if vi >= n_occ - extra else 0)
+                sel = np.flatnonzero(live & (qb == v))
+                src, sw = _systematic(sel, w[sel], n_v, rng)
+                parent[pos:pos + n_v] = src
+                new_w[pos:pos + n_v] = sw
+                pos += n_v
+            assert pos == K
+            pidx = jnp.asarray(parent, jnp.int32)
+            pp = tuple(pl[:, pidx] for pl in pp)
+            dd = tuple(pl[:, pidx] for pl in dd)
+            w = new_w
+            live = w > 0.0
+            occupancy[b] = n_occ
+        else:
+            occupancy[b] = (len(np.unique(
+                np.minimum(q, q_tgt - 1)[live])) if live.any() else 0)
+        if not live.any():
+            survival[b + 1:] = survival[b]
+            break
+    t_blocks = dt_round * rounds * np.arange(1, num_blocks + 1)
+    return survival, t_blocks, occupancy, q_best
+
+
 def weighted_window_counts(tape, weights, size_a: int, cl_k: int):
     """Weighted empirical SPD from a frontier: Σ_b w_b · counts_b / L."""
     tape = jnp.asarray(tape)
