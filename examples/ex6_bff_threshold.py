@@ -1,0 +1,191 @@
+"""Resolving the error threshold mu_c: WE extinction curves (round 3).
+
+The mutation sweep (`ex6_bff_mutation.py`) brackets the established
+replicator's extinction between mu ~ 3e-3 and 2e-2 by brute force;
+this run RESOLVES the threshold with across-seed error bars. For each
+mu on a grid inside the bracket, an established near-monoculture
+(p(dot)=0.98 rings — the same replicator proxy the pruned-exact SPD
+gate uses, RESULTS "Faithful self rule") evolves under background
+mutation, and weighted-ensemble splitting on the EXTINCTION coordinate
+q = L - max cyclic dot-run (`engine/soup_we.py` with a custom q_fn;
+the leading edge = the most-decayed walkers) measures
+P(extinct by t) = P(max dot-run < THR), resolving the deep tails on
+both wings of the transition that plain Monte Carlo cannot (survival
+of doomed soups below mu_c, persistence above it). THR = 4 makes the
+coordinate a genuine point of no return (a healthy soup at dot
+density ~0.5+ never loses ALL 4-runs by fluctuation, while a
+collapsed uniform-ish soup crosses it quickly; THR = 8 was tried and
+REJECTED — at block cadence it fires on ordinary coverage
+fluctuations of soups the mutation sweep shows to be alive). mu_c is
+the 0.5 crossing of P_ext(t_end; mu) at the fixed horizon t_end ~ 12
+(the sweep's own scale), interpolated in ln mu per seed; the CI is
+the across-seed spread. One brute-force (split=False) cross-check
+point rides the same harness (unbiasedness reference, same convention
+as `tests/test_bff.py::test_we_emergence_unbiased`).
+
+Usage: python ex6_bff_threshold.py [--k 1024]
+Output: ex6_bff_threshold.pdf (+ .npz artifact, CI-gated by
+`tests/test_oracles.py::test_ex6_bff_threshold_artifacts_mu_c_claims`)
+
+Reference twin: none — beyond-reference capability.
+"""
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+import _common
+from chemical_kinetics_and_program_execution_tpu.engine import (
+    bff,
+    soup_we,
+)
+
+TAG = "ex6-mini-bff-self"
+L, E = 256, 4
+THR = 4                 # extinct when the longest dot-run falls below
+BLOCKS, ROUNDS = 48, 16
+MUS = (2e-3, 3e-3, 5e-3, 8e-3, 1.4e-2)
+MU_CROSS = 5e-3         # brute-force cross-check point
+N_SEEDS = int(os.environ.get("CKPE_EX6TH_SEEDS", "4"))
+
+
+def _suffix(args):
+    return "" if args.k == 1024 and N_SEEDS == 4 else \
+        f"_k{args.k}x{N_SEEDS}"
+
+
+def _monoculture_init(rng, m):
+    """p(dot)=0.98 iid rings: the established-replicator proxy."""
+    probs = np.full(m.size_a, 0.02 / (m.size_a - 1))
+    probs[m.dot] = 0.98
+
+    def init(n):
+        return rng.choice(m.size_a, size=(n, L), p=probs).astype(
+            np.int32)
+
+    return init
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=1024)
+    args = ap.parse_args()
+    import jax
+
+    m = bff.compile_bff(TAG)
+    q_target = L - (THR - 1)   # q >= target  <=>  max run <= THR - 1
+
+    def q_fn(tapes):
+        return L - soup_we.max_cyclic_run(tapes, m.dot)
+
+    dt_block = -math.log1p(-E / L) * ROUNDS
+    t_end = BLOCKS * dt_block
+    print(f"K={args.k} walkers, {BLOCKS}x{ROUNDS} rounds -> "
+          f"t_end={t_end:.1f}; extinct: dot-run < {THR}")
+
+    surv = {}
+    occ = {}
+    for mu in MUS:
+        rows, occs = [], []
+        for s in range(N_SEEDS):
+            rng = np.random.default_rng(8000 + 100 * s)
+            r = soup_we.we_emergence(
+                jax.random.PRNGKey(500 + 10 * s + int(mu * 1e5)), m,
+                _monoculture_init(rng, m),
+                plan=(args.k, BLOCKS, ROUNDS, E),
+                q_target=q_target, q_fn=q_fn, mutation_rate=mu,
+                seed=s)
+            rows.append(r.survival)
+            occs.append(r.occupancy)
+        surv[mu] = np.stack(rows)
+        occ[mu] = np.stack(occs)
+        pe = 1.0 - surv[mu][:, -1]
+        print(f"mu={mu:g}: P_ext(t_end) per seed "
+              f"{[f'{x:.3g}' for x in pe]} (mean {pe.mean():.3g})",
+              flush=True)
+
+    # Brute-force cross-check at MU_CROSS: splitting OFF, same harness.
+    brute = []
+    for s in range(N_SEEDS):
+        rng = np.random.default_rng(8000 + 100 * s)
+        r = soup_we.we_emergence(
+            jax.random.PRNGKey(600 + 10 * s), m,
+            _monoculture_init(rng, m),
+            plan=(args.k, BLOCKS, ROUNDS, E),
+            q_target=q_target, q_fn=q_fn, mutation_rate=MU_CROSS,
+            split=False, seed=s)
+        brute.append(1.0 - r.survival[-1])
+    brute = np.asarray(brute)
+    we_cross = 1.0 - surv[MU_CROSS][:, -1]
+    print(f"cross-check mu={MU_CROSS:g}: WE "
+          f"{we_cross.mean():.3g}+-{we_cross.std(ddof=1):.2g}, "
+          f"brute {brute.mean():.3g}+-{brute.std(ddof=1):.2g}")
+
+    # mu_c: per-seed 0.5 crossing of P_ext in ln(mu), then seed stats.
+    lmus = np.log(np.asarray(MUS))
+    mu_c_seeds = []
+    for s in range(N_SEEDS):
+        pe = np.maximum.accumulate(
+            np.asarray([1.0 - surv[mu][s, -1] for mu in MUS]))
+        mu_c_seeds.append(float(np.exp(np.interp(0.5, pe, lmus))))
+    mu_c_seeds = np.asarray(mu_c_seeds)
+    mu_c = mu_c_seeds.mean()
+    mu_c_sem = (mu_c_seeds.std(ddof=1) / np.sqrt(N_SEEDS)
+                if N_SEEDS > 1 else 0.0)
+    print(f"mu_c = {mu_c:.2e} +- {mu_c_sem:.1e} "
+          f"(seeds {[f'{x:.2e}' for x in mu_c_seeds]})")
+
+    times = r.times
+    np.savez_compressed(
+        _common.out_path(f"ex6_bff_threshold{_suffix(args)}.npz"),
+        times=times, mus=np.asarray(MUS),
+        surv=np.stack([surv[mu] for mu in MUS]),
+        occupancy=np.stack([occ[mu] for mu in MUS]),
+        brute_cross=brute, mu_cross=MU_CROSS,
+        mu_c_seeds=mu_c_seeds, mu_c=mu_c, mu_c_sem=mu_c_sem,
+        thr=THR, q_target=q_target, k=args.k, n_seeds=N_SEEDS)
+
+    fig, axes = _common.pyplot.subplots(1, 2, figsize=(16, 7))
+    ax = axes[0]
+    for mu in MUS:
+        S = surv[mu].mean(axis=0)
+        lo, hi = surv[mu].min(axis=0), surv[mu].max(axis=0)
+        (line,) = ax.plot(times, 1.0 - S, "o-", ms=3,
+                          label=f"$\\mu$ = {mu:g}")
+        ax.fill_between(times, 1.0 - hi, 1.0 - lo, alpha=0.15,
+                        color=line.get_color())
+    ax.set_xlabel("time")
+    ax.set_ylabel(f"P(max dot-run < {THR})")
+    ax.set_title("replicator extinction under mutation (WE splitting)")
+    ax.legend()
+    ax.grid()
+
+    ax = axes[1]
+    pe = np.asarray([1.0 - surv[mu][:, -1] for mu in MUS])
+    ax.errorbar(MUS, pe.mean(axis=1),
+                yerr=pe.std(axis=1, ddof=1) / np.sqrt(N_SEEDS),
+                fmt="o-", capsize=4, label="P$_{ext}$(t$_{end}$)")
+    ax.errorbar([MU_CROSS], [brute.mean()],
+                yerr=[brute.std(ddof=1) / np.sqrt(N_SEEDS)],
+                fmt="s", ms=10, mfc="none", capsize=4,
+                label="brute force (split off)")
+    ax.axvline(mu_c, color="red", ls="--",
+               label=f"$\\mu_c$ = {mu_c:.1e} $\\pm$ {mu_c_sem:.0e}")
+    ax.axvspan(mu_c - mu_c_sem, mu_c + mu_c_sem, alpha=0.15,
+               color="red")
+    ax.set_xscale("log")
+    ax.set_xlabel("mutation rate $\\mu$ per cell per round")
+    ax.set_ylabel("extinction probability by t$_{end}$")
+    ax.set_title("the error threshold, resolved")
+    ax.legend()
+    ax.grid()
+    fig.tight_layout()
+    out = _common.out_path(f"ex6_bff_threshold{_suffix(args)}.pdf")
+    fig.savefig(out)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
