@@ -456,6 +456,73 @@ def dy_dt_dense(prog: DenseProgram, tables, p: jax.Array) -> jax.Array:
     return jnp.concatenate(dys) if prog.dual else dys[0]
 
 
+def make_dense_dy_dt_streamed(prog: DenseProgram, dtype=jnp.float64):
+    """Group-streamed dense RHS: one jit call per signature group, the
+    accumulator DONATED between calls — caps peak HBM at a single
+    group's working set.
+
+    The one-fused-graph form (`make_dense_dy_dt`) holds many groups'
+    sweep intermediates live at once; at ex4 cl_k=8 (43,046,721-dim
+    f64 state) XLA's buffer assignment wants ~22 GB against 16 GB HBM
+    and the compile fails (RESULTS "ex4 at cl_k=8"). Streaming trades
+    ~1 host dispatch per group (groups are few: ex4 has 8) for a peak
+    of [dy + ratio tables + one group's temporaries] ≈ 2.6 GB at
+    cl_k=8 — measured per-group budgets in RESULTS (round 3), where
+    this form gives the first single-chip cl_k=8 RHS.
+
+    Returns ``fn(p) -> dy`` (host-loop function, NOT jittable as a
+    whole — use inside host-stepped integrators) plus the list of
+    per-group compiled callables' memory analyses via
+    ``fn.group_memory`` after the first call. Single-tape programs
+    only (the dual pair at this scale is off any single chip).
+    """
+    if prog.dual:
+        raise ValueError("streamed RHS supports single-tape programs")
+    a, k = prog.size_a, prog.cl_k
+    tables = (
+        jnp.asarray(prog.w_num, jnp.int32),
+        jnp.asarray(prog.w_den, jnp.int32),
+        jnp.asarray(prog.w_const, dtype),
+        jnp.asarray(prog.pair_world, jnp.int32),
+        jnp.asarray(prog.pair_sig, jnp.int32),
+    )
+
+    @jax.jit
+    def prep(p):
+        w_num, w_den, w_const, pair_world, pair_sig = tables
+        p = p.astype(dtype).reshape(-1)
+        lv = _levels(p, a, k)
+        pyr = jnp.concatenate(
+            [lv[j] for j in range(k, -1, -1)] + [jnp.ones(1, dtype)])
+        wv = w_const * guarded_ratio_prod(pyr, w_num, w_den)
+        s = jax.ops.segment_sum(wv[pair_world], pair_sig,
+                                num_segments=prog.num_signatures)
+        r_le, r_re = _ratio_tables(lv, a, k)
+        return s, tuple(r_le[1:]), r_re
+
+    group_fns = []
+    for l0, changed, members in _group_plans(prog.plans, a, k):
+        sids = jnp.asarray([m.sid for m in members], jnp.int32)
+
+        def gfn(dy, s, rle, rre, *, _l0=l0, _ch=changed, _ms=members,
+                _sids=sids):
+            r_le = [None] + list(rle)
+            return _apply_group(dy, _l0, _ch, _ms, s[_sids], r_le,
+                                rre, a, k, dtype)
+
+        group_fns.append(jax.jit(gfn, donate_argnums=0))
+
+    def fn(p):
+        s, rle, rre = prep(p)
+        dy = jnp.zeros(a**k, dtype)
+        for g in group_fns:
+            dy = g(dy, s, rle, rre)
+        return dy
+
+    fn.group_fns = group_fns
+    return fn
+
+
 def make_dense_dy_dt(prog: DenseProgram, dtype=jnp.float64, jit=True,
                      with_mass: bool = False):
     """Builds a jitted ``p -> dp/dt`` closure from a dense program.

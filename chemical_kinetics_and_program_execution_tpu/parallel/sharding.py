@@ -211,9 +211,17 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
     s_pad = -(-S // n_state) * n_state
     sharding = jax.sharding.NamedSharding(mesh, P("batch", "ev"))
     if s_pad == S:
-        return jax.jit(
+        core = jax.jit(
             jax.vmap(fn), in_shardings=sharding, out_shardings=sharding
         )
+
+        def wrapper0(p_batch):
+            # device_put is a no-op when the layout already matches;
+            # see the mismatched-committed-sharding note below.
+            return core(jax.device_put(jnp.asarray(p_batch), sharding))
+
+        wrapper0.padded_size = S
+        return wrapper0
 
     @partial(jax.jit, in_shardings=sharding, out_shardings=sharding)
     def padded(p_pad):
@@ -229,8 +237,16 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
                 f"state axis {p_batch.shape[-1]} matches neither "
                 f"state_size={S} nor padded_size={s_pad}"
             )
-        return padded(
-            jnp.pad(p_batch, ((0, 0), (0, s_pad - S))))[:, :S]
+        # device_put, not bare pad: inputs derived from previous
+        # sharded OUTPUTS (RK stages, host-stepped trajectories) carry
+        # a committed sharding that jnp.pad propagates as replicated,
+        # and jit with explicit in_shardings REJECTS a mismatched
+        # committed layout rather than resharding (round 3: the cl_k=5
+        # sharded RK trajectory test). Explicit placement makes any
+        # input layout acceptable at the cost XLA would pay anyway.
+        return padded(jax.device_put(
+            jnp.pad(p_batch, ((0, 0), (0, s_pad - S))),
+            sharding))[:, :S]
 
     wrapper.padded_size = s_pad
     return wrapper

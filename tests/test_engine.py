@@ -394,3 +394,27 @@ def test_native_ex6_self_enumeration_parity():
             assert w_n.factors == w_p.factors
             assert w_n.tape_sigs == w_p.tape_sigs
             assert w_n.const == w_p.const
+
+
+def test_dense_streamed_matches_fused():
+    """`make_dense_dy_dt_streamed` (the group-per-jit, donated-dy form
+    that crosses the cl_k=8 single-chip HBM wall — RESULTS round 3)
+    must be BIT-EXACT against the fused RHS; also pins the dual-program
+    rejection."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+
+    prog = dense.compile_dense("ex4-chemical-turing", 4)
+    f1 = dense.make_dense_dy_dt(prog)
+    f2 = dense.make_dense_dy_dt_streamed(prog)
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        p = rng.dirichlet(np.ones(prog.state_size))
+        np.testing.assert_array_equal(np.asarray(f1(p)),
+                                      np.asarray(f2(p)))
+    import pytest as _pytest
+
+    dual = dense.compile_dense_dual("ex3-copolymerization", 3)
+    with _pytest.raises(ValueError, match="single-tape"):
+        dense.make_dense_dy_dt_streamed(dual)

@@ -468,3 +468,47 @@ def test_we_emergence_on_sharded_runner():
     sem = max(float(vals.std(ddof=1) / np.sqrt(len(vals))), 5e-3)
     got = 1.0 - r_sh.survival[-1]
     assert abs(got - vals.mean()) < 6.0 * sem, (got, vals)
+
+
+def test_sharded_dense_rk_trajectory_flagship_scale():
+    """10-step fixed RK4 TRAJECTORY over the state-sharded dense RHS at
+    the flagship ex4 cl_k=5 scale (59,049-dim SPD) — the program shape
+    of the beyond-HBM cl_k=8 runs (VERDICT r3 #8), gated as a
+    trajectory rather than a single RHS: conservation holds at every
+    step and the endpoint matches the single-device RK4 bit-for-bit
+    close (same arithmetic, different partitioning)."""
+    import jax.numpy as jnp
+
+    from chemical_kinetics_and_program_execution_tpu.engine import dense
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_dense_dy_dt,
+    )
+
+    prog = dense.compile_dense("ex4-chemical-turing", 5)
+    p0 = np.full(prog.state_size, 1.0 / prog.state_size)
+    dt, steps = 0.02, 10
+
+    def rk4_traj(f):
+        p = jnp.asarray(p0)
+        sums = []
+        for _ in range(steps):
+            k1 = f(p)
+            k2 = f(p + 0.5 * dt * k1)
+            k3 = f(p + 0.5 * dt * k2)
+            k4 = f(p + dt * k3)
+            p = p + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            sums.append(float(jnp.sum(p)))
+        return np.asarray(p), np.asarray(sums)
+
+    single = dense.make_dense_dy_dt(prog)
+    want, sums_w = rk4_traj(single)
+
+    mesh = make_mesh(n_batch=1, n_event=8)
+    sharded = make_sharded_dense_dy_dt(prog, mesh)
+    got, sums_g = rk4_traj(lambda y: sharded(y[None])[0])
+
+    np.testing.assert_allclose(sums_g, 1.0, rtol=1e-12)
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-16)
