@@ -432,7 +432,7 @@ def run_ensemble_bff(key, tapes, mach: BffMachine, steps_events: tuple,
                 f"lineage={prov is not None})")
         if eligible and engine == "auto":
             # XLA:CPU's per-fusion LLVM codegen blows up on the big
-            # circuits (the faithful rule's 7.3k-gate round compiles in
+            # circuits (the faithful rule's 7.9k-op round compiles in
             # ~25 s on TPU but >9 MINUTES on the CPU backend, measured
             # round-3 — fusion duplication shreds the hash-consed
             # sharing into ~300k HLO ops / 300+ LLVM kernels; barriers

@@ -64,7 +64,7 @@ from .ensemble import _check_round_geometry  # noqa: E402
 
 
 # Largest circuit the CPU backend may compile on the AUTO path. The
-# midi machines (~1.3k ops) compile in ~50 s; the faithful rule's 7.3k
+# midi machines (~1.5k ops) compile in ~50 s; the faithful rule's 7.9k
 # ops take >9 min (per-fusion LLVM codegen after fusion duplication —
 # see the auto-gate comment in `bff.run_ensemble_bff`). TPU (Mosaic-
 # free XLA:TPU whole-graph emission) compiles the faithful circuit in
@@ -93,12 +93,16 @@ def compile_bff_circuit(mach: BffMachine):
     Inputs: window cell bits, LSB-first per cell — program cells
     p_lo..p_hi then data cells d_lo..d_hi for two-tape machines, just
     the combined data window for self-modifying ones. Outputs: the
-    post-event data-cell bits (n_d * nb), followed by ``fuel * size_a``
-    one-hot "step s fetched opcode a" planes (the executed-opcode
-    observable of `bff.bff_fire`; device side they are popcounted into
-    the same [size_a] totals the scan path returns). The tuple layout
-    matches `bitslice` circuits so `_eval_circuit` and `_dce_compact`
-    are shared.
+    post-event data-cell bits (n_d * nb), followed by ``size_a * 4``
+    BIT-SERIAL COUNTER planes — per opcode, the 4-bit count of fuel
+    steps that fetched it (in-circuit ripple adders over the per-step
+    one-hots; fuel ≤ 15 fits 4 bits, asserted). Device side the totals
+    are recovered as Σ_k 2^k·popcount(counter bit k) — bit-identical
+    to the scan path's executed-opcode observable, at 48 output planes
+    instead of the raw fuel×size_a = 120 one-hots of the first cut
+    (measured ~15% of the round was count-plane traffic+reduction).
+    The tuple layout matches `bitslice` circuits so `_eval_circuit`
+    and `_dce_compact` are shared.
     """
     A = mach.size_a
     nb = max(1, (A - 1).bit_length())
@@ -151,11 +155,21 @@ def compile_bff_circuit(mach: BffMachine):
     Hd0 = {0: b.c1}
     Hd1 = {mach.d1_start: b.c1}
     Hm = {0: b.c1}
-    op_onehots: list = []
+    assert mach.fuel <= 15, "4-bit op counters"
+    op_count = [[b.c0] * 4 for _ in range(A)]  # LSB-first per opcode
+
+    def count_op(a, h):
+        """Ripple-add the one-hot ``h`` into opcode a's 4-bit counter."""
+        carry = h
+        for k in range(4):
+            s = b.gate("xor", op_count[a][k], carry)
+            carry = b.gate("and", op_count[a][k], carry)
+            op_count[a][k] = s
 
     for step in range(mach.fuel):
         opb = sel_onehot(Hpc, p_cells, p_lo)
-        op_onehots.append([eq_const(opb, a) for a in range(A)])
+        for a in range(A):
+            count_op(a, eq_const(opb, a))
         is_lt, is_gt = eq_const(opb, mach.lt), eq_const(opb, mach.gt)
         is_cl, is_cr = eq_const(opb, mach.cl), eq_const(opb, mach.cr)
         is_minus = eq_const(opb, mach.minus)
@@ -257,8 +271,8 @@ def compile_bff_circuit(mach: BffMachine):
         Hpc = newHpc
 
     outputs = [bit for cell in d_cells for bit in cell]
-    for oh in op_onehots:
-        outputs.extend(oh)
+    for a in range(A):
+        outputs.extend(op_count[a])
     ops, outputs, _ = _dce_compact(b.ops, tuple(outputs),
                                    (n_p + mach.n_d) * nb)
     if config.IS_DEBUG:
@@ -282,8 +296,9 @@ def apply_bff_round_bitsliced(mach: BffMachine, circ, p_bp, d_bp, shift,
     carries both roles).
 
     Returns ``(d_bp, op_count_words)`` where the latter is the list of
-    ``fuel * size_a`` one-hot uint32 word planes appended by
-    `compile_bff_circuit` (popcount to recover executed-opcode totals).
+    ``size_a * 4`` bit-serial counter word planes appended by
+    `compile_bff_circuit` (weighted popcount recovers the
+    executed-opcode totals).
     """
     ops, outputs, nb, _ = circ
     metas = []
@@ -379,9 +394,10 @@ def _run_bitsliced_jit(key, ts, mach, steps_events):
                 mach, circ, bps[0], bps[1], shift, stride=stride,
                 site_axis=site_axis)
             new = (bps[0], d_bp)
-        counts = jax.lax.population_count(jnp.stack(oh)) \
+        pc = jax.lax.population_count(jnp.stack(oh)) \
             .sum(axis=tuple(range(1, len(wshape) + 1)), dtype=jnp.int64) \
-            .reshape(mach.fuel, mach.size_a).sum(axis=0)
+            .reshape(mach.size_a, 4)
+        counts = (pc << jnp.arange(4, dtype=jnp.int64)).sum(axis=1)
         return new, counts
 
     bps, op_totals = jax.lax.scan(step, bps, keys)

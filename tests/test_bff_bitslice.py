@@ -29,7 +29,7 @@ def _random_tapes(key, n, B, L, size_a):
 
 @pytest.mark.parametrize("tag,B,L,steps,events", [
     # midi (fuel 4, span 10): deepest circuit XLA:CPU compiles in CI
-    # time; the faithful rule (fuel 10, 7.3k gates) is gated on TPU by
+    # time; the faithful rule (fuel 10, ~7.7k gates) is gated on TPU by
     # bench.py's cross-engine check (CPU compile >9 min, DESIGN.md).
     ("ex6-mini-bff-midi", 32, 256, 5, 4),
     ("ex6-mini-bff-lite", 64, 64, 6, 4),    # lite: span 4, stride 16
