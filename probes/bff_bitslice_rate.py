@@ -13,7 +13,10 @@ Measured 2026-08-20 (TPU v5 lite, B=16384, L=4096, events=64):
 bitslice 5 rounds 0.068 s / 50 rounds 0.078 s -> 4.72e9 site
 events/s; scan 0.083 / 0.346 -> 1.80e8. The two engines are
 bit-identical (tests/test_bff_bitslice.py; bench.py gates the
-faithful rule on-device each round).
+faithful rule on-device each round). NOTE the short 5->50 differencing
+here is noisier than `bench.bench_bff`'s 200->1000 methodology, which
+is the citable number (5.48e9 with the in-circuit bit-serial op
+counters; 5.29e9 with the first cut's raw one-hot count planes).
 """
 
 import sys
