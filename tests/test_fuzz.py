@@ -131,7 +131,9 @@ def test_fuzz_decision_machine_vs_table(seed):
     try:
         dm = ensemble.compile_decision_machine(tag)
     except ValueError as e:
-        pytest.skip(str(e))  # >63 write specs: table kernel territory
+        # Only the >30-bit field-packing wall remains since round 3's
+        # adaptive packing (never hit by these seeds in practice).
+        pytest.skip(str(e))
     rng = np.random.RandomState(2000 + seed)
     B, L, E = 3, 128, 4
     pt = jnp.asarray(rng.randint(0, size_a, (B, L)), jnp.int32)
