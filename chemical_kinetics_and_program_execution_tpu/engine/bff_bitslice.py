@@ -58,18 +58,10 @@ import jax.numpy as jnp  # noqa: E402
 
 from .bff import BffMachine  # noqa: E402
 from .bitslice import (  # noqa: E402
-    _Builder, _dce_compact, _eval_circuit, _synth_over,
-    bitplanes_to_tapes, tapes_to_bitplanes, transposed_word_shape)
+    CPU_MAX_CIRCUIT_OPS, _Builder, _dce_compact, _eval_circuit,
+    _synth_over, bitplanes_to_tapes, tapes_to_bitplanes,
+    transposed_word_shape)
 from .ensemble import _check_round_geometry  # noqa: E402
-
-
-# Largest circuit the CPU backend may compile on the AUTO path. The
-# midi machines (~1.5k ops) compile in ~50 s; the faithful rule's 7.9k
-# ops take >9 min (per-fusion LLVM codegen after fusion duplication —
-# see the auto-gate comment in `bff.run_ensemble_bff`). TPU (Mosaic-
-# free XLA:TPU whole-graph emission) compiles the faithful circuit in
-# ~25 s, so the limit applies to the CPU backend only.
-CPU_MAX_CIRCUIT_OPS = 2000
 
 
 def _mod_shift(b: _Builder, valbits, delta: int, size_a: int):

@@ -254,6 +254,26 @@ _MAX_IN_BITS = 22  # 4M-row truth table (~seconds host-side, cached);
 #                    beyond this fall back to the FSM walk
 
 
+# Largest circuit the CPU backend may compile on AUTO paths (XLA:CPU's
+# fusion duplication + per-fusion LLVM codegen makes multi-thousand-op
+# circuits multi-minute compiles — measured on the 7.9k-op faithful
+# BFF circuit, >9 min, and now reachable by WIDE sampling circuits too:
+# fuzz-wide-specs compiles to ~7k ops). TPU compiles these whole in
+# tens of seconds, so the limit is CPU-only; forcing bitslice=True
+# overrides it.
+CPU_MAX_CIRCUIT_OPS = 2000
+
+
+def circuit_cpu_ok(dm) -> bool:
+    """Auto-path gate: is this machine's circuit CI-compilable on the
+    CPU backend? (Always true on accelerators.)"""
+    if jax.default_backend() != "cpu":
+        return True
+    circ = (compile_round_circuit(dm) if machine_is_bitsliceable(dm)
+            else compile_sampling_circuit(dm))
+    return len(circ[0]) <= CPU_MAX_CIRCUIT_OPS
+
+
 def machine_is_bitsliceable(dm) -> bool:
     """Choose-free and small enough to tabulate exhaustively."""
     from . import ensemble as ens
@@ -348,11 +368,31 @@ _RAND_BITS = 24  # branch-probability resolution 2^-24 ~ 6e-8, the same
 _MAX_SEL_BITS = 20  # per-level truth-table cap (2^20 rows host-side)
 
 
+def _choose_dist_groups(chooses):
+    """Consecutive same-distribution runs of a level's choose nodes.
+
+    `ensemble._build_level_plan` sorts same-probs chooses contiguously,
+    so one sampled branch word serves every node of a run (a member
+    sits at exactly one node — sharing the branch bits changes nothing
+    member-wise, the same argument as the FSM walk's grouped
+    cascades). Returns ``[(probs, [local ids...]), ...]``.
+    """
+    groups: list = []
+    for j, probs in chooses:
+        if groups and groups[-1][0] == probs:
+            groups[-1][1].append(j)
+        else:
+            groups.append((probs, [j]))
+    return groups
+
+
 def machine_is_sampleable(dm) -> bool:
     """Can the layered sampling circuit handle this machine (tau=1)?
 
     Needs every per-level selector space (state bits + distinct read
-    cells + choose-branch bits) to stay tabulable. No choose-free
+    cells + branch bits PER DISTINCT DISTRIBUTION — wide rules carry
+    hundreds of hash-consed choose continuations that share one
+    distribution, round 3) to stay tabulable. No choose-free
     requirement — that's the point.
     """
     from . import ensemble as ens
@@ -364,7 +404,7 @@ def machine_is_sampleable(dm) -> bool:
     for lv in plan:
         n_sel = (sb + len(lv.cell_groups) * nb
                  + sum(max(1, (len(p) - 1).bit_length())
-                       for _, p in lv.chooses))
+                       for p, _ in _choose_dist_groups(lv.chooses)))
         if n_sel > _MAX_SEL_BITS:
             return False
     return sb + nb <= _MAX_SEL_BITS
@@ -439,14 +479,19 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
                 if j not in choose_locals:
                     cell_of[j] = cell
 
-        # Branch bits per choose node from this level's random word.
+        # Branch bits per DISTINCT DISTRIBUTION from this level's
+        # random word (same-probs choose nodes are contiguous by the
+        # level sort and share thresholds, hence branch bits — a
+        # member occupies exactly one node, so sharing is member-wise
+        # identical; round 3, the wide-rule enabler).
+        dist_groups = _choose_dist_groups(lv.chooses)
         branch_nodes = []
         branch_widths = []
         if lv.chooses:
             r_bits = rnd[rand_used * rand_bits:(rand_used + 1)
                          * rand_bits]
             rand_used += 1
-            for _, probs in lv.chooses:
+            for probs, _locals in dist_groups:
                 q, _ = _choose_dist(probs)
                 cum = np.cumsum(q)
                 ges = [builder.gate(
@@ -490,9 +535,11 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
                                        size_a - 1)
             pos += nb
         branchval = {}
-        for (j, probs), w in zip(lv.chooses, branch_widths):
-            branchval[j] = np.minimum((idx >> pos) & ((1 << w) - 1),
-                                      len(probs) - 1)
+        for (probs, locs), w in zip(dist_groups, branch_widths):
+            bv = np.minimum((idx >> pos) & ((1 << w) - 1),
+                            len(probs) - 1)
+            for j in locs:
+                branchval[j] = bv
             pos += w
 
         nxt = v.copy()

@@ -1359,7 +1359,8 @@ def run_ensemble(key, tapes, dtable: DeviceTable, steps_events: tuple,
     eligible = (use_planes and B % 32 == 0
                 and (bs.machine_is_bitsliceable(dtable)
                      or bs.machine_is_sampleable(dtable)))
-    use_bitslice = bitslice is not False and eligible
+    use_bitslice = bitslice is not False and eligible and (
+        bitslice or bs.circuit_cpu_ok(dtable))
     if bitslice and not use_bitslice:
         raise ValueError(
             "bitslice=True needs a plane-eligible machine "
@@ -1956,6 +1957,9 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
         raise ValueError(
             "bitslice=True needs K % 32 == 0 and a choose-free machine "
             "(any tau) or a sampleable machine at tau=1")
+    # Auto never hands XLA:CPU a multi-minute circuit compile (wide
+    # sampling circuits reach ~7k ops); bitslice=True overrides.
+    use_bs = use_bs and (bool(bitslice) or bs.circuit_cpu_ok(dm))
 
     if use_bs:
         circ = (bs.compile_round_circuit(dm) if bs_free

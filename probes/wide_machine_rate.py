@@ -11,13 +11,18 @@ ACCELERATOR:
 Measured 2026-08-20 (TPU v5 lite, K=10^6, L=64, merge every 512x4
 transitions, differenced over blocks 1 vs 4):
 
-  fuzz-wide-specs   (199 specs, 276 states): 5.50e8 branch-steps/s
+  fuzz-wide-specs   (199 specs, 276 states): 3.17e9 branch-steps/s
   ex6-mini-bff-lite ( 85 specs, 262 states): 4.31e8 branch-steps/s
 
-Before the same-distribution choose grouping in
-`ensemble._machine_specs_planes_leveled` the fuzz rule measured 6.11e7
+Rate evolution on the fuzz rule: 6.11e7 with per-NODE FSM cascades
 (the 144 hash-consed choose continuations each paid their own
-where-cascade); grouping bought 9.0x.
+where-cascade) -> 5.50e8 after the same-distribution choose grouping
+in `ensemble._machine_specs_planes_leveled` (9.0x) -> 3.17e9 once the
+same grouping made the rule SAMPLEABLE and the blocked rounds engage
+the bit-sliced sampling circuit (`bitslice.machine_is_sampleable` now
+counts branch bits per DISTINCT distribution; 5.8x more, 52x total).
+ex6-lite is deterministic but its 28-bit window exceeds the exhaustive
+tabulation cap, so it stays on the (grouped) FSM walk.
 """
 
 import sys
