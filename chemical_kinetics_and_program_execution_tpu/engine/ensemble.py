@@ -2083,7 +2083,8 @@ def _validate_blocked_plan(dm: DeviceMachine, L: int, plan: tuple,
 
 
 def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
-                                  plan: tuple, *, tau: float = 1.0):
+                                  plan: tuple, *, tau: float = 1.0,
+                                  bitslice: bool | None = None):
     """Blocked weighted frontier: stratified multi-site rounds between
     re-ranks, with merge-by-key and weight-proportional slot resampling.
 
@@ -2128,6 +2129,10 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
       plan: static (num_blocks, rounds_per_block, events_per_round);
         events_per_round must divide L with L/events > 2·span.
       tau: static branch-sampling temperature in (0, 1].
+      bitslice: None (auto — engage the bit-sliced round/sampling
+        circuit when eligible and, on CPU backends, small enough to
+        compile in CI time), True (force; raises if the machine is
+        ineligible), False (keep the FSM walk). See `_blocked_rounds`.
 
     Returns:
       ((ptape, dtape), logw, n_unique [num_blocks]) — exp(logw) sums
@@ -2168,7 +2173,8 @@ def run_weighted_frontier_blocked(key, tapes, logw, dm: DeviceMachine,
     n_unique = []
     for b in range(num_blocks):
         pp, dd, lw = _blocked_rounds(
-            block_keys[2 * b], pp, dd, lw, dm, rounds=rounds, tau=tau)
+            block_keys[2 * b], pp, dd, lw, dm, rounds=rounds, tau=tau,
+            bitslice=bitslice)
         pp, dd, lw, nu = _blocked_merge(block_keys[2 * b + 1], pp, dd, lw)
         n_unique.append(nu)
 
@@ -2304,7 +2310,8 @@ def weighted_first_passage_binned(key, tapes, logw, dm: DeviceMachine,
                                   tau: float = 1.0,
                                   data_tape: bool = True,
                                   q_fn=None, q_target: int | None = None,
-                                  split: bool = True, seed: int = 0):
+                                  split: bool = True, seed: int = 0,
+                                  rounds_fn=None):
     """Weighted-ensemble SPLITTING on a progress coordinate for
     STATE-rare first-passage targets on decision-machine rules.
 
@@ -2330,6 +2337,15 @@ def weighted_first_passage_binned(key, tapes, logw, dm: DeviceMachine,
     blocks — the WE control flow is host-side numpy like `soup_we`,
     one [K] transfer per block). tau < 1 composes: the tempered branch
     weights multiply into the walker weights before binning.
+
+    ``rounds_fn`` swaps the block dynamics for a drop-in replacement
+    with the `_blocked_rounds` calling convention ``fn(key, pp, dd,
+    lw) -> (pp, dd, lw)`` — the multi-chip hook: pass
+    `parallel.sharding.make_sharded_blocked_rounds(dm, mesh, rounds,
+    tau=tau)` to advance the walker axis island-sharded over a device
+    mesh while this harness's WE control stays host-global (gated
+    bit-identically vs a per-island host loop,
+    `tests/test_sharding.py::test_we_binned_on_sharded_rounds`).
 
     Returns ``(survival [num_blocks], t_blocks, occupancy [num_blocks],
     q_max [num_blocks])``.
@@ -2374,8 +2390,13 @@ def weighted_first_passage_binned(key, tapes, logw, dm: DeviceMachine,
 
     for b in range(num_blocks):
         lw_dev = jnp.asarray(np.log(np.maximum(w, 1e-300)))
-        pp, dd, lw_dev = _blocked_rounds(
-            block_keys[b], pp, dd, lw_dev, dm, rounds=rounds, tau=tau)
+        if rounds_fn is None:
+            pp, dd, lw_dev = _blocked_rounds(
+                block_keys[b], pp, dd, lw_dev, dm, rounds=rounds,
+                tau=tau)
+        else:
+            pp, dd, lw_dev = rounds_fn(jnp.asarray(block_keys[b]),
+                                       pp, dd, lw_dev)
         if tau != 1.0:
             w = np.where(live, np.exp(np.asarray(lw_dev)), 0.0)
         tape_now = _from_planes_t(dd if data_tape else pp)

@@ -254,7 +254,8 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
 
 def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
                                   plan: tuple, k_local: int,
-                                  tau: float = 1.0):
+                                  tau: float = 1.0,
+                                  bitslice: bool | None = None):
     """Island-mode sharded BLOCKED frontier (the fast frontier).
 
     Same distribution strategy as :func:`make_sharded_frontier` — the
@@ -271,6 +272,11 @@ def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
     n_unique [n_devices, num_blocks])`` over global arrays whose
     leading axis is ``n_devices * k_local``; each island's weights
     renormalise to mass 1.
+
+    ``bitslice`` forwards to `ensemble._blocked_rounds`: True forces
+    the bit-sliced round/sampling circuit on every island (the wide
+    machines' fast path — requires k_local % 32 == 0), None auto-
+    selects, False keeps the FSM walk.
     """
     from ..engine import ensemble as ensemble_mod
 
@@ -293,7 +299,8 @@ def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
         def block(carry, kb):
             pp, dd, lw = carry
             pp, dd, lw = ensemble_mod._blocked_rounds(
-                kb[0], pp, dd, lw, dm, rounds=rounds, tau=tau)
+                kb[0], pp, dd, lw, dm, rounds=rounds, tau=tau,
+                bitslice=bitslice)
             pp, dd, lw, nu = ensemble_mod._blocked_merge(
                 kb[1], pp, dd, lw)
             return (pp, dd, lw), nu
@@ -326,6 +333,64 @@ def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
         p, d, w, nu = mapped(key, pt.astype(jnp.int8),
                              dtp.astype(jnp.int8), logw)
         return (p.astype(pt.dtype), d.astype(dtp.dtype)), w, nu
+
+    return fn
+
+
+def make_sharded_blocked_rounds(dm, mesh: jax.sharding.Mesh,
+                                rounds: int, *, tau: float = 1.0,
+                                bitslice: bool | None = None):
+    """Island-sharded block dynamics for the host-controlled WE
+    harnesses (`ensemble.weighted_first_passage_binned`'s
+    ``rounds_fn`` hook — the multi-chip path for the round-3 binned
+    splitting instrument).
+
+    The WE control flow (binning by progress coordinate, systematic
+    slot resampling, flux accounting) is GLOBAL host-side numpy — one
+    [K] transfer per block, exactly like the single-chip harness and
+    `soup_we.we_emergence` — so only the block's stratified rounds
+    shard: the walker axis splits over every mesh device and each
+    island advances its slice with `ensemble._blocked_rounds` under a
+    per-island folded key (same derivation as
+    :func:`make_sharded_frontier_blocked`, so island ``i`` is
+    bit-identical to a standalone ``_blocked_rounds(fold_in(key, i),
+    ...)`` on the same slice —
+    `tests/test_sharding.py::test_sharded_blocked_rounds_island_parity`).
+    The post-block parent gather (`pl[:, pidx]`) crosses islands; GSPMD
+    inserts the collective.
+
+    Returns ``fn(key, pp, dd, lw) -> (pp, dd, lw)`` over transposed
+    plane tuples ([E, K] per stride slot) whose member axis K is
+    ``n_devices * k_local``.
+    """
+    from ..engine import ensemble as ensemble_mod
+
+    axes = tuple(mesh.shape.keys())
+
+    def local(key, p3, d3, lw):
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        pp, dd, lw = ensemble_mod._blocked_rounds(
+            k, tuple(p3), tuple(d3), lw, dm, rounds=rounds, tau=tau,
+            bitslice=bitslice)
+        return jnp.stack(pp), jnp.stack(dd), lw
+
+    spec = P(None, None, axes)  # [stride, E, K]: shard the member axis
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec, spec, P(axes)),
+        out_specs=(spec, spec, P(axes)),
+    )
+
+    @jax.jit
+    def fn(key, pp, dd, lw):
+        stride = len(pp)
+        p3, d3, lw = mapped(key, jnp.stack(pp), jnp.stack(dd),
+                            jnp.asarray(lw))
+        return (tuple(p3[c] for c in range(stride)),
+                tuple(d3[c] for c in range(stride)), lw)
 
     return fn
 

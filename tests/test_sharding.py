@@ -512,3 +512,172 @@ def test_sharded_dense_rk_trajectory_flagship_scale():
 
     np.testing.assert_allclose(sums_g, 1.0, rtol=1e-12)
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-16)
+
+
+def test_wide_machine_sampling_circuit_blocked_frontier_sharded():
+    """Round-3's wide-machine fast path on the mesh (round-3 verdict
+    missing item #3, dryrun mode 8): the fuzz-wide-specs SAMPLING
+    CIRCUIT (199 specs, ~7k gates — past every historical packing
+    cliff) drives the island-sharded blocked frontier with
+    bitslice=True forced, and every island is bit-identical to a
+    standalone run_weighted_frontier_blocked with the same forcing."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import (
+        bitslice as bs,
+        ensemble,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_frontier_blocked,
+    )
+
+    dm = ensemble.compile_decision_machine("fuzz-wide-specs")
+    assert dm.num_specs > 63  # past the round-2 spec-id cliff
+    assert bs.machine_is_sampleable(dm)
+    assert not bs.machine_is_bitsliceable(dm)  # has a choose: sampling
+    mesh = make_mesh(n_batch=8, n_event=1)
+    k_loc, L = 32, 32  # k_loc % 32 == 0: one uint32 word per island
+    plan = (2, 2, 4)
+    n_dev = 8
+    fn = make_sharded_frontier_blocked(dm, mesh, plan, k_loc,
+                                       bitslice=True)
+
+    ptape = jnp.zeros((n_dev * k_loc, L), jnp.int32)
+    dtape = jax.random.randint(jax.random.PRNGKey(0),
+                               (n_dev * k_loc, L), 0, dm.size_a,
+                               dtype=jnp.int32)
+    lw0 = jnp.full((n_dev * k_loc,), -math.log(k_loc))
+    key = jax.random.PRNGKey(11)
+    (pt, dt), lw, nu = fn(key, (ptape, dtape), lw0)
+    w_isl = np.exp(np.asarray(lw)).reshape(n_dev, k_loc).sum(axis=1)
+    np.testing.assert_allclose(w_isl, 1.0, rtol=1e-9)
+
+    for isl in (0, 5):
+        sl = slice(isl * k_loc, (isl + 1) * k_loc)
+        (pt_i, dt_i), lw_i, nu_i = ensemble.run_weighted_frontier_blocked(
+            jax.random.fold_in(key, isl),
+            (ptape[sl], dtape[sl]),
+            jnp.full((k_loc,), -math.log(k_loc)),
+            dm, plan, bitslice=True,
+        )
+        np.testing.assert_array_equal(np.asarray(pt[sl]),
+                                      np.asarray(pt_i))
+        np.testing.assert_array_equal(np.asarray(dt[sl]),
+                                      np.asarray(dt_i))
+        np.testing.assert_allclose(np.asarray(lw[sl]),
+                                   np.asarray(lw_i), rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(nu[isl]),
+                                      np.asarray(nu_i))
+
+
+def test_sharded_blocked_rounds_island_parity():
+    """make_sharded_blocked_rounds: island i's block dynamics are
+    bit-identical to a standalone _blocked_rounds under
+    fold_in(key, i) on the same walker slice."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_blocked_rounds,
+    )
+
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    mesh = make_mesh(n_batch=8, n_event=1)
+    n_dev, k_loc, L, events, rounds = 8, 32, 32, 4, 3
+    K = n_dev * k_loc
+    stride = L // events
+    dtape = jax.random.randint(jax.random.PRNGKey(1), (K, L), 0, 2,
+                               dtype=jnp.int32)
+    ptape = jnp.zeros((K, L), jnp.int32)
+    pp = ensemble._to_planes_t(ptape.astype(jnp.int8), stride=stride)
+    dd = ensemble._to_planes_t(dtape.astype(jnp.int8), stride=stride)
+    lw = jnp.zeros((K,), jnp.float64)
+
+    fn = make_sharded_blocked_rounds(dm, mesh, rounds)
+    key = jax.random.PRNGKey(5)
+    gp, gd, glw = fn(key, pp, dd, lw)
+
+    for isl in (0, 2, 7):
+        sl = slice(isl * k_loc, (isl + 1) * k_loc)
+        wp, wd, wlw = ensemble._blocked_rounds(
+            jax.random.fold_in(key, isl),
+            tuple(p[:, sl] for p in pp), tuple(d[:, sl] for d in dd),
+            lw[sl], dm, rounds=rounds, tau=1.0)
+        for c in range(stride):
+            np.testing.assert_array_equal(np.asarray(gp[c][:, sl]),
+                                          np.asarray(wp[c]))
+            np.testing.assert_array_equal(np.asarray(gd[c][:, sl]),
+                                          np.asarray(wd[c]))
+        np.testing.assert_allclose(np.asarray(glw[sl]),
+                                   np.asarray(wlw), rtol=1e-15)
+
+
+def test_we_binned_on_sharded_rounds():
+    """weighted_first_passage_binned through the sharded rounds_fn
+    (dryrun mode 9): with the block dynamics replaced by
+    make_sharded_blocked_rounds, the FULL harness output (survival,
+    occupancy, best-progress trace) is bit-identical to the same
+    harness driven by a host-side per-island emulation — the WE
+    control flow is global and unchanged, so the mesh adds devices,
+    not semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chemical_kinetics_and_program_execution_tpu.engine import ensemble
+    from chemical_kinetics_and_program_execution_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from chemical_kinetics_and_program_execution_tpu.parallel.sharding import (
+        make_sharded_blocked_rounds,
+    )
+
+    dm = ensemble.compile_decision_machine("ex2-ferromagnetic-chain")
+    mesh = make_mesh(n_batch=8, n_event=1)
+    n_dev, k_loc, L, rounds = 8, 32, 32, 3
+    K = n_dev * k_loc
+    plan = (3, rounds, 4)
+    pattern = (1, 1, 1, 1, 1, 1)  # 6 U's — state-rare target
+    dtape = jax.random.randint(jax.random.PRNGKey(2), (K, L), 0, 2,
+                               dtype=jnp.int32)
+    ptape = jnp.zeros((K, L), jnp.int32)
+    lw0 = jnp.full((K,), -np.log(K))
+
+    sharded = make_sharded_blocked_rounds(dm, mesh, rounds)
+
+    def host_islands(key, pp, dd, lw):
+        outs = []
+        for i in range(n_dev):
+            sl = slice(i * k_loc, (i + 1) * k_loc)
+            outs.append(ensemble._blocked_rounds(
+                jax.random.fold_in(key, i),
+                tuple(p[:, sl] for p in pp),
+                tuple(d[:, sl] for d in dd),
+                lw[sl], dm, rounds=rounds, tau=1.0))
+        pp = tuple(jnp.concatenate([o[0][c] for o in outs], axis=1)
+                   for c in range(len(pp)))
+        dd = tuple(jnp.concatenate([o[1][c] for o in outs], axis=1)
+                   for c in range(len(pp)))
+        return pp, dd, jnp.concatenate([o[2] for o in outs])
+
+    res_sh = ensemble.weighted_first_passage_binned(
+        jax.random.PRNGKey(3), (ptape, dtape), lw0, dm, pattern, plan,
+        rounds_fn=sharded, seed=0)
+    res_host = ensemble.weighted_first_passage_binned(
+        jax.random.PRNGKey(3), (ptape, dtape), lw0, dm, pattern, plan,
+        rounds_fn=host_islands, seed=0)
+    for a, b in zip(res_sh, res_host):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-14)
