@@ -36,12 +36,27 @@ def main():
     # off-chip, not device compute, dominates at that state size.
     ap.add_argument("--n-samples", type=int, default=2001)
     ap.add_argument("--scenario", default=None, choices=["a", "b"])
-    ap.add_argument("--chunk-size", type=int, default=100)
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="samples per device call (default: 500 in "
+                    "observables mode, 100 with --full-spd)")
+    # Observables-only is the DEFAULT (round 4): the warm wall clock
+    # was ~100x device compute, dominated by the full-SPD f64 sample
+    # transfer over the TPU tunnel (2001 x 59049 x 8 B ~ 0.9 GB per
+    # scenario) plus per-chunk dispatch — the projection transfers
+    # ~100 B/sample instead and prints the same p_final oracles.
     ap.add_argument("--observables-only", action="store_true",
+                    default=True,
                     help="Evaluate the plotted observables on device and "
-                    "transfer only those (required for cl_k >= 7 where "
-                    "full-state samples are GBs over the TPU tunnel).")
+                    "transfer only those (default; required for cl_k >= "
+                    "7 where full-state samples are GBs over the tunnel).")
+    ap.add_argument("--full-spd", dest="observables_only",
+                    action="store_false",
+                    help="Transfer full SPD samples (the mode that "
+                    "produced the committed oracle artifacts "
+                    "ex4_chemical_turing_*_k5.npz).")
     args = ap.parse_args()
+    if args.chunk_size is None:
+        args.chunk_size = 500 if args.observables_only else 100
     cl_k = args.cl_k
 
     scenarios = (

@@ -48,12 +48,38 @@ THR = 4                 # extinct when the longest dot-run falls below
 BLOCKS, ROUNDS = 48, 16
 MUS = (2e-3, 3e-3, 5e-3, 8e-3, 1.4e-2)
 MU_CROSS = 5e-3         # brute-force cross-check point
-N_SEEDS = int(os.environ.get("CKPE_EX6TH_SEEDS", "4"))
+# 8 seeds per mu (round-4: the round-3 verdict called 4 thin for the
+# repo's flagship new-science number).
+N_SEEDS = int(os.environ.get("CKPE_EX6TH_SEEDS", "8"))
+# THR sensitivity line (round 4): mu_c re-measured at THR=3 and THR=5
+# over the transition-region grid, 4 seeds each — quantifies the
+# systematic from the extinction-coordinate choice next to the
+# statistical SEM.
+SENS_THRS = (3, 5)
+SENS_MUS = (3e-3, 5e-3, 8e-3, 1.4e-2)
+SENS_SEEDS = int(os.environ.get("CKPE_EX6TH_SENS_SEEDS", "4"))
 
 
 def _suffix(args):
-    return "" if args.k == 1024 and N_SEEDS == 4 else \
+    return "" if args.k == 1024 and N_SEEDS == 8 else \
         f"_k{args.k}x{N_SEEDS}"
+
+
+def _mu_c_from_pe(pe_rows, mus):
+    """Per-seed 0.5 crossing of P_ext in ln(mu) -> (mean, sem, seeds).
+
+    ``pe_rows[s, i]`` = P_ext at seed s, mus[i]; per-seed curves are
+    made monotone by a running max before interpolation (WE noise can
+    produce tiny local dips)."""
+    lmus = np.log(np.asarray(mus))
+    seeds = []
+    for pe in pe_rows:
+        pe = np.maximum.accumulate(pe)
+        seeds.append(float(np.exp(np.interp(0.5, pe, lmus))))
+    seeds = np.asarray(seeds)
+    sem = (seeds.std(ddof=1) / np.sqrt(len(seeds))
+           if len(seeds) > 1 else 0.0)
+    return seeds.mean(), sem, seeds
 
 
 def _monoculture_init(rng, m):
@@ -124,18 +150,36 @@ def main():
           f"brute {brute.mean():.3g}+-{brute.std(ddof=1):.2g}")
 
     # mu_c: per-seed 0.5 crossing of P_ext in ln(mu), then seed stats.
-    lmus = np.log(np.asarray(MUS))
-    mu_c_seeds = []
-    for s in range(N_SEEDS):
-        pe = np.maximum.accumulate(
-            np.asarray([1.0 - surv[mu][s, -1] for mu in MUS]))
-        mu_c_seeds.append(float(np.exp(np.interp(0.5, pe, lmus))))
-    mu_c_seeds = np.asarray(mu_c_seeds)
-    mu_c = mu_c_seeds.mean()
-    mu_c_sem = (mu_c_seeds.std(ddof=1) / np.sqrt(N_SEEDS)
-                if N_SEEDS > 1 else 0.0)
+    pe_rows = np.stack(
+        [[1.0 - surv[mu][s, -1] for mu in MUS]
+         for s in range(N_SEEDS)])
+    mu_c, mu_c_sem, mu_c_seeds = _mu_c_from_pe(pe_rows, MUS)
     print(f"mu_c = {mu_c:.2e} +- {mu_c_sem:.1e} "
           f"(seeds {[f'{x:.2e}' for x in mu_c_seeds]})")
+
+    # THR sensitivity: same harness, extinction coordinate cut at 3
+    # and 5 instead of 4; reports mu_c(THR) so the coordinate-choice
+    # systematic sits next to the statistical SEM.
+    mu_c_thr, mu_c_thr_sem = {}, {}
+    for thr in SENS_THRS:
+        qt = L - (thr - 1)
+        rows = []
+        for s in range(SENS_SEEDS):
+            pe_row = []
+            for mu in SENS_MUS:
+                rng = np.random.default_rng(8000 + 100 * s)
+                r_t = soup_we.we_emergence(
+                    jax.random.PRNGKey(700 + 1000 * thr + 10 * s
+                                       + int(mu * 1e5)), m,
+                    _monoculture_init(rng, m),
+                    plan=(args.k, BLOCKS, ROUNDS, E),
+                    q_target=qt, q_fn=q_fn, mutation_rate=mu,
+                    seed=1000 * thr + s)
+                pe_row.append(1.0 - r_t.survival[-1])
+            rows.append(pe_row)
+        mc, sem, _ = _mu_c_from_pe(np.asarray(rows), SENS_MUS)
+        mu_c_thr[thr], mu_c_thr_sem[thr] = mc, sem
+        print(f"THR={thr}: mu_c = {mc:.2e} +- {sem:.1e}", flush=True)
 
     times = r.times
     np.savez_compressed(
@@ -145,7 +189,12 @@ def main():
         occupancy=np.stack([occ[mu] for mu in MUS]),
         brute_cross=brute, mu_cross=MU_CROSS,
         mu_c_seeds=mu_c_seeds, mu_c=mu_c, mu_c_sem=mu_c_sem,
-        thr=THR, q_target=q_target, k=args.k, n_seeds=N_SEEDS)
+        thr=THR, q_target=q_target, k=args.k, n_seeds=N_SEEDS,
+        sens_thrs=np.asarray(SENS_THRS),
+        sens_mus=np.asarray(SENS_MUS),
+        sens_seeds=SENS_SEEDS,
+        mu_c_thr=np.asarray([mu_c_thr[t] for t in SENS_THRS]),
+        mu_c_thr_sem=np.asarray([mu_c_thr_sem[t] for t in SENS_THRS]))
 
     fig, axes = _common.pyplot.subplots(1, 2, figsize=(16, 7))
     ax = axes[0]
@@ -175,6 +224,10 @@ def main():
                label=f"$\\mu_c$ = {mu_c:.1e} $\\pm$ {mu_c_sem:.0e}")
     ax.axvspan(mu_c - mu_c_sem, mu_c + mu_c_sem, alpha=0.15,
                color="red")
+    for thr, color in zip(SENS_THRS, ("tab:orange", "tab:green")):
+        ax.axvline(mu_c_thr[thr], color=color, ls=":",
+                   label=f"$\\mu_c$(THR={thr}) = "
+                         f"{mu_c_thr[thr]:.1e}")
     ax.set_xscale("log")
     ax.set_xlabel("mutation rate $\\mu$ per cell per round")
     ax.set_ylabel("extinction probability by t$_{end}$")
