@@ -285,7 +285,7 @@ def bench_ssa():
 
 
 def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
-                   n_rep=3):
+                   n_rep=3, init_hi=3):
     """Weighted frontier throughput (branch-steps/s), blocked mode.
 
     Stratified multi-site rounds between merge/re-rank blocks
@@ -318,7 +318,7 @@ def bench_frontier(tag="ex5-msrtf-machine", K=None, blocks=None,
         # ensemble benches. 6 blocks at K=10^6 is ~3 s per call; the
         # K=10^7 config-5 caller passes blocks=3 to bound call time.
         blocks = 6
-    pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, 3,
+    pt = jax.random.randint(jax.random.PRNGKey(0), (K, L), 0, init_hi,
                             dtype=jnp.int8)
     dtp = jnp.zeros((K, L), jnp.int8)
     state = [pt, dtp, jnp.full((K,), -np.log(K), jnp.float64)]
@@ -605,6 +605,18 @@ def main():
         except Exception as e:
             print(f"# frontier bench ({tag}) skipped: {e}",
                   file=sys.stderr)
+    try:
+        # Wide-WINDOW machine (ex6-mini-bff-lite: 85 specs, level-2
+        # reads 5 distinct cells): FSM-only until round 4's split
+        # sampling-circuit synthesis; driver-captured so the wide-rule
+        # fast path is scored every round (round-3 verdict weak #4).
+        fw, fwinfo = bench_frontier("ex6-mini-bff-lite", init_hi=12)
+        families["frontier_wide_lite"] = fw
+        print(f"# frontier (blocked, wide-window ex6-lite): {fw:.3e} "
+              f"branch-steps/s {fwinfo}", file=sys.stderr)
+    except Exception as e:
+        print(f"# frontier wide-lite bench skipped: {e}",
+              file=sys.stderr)
     try:
         # When a reduced frontier K is set (CPU smoke runs), scale the
         # config-5 width with it instead of silently running the full

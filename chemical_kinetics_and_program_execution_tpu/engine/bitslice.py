@@ -389,10 +389,14 @@ def _choose_dist_groups(chooses):
 def machine_is_sampleable(dm) -> bool:
     """Can the layered sampling circuit handle this machine (tau=1)?
 
-    Needs every per-level selector space (state bits + distinct read
-    cells + branch bits PER DISTINCT DISTRIBUTION — wide rules carry
-    hundreds of hash-consed choose continuations that share one
-    distribution, round 3) to stay tabulable. No choose-free
+    The whole-level tables need every per-level selector space (state
+    bits + distinct read cells + branch bits PER DISTINCT DISTRIBUTION
+    — wide rules carry hundreds of hash-consed choose continuations
+    that share one distribution, round 3) to stay tabulable; levels
+    past that fall back to the SPLIT synthesis (round 4 — one
+    sub-table per cell/distribution group, see
+    `_compile_sampling_circuit`), whose units only ever select over
+    (state bits + one cell or one branch word). No choose-free
     requirement — that's the point.
     """
     from . import ensemble as ens
@@ -401,19 +405,29 @@ def machine_is_sampleable(dm) -> bool:
     plan = ens._level_plan(dm)
     S = dm.num_specs
     sb = max(S - 1, *(S + lv.n_nodes - 1 for lv in plan)).bit_length()
-    for lv in plan:
-        n_sel = (sb + len(lv.cell_groups) * nb
-                 + sum(max(1, (len(p) - 1).bit_length())
-                       for p, _ in _choose_dist_groups(lv.chooses)))
-        if n_sel > _MAX_SEL_BITS:
-            return False
-    return sb + nb <= _MAX_SEL_BITS
+    whole_ok = all(
+        (sb + len(lv.cell_groups) * nb
+         + sum(max(1, (len(p) - 1).bit_length())
+               for p, _ in _choose_dist_groups(lv.chooses)))
+        <= _MAX_SEL_BITS for lv in plan)
+    if whole_ok:
+        return sb + nb <= _MAX_SEL_BITS
+    # Split path: sb widens to hold the intermediate OFF + next ids;
+    # each unit selects over sb + max(nb, widest branch word).
+    sizes = [lv.n_nodes for lv in plan] + [0]
+    sb_split = max(S - 1, *(S + sizes[i] + sizes[i + 1] - 1
+                            for i in range(len(plan)))).bit_length()
+    w_max = max((max(1, (len(p) - 1).bit_length())
+                 for lv in plan
+                 for p, _ in _choose_dist_groups(lv.chooses)),
+                default=1)
+    return sb_split + max(nb, w_max) <= _MAX_SEL_BITS
 
 
 @functools.lru_cache(maxsize=None)
 def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
                               wr_words, n_p, n_d, p_lo, d_lo, span, tag,
-                              rand_bits, wr_bits=5):
+                              rand_bits, wr_bits=5, force_split=False):
     """Layered circuit for ONE event of a choose-ful machine at tau=1.
 
     Inputs: window cell bits (n_cells*nb) followed by ``rand_bits``
@@ -431,6 +445,20 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
     the level's transition table; terminal values < num_specs pass
     through and finally index the per-cell write tables.
 
+    Levels whose whole-table selector space exceeds ``_MAX_SEL_BITS``
+    (many DISTINCT read cells at one depth — e.g. ex6-mini-bff-lite's
+    level 2 reads 5 cells: 28 bits, a 268M-row table) switch the whole
+    machine to the SPLIT synthesis (round 4): one sub-table per cell
+    group / distribution group — each state reads exactly ONE cell, so
+    the cross product the whole-level table enumerates is structurally
+    unnecessary. Earlier units write next-level ids at offset
+    ``OFF = S + n_this`` (so not-yet-processed this-level ids cannot
+    collide with next-level ids); the LAST unit writes direct ``S +
+    next`` ids and folds the OFF remap. Bit-identical to the unsplit
+    circuit where both apply (same rand consumption, same tables —
+    `tests/test_ensemble.py::test_sampling_circuit_split_matches_unsplit`).
+    ``force_split=True`` forces the split path for that gate.
+
     Returns (ops, outputs, nb, n_rand_inputs).
     """
     from . import ensemble as ens
@@ -445,6 +473,19 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
     n_cells = n_p + n_d
     S = num_specs
     sb = max(S - 1, *(S + lv.n_nodes - 1 for lv in plan)).bit_length()
+
+    def _whole_level_sel_bits(lv):
+        return (sb + len(lv.cell_groups) * nb
+                + sum(max(1, (len(p) - 1).bit_length())
+                      for p, _ in _choose_dist_groups(lv.chooses)))
+
+    split_mode = force_split or any(
+        _whole_level_sel_bits(lv) > _MAX_SEL_BITS for lv in plan)
+    if split_mode:
+        # sb must also hold the intermediate OFF + next ids.
+        sizes = [lv.n_nodes for lv in plan] + [0]
+        sb = max(S - 1, *(S + sizes[i] + sizes[i + 1] - 1
+                          for i in range(len(plan)))).bit_length()
 
     n_choose_levels = sum(1 for lv in plan if lv.chooses)
     n_rand = n_choose_levels * rand_bits
@@ -513,6 +554,53 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
                     bbits.append(x)
                 branch_nodes.append(bbits)
                 branch_widths.append(w)
+
+        if split_mode:
+            # One sub-table per cell group / distribution group (see
+            # the docstring). Units partition the level's local ids;
+            # their tables pass states outside their range through.
+            n_this = lv.n_nodes
+            off = S + n_this
+            first_choose = (min(choose_locals) if choose_locals
+                            else lv.n_nodes)
+            units = []
+            for g, (cell, lo) in enumerate(lv.cell_groups):
+                hi = (lv.cell_groups[g + 1][1]
+                      if g + 1 < len(lv.cell_groups) else first_choose)
+                if hi > lo:
+                    units.append(("cell", cell, range(lo, hi), None))
+            for (probs, locs), bbits, w in zip(dist_groups,
+                                               branch_nodes,
+                                               branch_widths):
+                units.append(("dist", probs, locs, bbits))
+            for u_i, (kind, a1, js, bbits) in enumerate(units):
+                last = u_i == len(units) - 1
+                if kind == "cell":
+                    ext = win[a1 * nb:(a1 + 1) * nb]
+                    clamp = size_a - 1
+                else:
+                    ext = bbits
+                    clamp = len(a1) - 1
+                sel = list(state_bits) + list(ext)
+                idx = np.arange(1 << len(sel), dtype=np.int64)
+                v = idx & ((1 << sb) - 1)
+                bval = np.minimum((idx >> sb) & ((1 << len(ext)) - 1),
+                                  clamp)
+                nxt = v.copy()
+                if last:
+                    nxt = np.where(v >= off, v - n_this, nxt)
+                for j in js:
+                    row = vals[j * lv.max_deg + bval]
+                    enc = np.where(row < S, row,
+                                   row if last else row + n_this)
+                    nxt = np.where(v == S + j, enc, nxt)
+                memo: dict = {}
+                state_bits = [
+                    _synth_over(builder,
+                                ((nxt >> k) & 1).astype(bool), sel,
+                                memo)
+                    for k in range(sb)]
+            continue
 
         # Selector space: state bits, distinct cell bits, branch bits.
         sel = list(state_bits)
@@ -583,11 +671,12 @@ def _choose_dist(probs):
     return ens._choose_sampling_dist(probs, 1.0)
 
 
-def compile_sampling_circuit(dm, *, rand_bits: int = _RAND_BITS):
+def compile_sampling_circuit(dm, *, rand_bits: int = _RAND_BITS,
+                             force_split: bool = False):
     return _compile_sampling_circuit(
         dm.nodes, dm.root, dm.num_specs, dm.size_a, dm.bits,
         dm.wr_words, dm.n_p, dm.n_d, dm.p_lo, dm.d_lo, dm.span, dm.tag,
-        rand_bits, dm.wr_bits)
+        rand_bits, dm.wr_bits, force_split)
 
 
 # --------------------------------------------------------------------------
