@@ -610,6 +610,14 @@ def main():
         # reads 5 distinct cells): FSM-only until round 4's split
         # sampling-circuit synthesis; driver-captured so the wide-rule
         # fast path is scored every round (round-3 verdict weak #4).
+        # Accelerator-only: on CPU the auto path keeps the FSM walk
+        # (11k-op circuit > CPU_MAX_CIRCUIT_OPS) whose lite rounds are
+        # ~10 min even at smoke K — and the family exists to score the
+        # CIRCUIT.
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            raise RuntimeError("wide-lite frontier scores the sampling "
+                               "circuit; CPU keeps the FSM walk")
         fw, fwinfo = bench_frontier("ex6-mini-bff-lite", init_hi=12)
         families["frontier_wide_lite"] = fw
         print(f"# frontier (blocked, wide-window ex6-lite): {fw:.3e} "
