@@ -292,48 +292,40 @@ def apply_bff_round_bitsliced(mach: BffMachine, circ, p_bp, d_bp, shift,
     `compile_bff_circuit` (weighted popcount recovers the
     executed-opcode totals).
     """
+    # Per-cell extraction/write-back, NOT batched: a round-4 experiment
+    # replaced the ~50 dynamic_index+roll pairs with one take over the
+    # slot axis + two whole-block rolls + a select (and the write-back
+    # with one scatter) — bit-identical, but MEASURED 1.7x SLOWER on
+    # the TPU (321.9 vs ~190 us/round, bench_bff 2026-08-20): the
+    # gathered [n_cells, nb, *wshape] blocks materialise ~26 MB x 3
+    # copies per round where XLA fuses each per-cell chain into the
+    # first gate level that consumes it. Reverted; kept as a note so
+    # the next reader does not redo it.
     ops, outputs, nb, _ = circ
     metas = []
     if not mach.self_modifying:
         metas.append((p_bp, mach.p_lo, mach.n_p))
     metas.append((d_bp, mach.d_lo, mach.n_d))
     in_words: list = []
-    locs_d = None
+    locs_d: list = []
     for bp, lo, n in metas:
-        # BATCHED extraction (round 4): the per-cell form (one
-        # dynamic_index + one dynamic roll per cell, ~50 of each for
-        # the faithful rule) left XLA with a long chain of small
-        # gather/roll ops it would not fuse — measured as the main
-        # input-extraction cost in the round. The window spans fewer
-        # sites than one stride, so every cell's plane epoch e is
-        # e0 or e0+1: ONE take over the slot axis + TWO whole-block
-        # rolls + one select reproduce all n cells' words exactly.
-        offs = shift + lo + jnp.arange(n)
-        c_vec = jnp.mod(offs, stride)
-        e_vec = jnp.floor_divide(offs, stride)
-        blk = jnp.take(bp, c_vec, axis=0)       # [n, nb, *wshape]
-        e0 = e_vec[0]                           # offs ascending
-        r0 = jnp.roll(blk, -e0, axis=site_axis)
-        r1 = jnp.roll(r0, -1, axis=site_axis)   # epoch e0 + 1
-        sel = (e_vec == e0).reshape((n,) + (1,) * (blk.ndim - 1))
-        x = jnp.where(sel, r0, r1)
         for j in range(n):
+            a = shift + lo + j
+            c = jnp.mod(a, stride)
+            e = jnp.floor_divide(a, stride)
+            x = jax.lax.dynamic_index_in_dim(bp, c, 0, keepdims=False)
+            x = jnp.roll(x, -e, axis=site_axis)
             for k in range(nb):
-                in_words.append(x[j, k])
-        if bp is d_bp:
-            locs_d = (c_vec, e_vec, e0)
+                in_words.append(x[k])
+            if bp is d_bp:
+                locs_d.append((c, e))
     shape = in_words[0].shape
     new_bits = _eval_circuit(ops, outputs, in_words, shape)
-    # Batched write-back: inverse rolls grouped by epoch, one scatter
-    # over the distinct slot indices (distinct cells of one window hit
-    # distinct plane slots — window span < stride, `_check_round_geometry`).
-    c_vec, e_vec, e0 = locs_d
-    V = jnp.stack([jnp.stack(new_bits[j * nb:(j + 1) * nb])
-                   for j in range(mach.n_d)])    # [n_d, nb, *wshape]
-    v0 = jnp.roll(V, e0, axis=site_axis)
-    v1 = jnp.roll(v0, 1, axis=site_axis)
-    sel = (e_vec == e0).reshape((mach.n_d,) + (1,) * (V.ndim - 1))
-    d_bp = d_bp.at[c_vec].set(jnp.where(sel, v0, v1))
+    for j in range(mach.n_d):
+        c, e = locs_d[j]
+        v = jnp.stack(new_bits[j * nb:(j + 1) * nb])
+        v = jnp.roll(v, e, axis=site_axis)
+        d_bp = jax.lax.dynamic_update_index_in_dim(d_bp, v, c, 0)
     return d_bp, new_bits[mach.n_d * nb:]
 
 

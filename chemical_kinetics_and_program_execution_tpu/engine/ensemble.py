@@ -2016,6 +2016,38 @@ def _blocked_rounds(key, pp, dd, lw, dm: DeviceMachine, *,
     return tuple(pp), tuple(dd), lw
 
 
+def _gather_plane_columns(planes, parent):
+    """Parent-gather of transposed planes ([E, K] x stride) via a
+    packed MAJOR-axis row gather.
+
+    The direct per-plane minor-axis gather ``pl[:, parent]`` lowers
+    pathologically on this backend — measured 3.0 s at the K=10^7
+    frontier (59% of the whole merge, `probes/merge_decompose.py`,
+    round 4): an arbitrary-index gather along the 128-lane axis of 32
+    separate int8 arrays. Packing all cells member-major ([K, n] via
+    one dense transpose), 4 int8 fields per int32 word, turns it into
+    ONE row gather over [K, n/4] int32 — the layout gathers are built
+    for — plus two dense transposes. Bit-exact (symbols < 256).
+    """
+    stride = len(planes)
+    E, K = planes[0].shape
+    st = jnp.stack(planes)                      # [stride, E, K] int8
+    n = stride * E
+    pad = (-n) % 4
+    t = st.reshape(n, K).T                      # [K, n]
+    if pad:
+        t = jnp.concatenate(
+            [t, jnp.zeros((K, pad), t.dtype)], axis=1)
+    t4 = t.reshape(K, (n + pad) // 4, 4).astype(jnp.int32)
+    words = (t4[..., 0] | (t4[..., 1] << 8)
+             | (t4[..., 2] << 16) | (t4[..., 3] << 24))
+    g = jnp.take(words, parent, axis=0)         # [K, n/4] row gather
+    cells = jnp.stack([(g >> (8 * i)) & 0xFF for i in range(4)],
+                      axis=-1).reshape(K, n + pad)
+    back = cells[:, :n].T.reshape(stride, E, K).astype(planes[0].dtype)
+    return tuple(back[c] for c in range(stride))
+
+
 @jax.jit
 def _blocked_merge(key, pp, dd, lw):
     """Merge-by-key + systematic slot resampling on transposed planes."""
@@ -2024,8 +2056,8 @@ def _blocked_merge(key, pp, dd, lw):
            [pl[e] for pl in dd for e in range(E)]
     h = _content_hash(cols, bits=4)  # machine symbols are < 16
     parent, new_lw, n_unique = _merge_resample(key, h, lw)
-    pp = tuple(pl[:, parent] for pl in pp)
-    dd = tuple(pl[:, parent] for pl in dd)
+    pp = _gather_plane_columns(pp, parent)
+    dd = _gather_plane_columns(dd, parent)
     return pp, dd, new_lw - jnp.max(new_lw), n_unique
 
 
@@ -2198,8 +2230,8 @@ def _blocked_merge_flagged(key, pp, dd, lw, flag):
            [flag.astype(jnp.int8)]
     h = _content_hash(cols, bits=4)
     parent, new_lw, n_unique = _merge_resample(key, h, lw)
-    pp = tuple(pl[:, parent] for pl in pp)
-    dd = tuple(pl[:, parent] for pl in dd)
+    pp = _gather_plane_columns(pp, parent)
+    dd = _gather_plane_columns(dd, parent)
     return pp, dd, new_lw - jnp.max(new_lw), flag[parent], n_unique
 
 
