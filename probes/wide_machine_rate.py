@@ -13,6 +13,7 @@ transitions, differenced over blocks 1 vs 4):
 
   fuzz-wide-specs   (199 specs, 276 states): 3.17e9 branch-steps/s
   ex6-mini-bff-lite ( 85 specs, 262 states): 4.31e8 branch-steps/s
+                                  round 4:   3.34e9 branch-steps/s
 
 Rate evolution on the fuzz rule: 6.11e7 with per-NODE FSM cascades
 (the 144 hash-consed choose continuations each paid their own
@@ -21,8 +22,15 @@ in `ensemble._machine_specs_planes_leveled` (9.0x) -> 3.17e9 once the
 same grouping made the rule SAMPLEABLE and the blocked rounds engage
 the bit-sliced sampling circuit (`bitslice.machine_is_sampleable` now
 counts branch bits per DISTINCT distribution; 5.8x more, 52x total).
-ex6-lite is deterministic but its 28-bit window exceeds the exhaustive
-tabulation cap, so it stays on the (grouped) FSM walk.
+
+Round 3's remaining cliff — ex6-lite's 28-bit window exceeded the
+whole-level tabulation cap, keeping it on the (grouped) FSM walk at
+4.31e8 — fell in round 4: the SPLIT synthesis (one sub-table per
+cell/distribution group, `bitslice._compile_sampling_circuit`) makes
+the rule sampleable at ~11k ops and the same command measured
+**3.339e9 branch-steps/s (7.7x)** on 2026-08-20, level with its
+spec-wide sibling. Driver-captured each round as bench family
+`frontier_wide_lite`.
 """
 
 import sys
