@@ -91,6 +91,8 @@ def main():
         obs[0] = project_host(y0)
         next_i = 1
 
+    if h0 is not None:  # a resumed h may exceed the remaining interval
+        h0 = min(h0, max(T_MAX - t0, 1e-6))
     solver = DOP853(f, t0, y0, t_bound=T_MAX, rtol=RTOL, atol=ATOL,
                     first_step=h0)
     while solver.status == "running":
