@@ -30,8 +30,20 @@ def main():
     # Beyond-reference runs (--cl-k 6: a 10^6-dim state) keep the
     # sample grid small — off-chip sample transfer dominates there.
     ap.add_argument("--n-samples", type=int, default=5001)
-    ap.add_argument("--chunk-size", type=int, default=100)
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="samples per device call (default: 500 in "
+                    "observables mode, 100 with --full-spd)")
+    # Observables-only default (round 4, same rationale as ex4: warm
+    # wall clock was sample transfer — here 5001 x 1e5 x 8 B = 4 GB —
+    # not device compute). --full-spd restores the committed-artifact
+    # mode the oracle tests read.
+    ap.add_argument("--observables-only", action="store_true",
+                    default=True)
+    ap.add_argument("--full-spd", dest="observables_only",
+                    action="store_false")
     args = ap.parse_args()
+    if args.chunk_size is None:
+        args.chunk_size = 500 if args.observables_only else 100
     cl_k = args.cl_k
 
     p0 = chemical_turing_v2_p0(cl_k)
@@ -40,34 +52,62 @@ def main():
         if delta > 1e-6:
             raise ValueError("Impossible p0.")
 
-    cache_name = f"ex4var2_chemical_turing_k{cl_k}.npz"
+    curves = [
+        ([0], "-k", "p(A)"), ([1], "-b", "p(B)"),
+        ([2], "-m", "p(C)"), ([3], "-r", "p(D)"),
+        ([4, 5, 4, 3], "--r", "p(IOID)"),
+        ([5, 4, 5, 4, 5], "--k", "p(OIOIO)"),
+        ([4, 4, 4, 4], "--g", "p(IIII)"),
+        ([6], "-.k", "p(P)"), ([7], "-.b", "p(X)"),
+        ([9], "-.g", "p(E)"),
+    ]
+    obs_part = "_obs" if args.observables_only else ""
+    cache_name = f"ex4var2_chemical_turing_k{cl_k}{obs_part}.npz"
     ode_ts = sample_grid(cache_name, 0, 10000.0, args.n_samples)
-    ode_ys = cached(
-        cache_name,
-        lambda: markov_tapes.ode_integrate_ivp(
-            tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(), ts=ode_ts,
-            backend=args.backend,
-            ivp_kwargs=dict(rtol=1e-11, atol=1e-11, method="DOP853",
-                            chunk_size=args.chunk_size, progress=True),
-        ),
-        ts=ode_ts,
-    )
+    solver_kwargs = dict(rtol=1e-11, atol=1e-11, method="DOP853",
+                         chunk_size=args.chunk_size, progress=True)
 
     fig, ax = new_fig()
-    pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k, logx=True)
-    pl.plot([0], "-k", "p(A)")
-    pl.plot([1], "-b", "p(B)")
-    pl.plot([2], "-m", "p(C)")
-    pl.plot([3], "-r", "p(D)")
-    pl.plot([4, 5, 4, 3], "--r", "p(IOID)", linewidth=3)
-    pl.plot([5, 4, 5, 4, 5], "--k", "p(OIOIO)", linewidth=3)
-    pl.plot([4, 4, 4, 4], "--g", "p(IIII)", linewidth=3)
-    pl.plot([6], "-.k", "p(P)")
-    pl.plot([7], "-.b", "p(X)")
-    pl.plot([9], "-.g", "p(E)")
-    c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
-    ax.plot(np.log(ode_ts[1:]) / np.log(10), log10(c_tot[1:]),
-            "-.m", label="{total cursor}")
+    lts = np.log(ode_ts[1:]) / np.log(10)
+    if args.observables_only:
+        from chemical_kinetics_and_program_execution_tpu.ops.observables import (  # noqa: E501
+            seq_prob_projector,
+        )
+
+        proj = seq_prob_projector([s for s, _, _ in curves],
+                                  SIZE_A, cl_k)
+        obs = cached(
+            cache_name,
+            lambda: markov_tapes.ode_integrate_ivp(
+                tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
+                ts=ode_ts, backend=args.backend,
+                ivp_kwargs=dict(project=proj, **solver_kwargs),
+            ),
+            ts=ode_ts,
+        )
+        lw = {"--r": 3, "--k": 3, "--g": 3}
+        for j, (_, style, label) in enumerate(curves):
+            ax.plot(lts, log10(obs[1:, j]), style, label=label,
+                    linewidth=lw.get(style, 1.5))
+            print(f"{label}: p_final={obs[-1, j]}")
+        c_tot = obs[:, 0:4].sum(axis=1)
+    else:
+        ode_ys = cached(
+            cache_name,
+            lambda: markov_tapes.ode_integrate_ivp(
+                tag=TAG, size_a=SIZE_A, cl_k=cl_k, p0=p0.ravel(),
+                ts=ode_ts, backend=args.backend,
+                ivp_kwargs=solver_kwargs,
+            ),
+            ts=ode_ts,
+        )
+        pl = SeqProbPlotter(ax, ode_ys, ode_ts, SIZE_A, cl_k, logx=True)
+        for seq, style, label in curves:
+            pl.plot(seq, style, label,
+                    linewidth=3 if style in ("--r", "--k", "--g")
+                    else 1.5)
+        c_tot = sum(pl.seq_prob([s]) for s in (0, 1, 2, 3))
+    ax.plot(lts, log10(c_tot[1:]), "-.m", label="{total cursor}")
     suffix = "" if cl_k == 5 else f"_k{cl_k}"
     finish(fig, ax, f"ex4var2_chemical_turing{suffix}.pdf",
            xlabel=r"$\log_{10}$(time)")
