@@ -192,18 +192,30 @@ def bench_clk8_rhs():
 
     from chemical_kinetics_and_program_execution_tpu.engine import dense
 
+    import jax.numpy as jnp
+
     if jax.default_backend() == "cpu":
         raise RuntimeError("cl_k=8 streamed RHS needs the accelerator")
     prog = dense.compile_dense("ex4-chemical-turing", 8)
     fn = dense.make_dense_dy_dt_streamed(prog)
     p0 = np.full(prog.state_size, 1.0 / prog.state_size)
+    # Device-resident input: every real consumer (the round-5 on-device
+    # DOP853 driver in ode/streamed_solve.py) keeps the state on the
+    # chip between RHS calls; feeding numpy here would time the tunnel's
+    # ~5 s 344 MB host->device copy, not the kernel (round-5 probe
+    # `probes/clk8_rhs_decompose.py`: 8.7 s numpy-fed vs 1.98 s
+    # device-fed at identical kernels).
+    p_dev = jnp.asarray(p0)
     t0 = time.time()
-    dy = np.asarray(fn(p0))
+    dy = np.asarray(fn(p_dev))
     first = time.time() - t0
     assert abs(dy.sum()) < 1e-12  # conservation at uniform p0
-    t0 = time.time()
-    jax.block_until_ready(fn(p0))
-    dt = time.time() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(fn(p_dev)))  # device-side checksum sync
+        walls.append(time.time() - t0)
+    dt = min(walls)
     # Reference-equivalent events scale ~A per cl_k step on this rule
     # (11.76M at k=5); report state-dims/s — an honest, self-contained
     # unit for the streamed sweep — and the wall per RHS alongside.

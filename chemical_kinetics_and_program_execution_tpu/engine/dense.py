@@ -332,19 +332,30 @@ def _apply_group(dy, l0, changed, members, w_vec, r_le, r_re,
         # Unique (orig, adj) run ranks: members merged by _group_plans
         # share their whole emission, so one slice moves their sum.
         pairs = sorted({_emit_sub_ranks(m, s0, k, a) for m in members})
-        if a**k >= _ROLL_EMIT_MIN_STATE and lo < 128:
+        if a**k >= _ROLL_EMIT_MIN_STATE:
             # Large-state layout guard: the 3-D sub-slice form below
             # materialises [hi, A^run, lo] temporaries whose trailing
             # axis is (8,128)-tile padded — at lo ∈ {1, a} that is a
             # ~14x HBM expansion per emission, which is what broke the
-            # ex4 cl_k=7 stepper (16 GB OOM, overlays-dominated). Emit
-            # with flat masked rolls instead: the run digits of each
-            # support are selected by an iota comparison and moved by a
-            # constant rank offset — all 1-D [A^k] ops, no padding.
+            # ex4 cl_k=7 stepper (16 GB OOM, overlays-dominated), and
+            # measured 2-5x slower than a flat masked roll at EVERY lo
+            # on the 43M-dim cl_k=8 state (probes/clk8_rhs_decompose.py,
+            # round 5). Emit with flat masked rolls instead: the run
+            # digits of each support are selected by an iota comparison
+            # and moved by a constant rank offset — all 1-D [A^k] ops,
+            # no padding. Supports are disjoint, so pairs sharing one
+            # rank delta OR their masks and ride a single roll (round-5
+            # measurement: 14.4 -> 5.7 ms per 4-pair emission).
             dig = (jax.lax.iota(jnp.int32, a**k) // lo) % (a**run)
+            by_delta: dict[int, list[int]] = {}
             for o_s, a_s in pairs:
-                sub = jnp.where(dig == o_s, t, jnp.zeros((), dtype))
-                dy = dy - sub + jnp.roll(sub, (a_s - o_s) * lo)
+                by_delta.setdefault(a_s - o_s, []).append(o_s)
+            for d, os_ in sorted(by_delta.items()):
+                m0 = dig == os_[0]
+                for o in os_[1:]:
+                    m0 = m0 | (dig == o)
+                sub = jnp.where(m0, t, jnp.zeros((), dtype))
+                dy = dy - sub + jnp.roll(sub, d * lo)
             return dy
         o_subs = np.array([x[0] for x in pairs])
         a_subs = np.array([x[1] for x in pairs])
@@ -390,11 +401,22 @@ def _apply_group(dy, l0, changed, members, w_vec, r_le, r_re,
         dy = emit(dy, um, base - k - m)
 
     # Phase B: right-extend while a changed cell stays in context.
+    n1 = a ** (k - 1)
     for m in range(1, m_r + 1):
         t = jnp.repeat(ctx, a) * r_re
         dy = emit(dy, t, l0 + m - k)
         if m < m_r:
-            ctx = t.reshape(a, a ** (k - 1)).sum(0)
+            if a**k >= _ROLL_EMIT_MIN_STATE:
+                # Leading-digit reduce as contiguous slice adds: the
+                # [a, A^(k-1)] reshape-sum relayouts into (8,128)-tile
+                # padded form at large state (measured ~10 ms/step
+                # slower at cl_k=8, probes/clk8_rhs_decompose.py).
+                c = t[:n1]
+                for d in range(1, a):
+                    c = c + t[d * n1:(d + 1) * n1]
+                ctx = c
+            else:
+                ctx = t.reshape(a, n1).sum(0)
     return dy
 
 
@@ -520,6 +542,7 @@ def make_dense_dy_dt_streamed(prog: DenseProgram, dtype=jnp.float64):
         return dy
 
     fn.group_fns = group_fns
+    fn.prep = prep
     return fn
 
 
