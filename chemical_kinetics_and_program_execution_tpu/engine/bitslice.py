@@ -582,6 +582,15 @@ def _compile_sampling_circuit(nodes, root, num_specs, size_a, bits,
                     ext = bbits
                     clamp = len(a1) - 1
                 sel = list(state_bits) + list(ext)
+                if len(sel) > _MAX_SEL_BITS:
+                    # Mirror the unsplit branch's guard: without it a
+                    # machine whose state+one-extension width exceeds
+                    # the cap would attempt a 2^len(sel) host table and
+                    # die in an allocation instead of loudly
+                    # (round-4 advisor).
+                    raise ValueError(
+                        f"{tag!r}: split-unit selector space "
+                        f"{len(sel)} bits exceeds {_MAX_SEL_BITS}")
                 idx = np.arange(1 << len(sel), dtype=np.int64)
                 v = idx & ((1 << sb) - 1)
                 bval = np.minimum((idx >> sb) & ((1 << len(ext)) - 1),

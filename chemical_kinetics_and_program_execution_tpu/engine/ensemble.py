@@ -2038,7 +2038,12 @@ def _gather_plane_columns(planes, parent):
     if pad:
         t = jnp.concatenate(
             [t, jnp.zeros((K, pad), t.dtype)], axis=1)
-    t4 = t.reshape(K, (n + pad) // 4, 4).astype(jnp.int32)
+    # Mask each widened field: a negative int8 cell would sign-extend
+    # and corrupt all four lanes of the packed word. With the mask the
+    # pack/unpack pair is a bijection on ALL int8 values (negatives
+    # round-trip via their unsigned alias), so no symbol-range
+    # assumption is load-bearing (round-4 advisor).
+    t4 = t.reshape(K, (n + pad) // 4, 4).astype(jnp.int32) & 0xFF
     words = (t4[..., 0] | (t4[..., 1] << 8)
              | (t4[..., 2] << 16) | (t4[..., 3] << 24))
     g = jnp.take(words, parent, axis=0)         # [K, n/4] row gather
@@ -2046,6 +2051,13 @@ def _gather_plane_columns(planes, parent):
                       axis=-1).reshape(K, n + pad)
     back = cells[:, :n].T.reshape(stride, E, K).astype(planes[0].dtype)
     return tuple(back[c] for c in range(stride))
+
+
+@jax.jit
+def _gather_planes_pair(pp, dd, parent):
+    """Jitted program+data packed parent-gather (host-loop callers)."""
+    return (_gather_plane_columns(pp, parent),
+            _gather_plane_columns(dd, parent))
 
 
 @jax.jit
@@ -2456,9 +2468,12 @@ def weighted_first_passage_binned(key, tapes, logw, dm: DeviceMachine,
                 new_w[pos:pos + n_v] = sw
                 pos += n_v
             assert pos == K
+            # Same [E, K]-planes parent-gather shape as the blocked
+            # merge: the per-plane minor-axis gather pl[:, pidx] was
+            # measured ~3 s-class at large K on this backend — reuse
+            # the packed row gather (round-4 advisor).
             pidx = jnp.asarray(parent, jnp.int32)
-            pp = tuple(pl[:, pidx] for pl in pp)
-            dd = tuple(pl[:, pidx] for pl in dd)
+            pp, dd = _gather_planes_pair(pp, dd, pidx)
             w = new_w
             live = w > 0.0
             occupancy[b] = n_occ

@@ -418,3 +418,24 @@ def test_dense_streamed_matches_fused():
     dual = dense.compile_dense_dual("ex3-copolymerization", 3)
     with _pytest.raises(ValueError, match="single-tape"):
         dense.make_dense_dy_dt_streamed(dual)
+
+
+def test_bench_ex4_k5_event_constant_matches_compiler():
+    """`bench.EX4_K5_REF_EVENTS` short-circuits the chain-engine compile
+    for the flagship exact-RHS rate; if the ex4 rule or geometry ever
+    changed, the constant would silently drift and the reported rate
+    would be wrong with no check (round-4 advisor)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ckpe_bench", os.path.join(os.path.dirname(__file__), "..",
+                                   "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from chemical_kinetics_and_program_execution_tpu.engine.compile import (
+        compile_problem,
+    )
+
+    assert bench.EX4_K5_REF_EVENTS == \
+        compile_problem("ex4-chemical-turing", 5).num_events
