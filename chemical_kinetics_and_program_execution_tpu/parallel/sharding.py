@@ -252,6 +252,105 @@ def make_sharded_dense_dy_dt(prog, mesh: jax.sharding.Mesh,
     return wrapper
 
 
+def make_sharded_dense_dy_dt_streamed(prog, mesh: jax.sharding.Mesh,
+                                      dtype=jnp.float64):
+    """Group-STREAMED dense RHS with the state axis sharded — the
+    composition of the two cl_k=8 mechanisms (round-4 verdict #8).
+
+    `dense.make_dense_dy_dt_streamed` crosses the single-chip HBM wall
+    by evaluating one signature group per jit call with the accumulator
+    donated; `make_sharded_dense_dy_dt` crosses it by GSPMD-splitting
+    the window-rank axis over the mesh. This composes them: each
+    per-group call is itself a sharded program (state axis split over
+    EVERY mesh device, accumulator donated between calls), so a future
+    k9-class state can both stream groups AND spread each group's
+    working set over a slice. The flat state vector is padded to the
+    next multiple of the device count (zero tail) so the state axis
+    always shards; full-size ratio tables (levels k and the
+    right-extend table) are padded+sharded alongside, smaller pyramid
+    levels stay replicated (≤ 1/A of the state each).
+
+    Bit-parity with the FUSED single-device form is CI-gated at cl_k=4
+    (`tests/test_sharding.py::test_sharded_streamed_dense_matches_fused`);
+    the 8-device dryrun runs it as mode 10 (`__graft_entry__.py`).
+    """
+    from ..engine import dense as dense_mod
+
+    if prog.dual:
+        raise ValueError("streamed RHS supports single-tape programs")
+    a, k = prog.size_a, prog.cl_k
+    S = prog.state_size
+    n_dev = mesh.size
+    s_pad = -(-S // n_dev) * n_dev
+    axes = tuple(mesh.axis_names)
+    shard = jax.sharding.NamedSharding(mesh, P(axes))
+    repl = jax.sharding.NamedSharding(mesh, P())
+
+    tables = (
+        jnp.asarray(prog.w_num, jnp.int32),
+        jnp.asarray(prog.w_den, jnp.int32),
+        jnp.asarray(prog.w_const, dtype),
+        jnp.asarray(prog.pair_world, jnp.int32),
+        jnp.asarray(prog.pair_sig, jnp.int32),
+    )
+
+    prep_out_shardings = (repl, tuple([repl] * (k - 1)), shard, shard)
+
+    @partial(jax.jit, in_shardings=shard,
+             out_shardings=prep_out_shardings)
+    def prep(p_pad):
+        w_num, w_den, w_const, pair_world, pair_sig = tables
+        p = p_pad[:S].astype(dtype)
+        lv = dense_mod._levels(p, a, k)
+        pyr = jnp.concatenate(
+            [lv[j] for j in range(k, -1, -1)] + [jnp.ones(1, dtype)])
+        wv = w_const * _ratio_prod(pyr, w_num, w_den)
+        s = jax.ops.segment_sum(wv[pair_world], pair_sig,
+                                num_segments=prog.num_signatures)
+        r_le, r_re = dense_mod._ratio_tables(lv, a, k)
+        pad = (0, s_pad - S)
+        return (s, tuple(r_le[1:k]), jnp.pad(r_le[k], pad),
+                jnp.pad(r_re, pad))
+
+    group_fns = []
+    for l0, changed, members in dense_mod._group_plans(prog.plans, a, k):
+        sids = jnp.asarray([m.sid for m in members], jnp.int32)
+
+        def gfn(dy_pad, s, rle_small, rlek_pad, rre_pad, *, _l0=l0,
+                _ch=changed, _ms=members, _sids=sids):
+            r_le = [None] + list(rle_small) + [rlek_pad[:S]]
+            dy = dense_mod._apply_group(
+                dy_pad[:S], _l0, _ch, _ms, s[_sids], r_le,
+                rre_pad[:S], a, k, dtype)
+            return jnp.pad(dy, (0, s_pad - S))
+
+        group_fns.append(jax.jit(
+            gfn, donate_argnums=0,
+            in_shardings=(shard, repl, tuple([repl] * (k - 1)), shard,
+                          shard),
+            out_shardings=shard))
+
+    def fn(p):
+        p = jnp.asarray(p)
+        if p.shape[-1] == S:
+            p = jnp.pad(p, (0, s_pad - S))
+        elif p.shape[-1] != s_pad:
+            raise ValueError(
+                f"state axis {p.shape[-1]} matches neither "
+                f"state_size={S} nor padded_size={s_pad}")
+        p = jax.device_put(p, shard)
+        s, rle_small, rlek_pad, rre_pad = prep(p)
+        dy = jax.device_put(jnp.zeros(s_pad, dtype), shard)
+        for g in group_fns:
+            dy = g(dy, s, rle_small, rlek_pad, rre_pad)
+        return dy[:S]
+
+    fn.group_fns = group_fns
+    fn.prep = prep
+    fn.padded_size = s_pad
+    return fn
+
+
 def make_sharded_frontier_blocked(dm, mesh: jax.sharding.Mesh,
                                   plan: tuple, k_local: int,
                                   tau: float = 1.0,
