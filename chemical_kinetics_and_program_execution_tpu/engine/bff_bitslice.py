@@ -132,6 +132,22 @@ def compile_bff_circuit(mach: BffMachine):
         return AND(*[bit if (v >> k) & 1 else NOT(bit)
                      for k, bit in enumerate(bits)])
 
+    def eq_value(bits, v: int):
+        """``value == v`` for a tape-cell value: patterns >= size_a
+        never occur on valid tapes, so the cube only needs the minimal
+        literal subset that separates ``v`` from the other CARE values
+        (round-5 circuit shrink; e.g. at A=12, ``== 11`` needs 3
+        literals, not 4). Brute-force over the 2^nb subsets — nb <= 4."""
+        best = None
+        for mask in range(1 << nb):
+            if all(((u ^ v) & mask) != 0 for u in range(A) if u != v):
+                if best is None or bin(mask).count("1") < \
+                        bin(best).count("1"):
+                    best = mask
+        lits = [bits[k] if (v >> k) & 1 else NOT(bits[k])
+                for k in range(nb) if (best >> k) & 1]
+        return AND(*lits) if lits else b.c1
+
     def sel_onehot(H: dict, cells, lo: int):
         """[nb] value bits of the cell under a one-hot head."""
         out = [b.c0] * nb
@@ -148,27 +164,43 @@ def compile_bff_circuit(mach: BffMachine):
     Hd1 = {mach.d1_start: b.c1}
     Hm = {0: b.c1}
     assert mach.fuel <= 15, "4-bit op counters"
-    op_count = [[b.c0] * 4 for _ in range(A)]  # LSB-first per opcode
+    op_hots = [[] for _ in range(A)]  # per-step fetch one-hots
 
-    def count_op(a, h):
-        """Ripple-add the one-hot ``h`` into opcode a's 4-bit counter."""
-        carry = h
-        for k in range(4):
-            s = b.gate("xor", op_count[a][k], carry)
-            carry = b.gate("and", op_count[a][k], carry)
-            op_count[a][k] = s
+    def popcount4(hots):
+        """4 LSB-first bits of ``sum(hots)`` via a 3:2 compressor tree
+        — same output bits as the round-3 per-step ripple adders at
+        about half the gates (round-5 shrink: full adder = 5 gates
+        with the a^b term shared between sum and majority)."""
+        buckets = {0: list(hots)}
+        out = []
+        for w in range(4):
+            cur = buckets.get(w, [])
+            while len(cur) >= 3:
+                x, y, z2 = cur.pop(), cur.pop(), cur.pop()
+                t = b.gate("xor", x, y)
+                cur.append(b.gate("xor", t, z2))
+                buckets.setdefault(w + 1, []).append(
+                    b.gate("or", b.gate("and", x, y),
+                           b.gate("and", z2, t)))
+            if len(cur) == 2:
+                x, y = cur
+                cur = [b.gate("xor", x, y)]
+                buckets.setdefault(w + 1, []).append(
+                    b.gate("and", x, y))
+            out.append(cur[0] if cur else b.c0)
+        return out
 
     for step in range(mach.fuel):
         opb = sel_onehot(Hpc, p_cells, p_lo)
         for a in range(A):
-            count_op(a, eq_const(opb, a))
-        is_lt, is_gt = eq_const(opb, mach.lt), eq_const(opb, mach.gt)
-        is_cl, is_cr = eq_const(opb, mach.cl), eq_const(opb, mach.cr)
-        is_minus = eq_const(opb, mach.minus)
-        is_plus = eq_const(opb, mach.plus)
-        is_dot = eq_const(opb, mach.dot)
-        is_comma = eq_const(opb, mach.comma)
-        is_bl, is_br = eq_const(opb, mach.bl), eq_const(opb, mach.br)
+            op_hots[a].append(eq_value(opb, a))
+        is_lt, is_gt = eq_value(opb, mach.lt), eq_value(opb, mach.gt)
+        is_cl, is_cr = eq_value(opb, mach.cl), eq_value(opb, mach.cr)
+        is_minus = eq_value(opb, mach.minus)
+        is_plus = eq_value(opb, mach.plus)
+        is_dot = eq_value(opb, mach.dot)
+        is_comma = eq_value(opb, mach.comma)
+        is_bl, is_br = eq_value(opb, mach.bl), eq_value(opb, mach.br)
 
         d0v = sel_onehot(Hd0, d_cells, mach.d_lo)
         d1v = sel_onehot(Hd1, d_cells, mach.d_lo)
@@ -177,20 +209,29 @@ def compile_bff_circuit(mach: BffMachine):
         ex = Hm.get(0, b.c0)
 
         # --- data write (uses the PRE-move heads; execute mode only:
-        # plus/minus/comma write at d0, dot at d1) ---
-        w_en = AND(ex, OR(is_plus, is_minus, is_dot, is_comma))
+        # plus/minus/comma write at d0, dot at d1). XOR-delta form
+        # (round-5 circuit shrink): the value ALREADY at the write
+        # target is d1v for dot and d0v otherwise, so the change is a
+        # per-step shared 4-bit delta = wv ^ old_at_head and each
+        # touched position costs 2 gates/bit (AND+XOR) instead of a
+        # 3-gate mux — the write block was 45% of the circuit.
+        w_at_d0 = AND(ex, OR(is_plus, is_minus, is_comma))
+        w_at_d1 = AND(ex, is_dot)
         inc = _mod_shift(b, d0v, +1, A)
         dec = _mod_shift(b, d0v, -1, A)
         wv = [b.mux(is_plus, inc[k],
                     b.mux(is_minus, dec[k],
                           b.mux(is_dot, d0v[k], d1v[k])))
               for k in range(nb)]
+        oldv = [b.mux(is_dot, d1v[k], d0v[k]) for k in range(nb)]
+        delta = [b.gate("xor", wv[k], oldv[k]) for k in range(nb)]
         for pos in sorted(set(Hd0) | set(Hd1)):
-            wr = AND(w_en, b.mux(is_dot, Hd1.get(pos, b.c0),
-                                 Hd0.get(pos, b.c0)))
+            wr = OR(AND(Hd0.get(pos, b.c0), w_at_d0),
+                    AND(Hd1.get(pos, b.c0), w_at_d1))
             old = d_cells[pos - mach.d_lo]
             d_cells[pos - mach.d_lo] = [
-                b.mux(wr, wv[k], old[k]) for k in range(nb)]
+                b.gate("xor", old[k], b.gate("and", wr, delta[k]))
+                for k in range(nb)]
 
         if step == mach.fuel - 1:
             break  # register updates after the last fetch are dead code
@@ -264,7 +305,7 @@ def compile_bff_circuit(mach: BffMachine):
 
     outputs = [bit for cell in d_cells for bit in cell]
     for a in range(A):
-        outputs.extend(op_count[a])
+        outputs.extend(popcount4(op_hots[a]))
     ops, outputs, _ = _dce_compact(b.ops, tuple(outputs),
                                    (n_p + mach.n_d) * nb)
     if config.IS_DEBUG:
