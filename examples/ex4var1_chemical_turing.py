@@ -28,13 +28,26 @@ def main():
     # Beyond-reference runs (--cl-k 6) keep the sample grid small:
     # off-chip sample transfer dominates at that state size.
     ap.add_argument("--n-samples", type=int, default=2001)
-    ap.add_argument("--chunk-size", type=int, default=100)
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="samples per device call (default: 500 in "
+                    "observables mode, 100 with --full-spd)")
     ap.add_argument("--tol", type=float, default=1e-13)
+    # Observables-only is the DEFAULT (round 5, same treatment as ex4
+    # in round 4): warm wall clock was dominated by the full-SPD f64
+    # sample transfer over the TPU tunnel, and every printed/plotted
+    # quantity — including the entropy trace — is a device projection.
     ap.add_argument("--observables-only", action="store_true",
-                    help="large-state mode (cl_k >= 7): evaluate the "
-                    "plotted probabilities AND the entropy trace on "
-                    "device, transfer only [T, n_obs]")
+                    default=True,
+                    help="evaluate the plotted probabilities AND the "
+                    "entropy trace on device, transfer only [T, n_obs] "
+                    "(default; required for cl_k >= 7)")
+    ap.add_argument("--full-spd", dest="observables_only",
+                    action="store_false",
+                    help="transfer full SPD samples (the mode that "
+                    "produced the committed ex4var1_*_k5.npz artifact)")
     args = ap.parse_args()
+    if args.chunk_size is None:
+        args.chunk_size = 500 if args.observables_only else 100
     cl_k = args.cl_k
 
     p0 = chemical_turing_p0(
