@@ -2247,9 +2247,118 @@ def _blocked_merge_flagged(key, pp, dd, lw, flag):
     return pp, dd, new_lw - jnp.max(new_lw), flag[parent], n_unique
 
 
+def _blocked_merge_equal(key, pp, dd, lw):
+    """Content-merge + systematic resample with EQUAL slot weights
+    (total/K each) on an absolute log scale — the textbook SMC
+    resampling step, for the absorbing first-passage estimator.
+
+    `_merge_resample`'s w/m slot weights implement the frontier's
+    deliberate beam pruning: configurations that draw zero slots LOSE
+    their weight, so the resampled measure is biased toward heavy
+    configurations (documented top-k semantics). That is correct for
+    the beam engine but wrong for an unbiased flux estimator — and the
+    self-normalized ratio flux/(flux+live) is itself biased once the
+    total-weight distribution goes heavy-tailed (measured: E[Σw] = 1
+    but sample totals 0.02–1.8 after 128 tempered rounds, so the ratio
+    overweights low-total realizations and overestimates flux ~2x).
+    Equal-weight resampling preserves the TOTAL live weight exactly
+    (Σ new = Σ old, E[new measure] = old measure), which makes the
+    ABSOLUTE flux accumulator an unbiased martingale estimator of
+    P(hit) and resets the live ESS to K. Slots with lw = -inf
+    (absorbed members) carry zero weight and recycle."""
+    E = pp[0].shape[0]
+    cols = [pl[e] for pl in pp for e in range(E)] + \
+           [pl[e] for pl in dd for e in range(E)]
+    h = _content_hash(cols, bits=4)
+    parent, _, n_unique = _merge_resample(key, h, lw)
+    K = lw.shape[0]
+    new_lw = jnp.full(
+        (K,), jax.scipy.special.logsumexp(lw) - jnp.log(K), lw.dtype)
+    pp = _gather_plane_columns(pp, parent)
+    dd = _gather_plane_columns(dd, parent)
+    return pp, dd, new_lw, n_unique
+
+
+def _blocked_rounds_ess_adaptive(key, pp, dd, lw, flux_lw, dm, pattern,
+                                 *, rounds: int, tau: float,
+                                 data_tape: bool, check_every: int,
+                                 ess_frac: float):
+    """One block of rounds with ABSORBING hits and ESS-TRIGGERED
+    intra-block resampling (round-5: act on the collapsed-ESS
+    diagnostic instead of just reporting it).
+
+    Two failure modes compound over long tempered horizons: (a) at
+    tau < 1 every choose accumulates an importance increment, so the
+    weight variance grows exponentially with the event count and the
+    self-normalized estimator degenerates when resampling only happens
+    at block boundaries (measured ESS → ~1 over 512 rounds); (b) plain
+    weight-proportional resampling PRUNES the hit lineages themselves —
+    on branch-suppressed targets the hit paths carry small weights
+    (q > p along the path), so the flux estimate stays biased low even
+    with ESS held high (measured 2–10x low). Fix for (b): hits ABSORB —
+    each sub-block, members whose tape contains the pattern move their
+    weight into a scalar log-flux accumulator and drop to lw = -inf
+    (their slot recycles at the next resample), so recorded flux can
+    never be resampled away; this is `weighted_first_passage_binned`'s
+    absorb boundary, device-resident. Fix for (a): after each
+    ``check_every``-round sub-block the live-weight ESS 1/Σŵ² is
+    computed on device and, when it falls below ``ess_frac * K``, the
+    TOTAL-preserving equal-weight merge/systematic-resample
+    (`_blocked_merge_equal` — textbook SMC, not the beam's pruning
+    resample) fires immediately via `lax.cond`. The whole loop is ONE
+    `lax.scan` (single device dispatch per block, the tunnelled-backend
+    rule of `_blocked_rounds`). All weights stay on one ABSOLUTE log
+    scale with initial total 1, so P(hit by t) = exp(flux_lw) is the
+    unbiased martingale estimator (exact-oracle-gated at tau=0.5:
+    `tests/test_ensemble.py::test_tempered_first_passage_ess_adaptive`).
+
+    Returns ``(pp, dd, lw, flux_lw, n_merges)``.
+    """
+    if rounds % check_every:
+        raise ValueError(
+            f"rounds={rounds} not divisible by check_every={check_every}")
+    K = lw.shape[0]
+
+    def sub(carry, k):
+        pp, dd, lw, flux_lw, n_merges = carry
+        k1, k2 = jax.random.split(k)
+        pp, dd, lw = _blocked_rounds(k1, pp, dd, lw, dm,
+                                     rounds=check_every, tau=tau)
+        tape_now = _from_planes_t(dd if data_tape else pp)
+        hit = contains_pattern(tape_now, pattern)
+        hit_lse = jax.scipy.special.logsumexp(
+            jnp.where(hit, lw, -jnp.inf))
+        flux_lw = jnp.logaddexp(flux_lw, hit_lse)
+        lw = jnp.where(hit, -jnp.inf, lw)
+        den = jax.scipy.special.logsumexp(lw)
+        ess = jnp.exp(2.0 * den - jax.scipy.special.logsumexp(2.0 * lw))
+        trigger = (ess < ess_frac * K) & jnp.isfinite(den)
+
+        def do_merge(op):
+            k2, pp, dd, lw = op
+            pp, dd, lw, _ = _blocked_merge_equal(k2, pp, dd, lw)
+            return pp, dd, lw
+
+        def skip(op):
+            _, pp, dd, lw = op
+            return pp, dd, lw
+
+        pp, dd, lw = jax.lax.cond(
+            trigger, do_merge, skip, (k2, pp, dd, lw))
+        return (pp, dd, lw, flux_lw,
+                n_merges + trigger.astype(jnp.int32)), None
+
+    (pp, dd, lw, flux_lw, n_merges), _ = jax.lax.scan(
+        sub, (pp, dd, lw, flux_lw, jnp.int32(0)),
+        jax.random.split(key, rounds // check_every))
+    return pp, dd, lw, flux_lw, n_merges
+
+
 def weighted_first_passage(key, tapes, logw, dm: DeviceMachine, pattern,
                            plan: tuple, *, tau: float = 1.0,
-                           data_tape: bool = True):
+                           data_tape: bool = True,
+                           ess_frac: float = 0.0,
+                           check_every: int = 0):
     """Weighted-ensemble first-passage estimation on the blocked
     frontier: survival probabilities S(t_b) = P(pattern has not yet
     appeared) at every block boundary, with importance weights.
@@ -2269,23 +2378,38 @@ def weighted_first_passage(key, tapes, logw, dm: DeviceMachine, pattern,
     within a block are missed; shrink ``rounds_per_block`` where that
     matters — `first_passage_times` checks every round at tau=1).
 
-    **Use tau=1 for long horizons.** Tempering reweights EVERY choose,
-    so the importance-weight variance grows exponentially with the
-    event count and the self-normalized survival estimator degenerates
-    (measured on ex2, K=4096, ~500 events/member: tau=1 estimates
-    P(hit)=4.2e-3 at 12% relative spread across seeds, while tau=0.7
-    and 0.5 return 10–20x low with ~100% spread — the classic
-    collapsed-ESS signature). The ``ess`` diagnostic returned per block
-    makes the collapse visible; treat results with ESS ≪ K as
-    unreliable. tau<1 remains useful only for SHORT horizons targeting
-    branch-rare events.
+    **Long-horizon tempering needs ``ess_frac``.** Tempering reweights
+    EVERY choose, so the importance-weight variance grows exponentially
+    with the event count and the self-normalized survival estimator
+    degenerates when merges only happen at block boundaries (measured
+    on ex2, K=4096, ~500 events/member: tau=1 estimates P(hit)=4.2e-3
+    at 12% relative spread across seeds, while tau=0.7 and 0.5 with
+    block-cadence-only merging return 10–20x low with ~100% spread —
+    the classic collapsed-ESS signature). Passing ``ess_frac > 0``
+    (with a sub-block size ``check_every`` dividing ``rounds``)
+    activates ESS-TRIGGERED intra-block resampling
+    (`_blocked_rounds_ess_adaptive`): whenever the device-side ESS
+    falls below ``ess_frac * K``, the weight-preserving
+    merge/systematic-resample fires mid-block, keeping the walker
+    population equalized before the weights collapse — the standard
+    weighted-ensemble resampling control, here as a `lax.cond` inside
+    the block scan so the dispatch count per block is unchanged.
+    Turned-green gate:
+    `tests/test_ensemble.py::test_tempered_first_passage_ess_adaptive`.
+    The ``ess`` diagnostic returned per block still makes any residual
+    collapse visible.
 
     Returns ``(survival [num_blocks], ess [num_blocks],
     t_blocks [num_blocks], (ptape, dtape), logw, hit,
     n_unique [num_blocks])`` — ``n_unique`` is the per-block count of
     distinct (tape, hit-flag) members after the merge, the
     frontier-collapse diagnostic complementing ``ess`` (same as
-    :func:`run_weighted_frontier_blocked`'s).
+    :func:`run_weighted_frontier_blocked`'s). With ``ess_frac > 0``,
+    hits ABSORB (weight frozen into a flux accumulator at detection,
+    `_blocked_rounds_ess_adaptive`): ``hit`` then marks absorbed
+    slots (lw = -inf; their tape content has kept evolving and is not
+    the hit configuration), and ``ess``/``n_unique`` describe the live
+    population only.
     """
     num_blocks, rounds, events = plan
     ptape, dtape = tapes
@@ -2310,25 +2434,61 @@ def weighted_first_passage(key, tapes, logw, dm: DeviceMachine, pattern,
                       - jax.scipy.special.logsumexp(2.0 * lw))
         return jnp.exp(num - den), ess
 
+    if ess_frac > 0.0 and not check_every:
+        raise ValueError("ess_frac > 0 needs check_every > 0")
+
     block_keys = np.asarray(jax.random.split(key, 2 * num_blocks))
     surv, esses, n_unique = [], [], []
-    for b in range(num_blocks):
-        pp, dd, lw = _blocked_rounds(
-            block_keys[2 * b], pp, dd, lw, dm, rounds=rounds, tau=tau)
-        tape_now = _from_planes_t(dd if data_tape else pp)
-        hit = hit | contains_pattern(tape_now, pattern)
-        s, e = survival_and_ess(lw, hit)
-        surv.append(s)
-        esses.append(e)
-        pp, dd, lw, hit, nu = _blocked_merge_flagged(
-            block_keys[2 * b + 1], pp, dd, lw, hit)
-        n_unique.append(nu)
+    if ess_frac > 0.0:
+        # Absorbing mode: normalize to total weight 1 (the absolute
+        # flux estimator's reference scale), then initial hits move
+        # their weight to the flux accumulator immediately (same t=0
+        # freeze as the binned harness) and `hit` marks ABSORBED slots
+        # from here on.
+        lw = lw - jax.scipy.special.logsumexp(lw)
+        flux_lw = jax.scipy.special.logsumexp(
+            jnp.where(hit, lw, -jnp.inf))
+        lw = jnp.where(hit, -jnp.inf, lw)
+        for b in range(num_blocks):
+            pp, dd, lw, flux_lw, _ = _blocked_rounds_ess_adaptive(
+                block_keys[2 * b], pp, dd, lw, flux_lw, dm, pattern,
+                rounds=rounds, tau=tau, data_tape=data_tape,
+                check_every=check_every, ess_frac=ess_frac)
+            den = jax.scipy.special.logsumexp(lw)
+            # ABSOLUTE flux estimator (initial Σw = 1): unbiased
+            # martingale, unlike the self-normalized ratio (see
+            # `_blocked_merge_equal`). Clipped: flux is a.s. ≤ total
+            # in expectation but single realizations can overshoot 1.
+            surv.append(jnp.maximum(1.0 - jnp.exp(flux_lw), 0.0))
+            esses.append(jnp.exp(
+                2.0 * den - jax.scipy.special.logsumexp(2.0 * lw)))
+            if bool(jnp.isfinite(den)):  # all-absorbed: nothing to merge
+                pp, dd, lw, nu = _blocked_merge_equal(
+                    block_keys[2 * b + 1], pp, dd, lw)
+            else:
+                nu = jnp.int32(0)
+            n_unique.append(nu)
+        hit = ~jnp.isfinite(lw)
+    else:
+        for b in range(num_blocks):
+            pp, dd, lw = _blocked_rounds(
+                block_keys[2 * b], pp, dd, lw, dm, rounds=rounds,
+                tau=tau)
+            tape_now = _from_planes_t(dd if data_tape else pp)
+            hit = hit | contains_pattern(tape_now, pattern)
+            s, e = survival_and_ess(lw, hit)
+            surv.append(s)
+            esses.append(e)
+            pp, dd, lw, hit, nu = _blocked_merge_flagged(
+                block_keys[2 * b + 1], pp, dd, lw, hit)
+            n_unique.append(nu)
 
     dt_round = -math.log1p(-events / L)
     t_blocks = dt_round * rounds * np.arange(1, num_blocks + 1)
     ptape = _from_planes_t(pp).astype(in_dtype)
     dtape = _from_planes_t(dd).astype(in_dtype)
-    lw = lw - jax.scipy.special.logsumexp(lw)
+    den = jax.scipy.special.logsumexp(lw)
+    lw = jnp.where(jnp.isfinite(den), lw - den, lw)  # all-absorbed: keep
     return (jnp.stack(surv), jnp.stack(esses), t_blocks,
             (ptape, dtape), lw, hit, jnp.stack(n_unique))
 

@@ -68,18 +68,23 @@ def main():
         parent = resample_j(jax.random.PRNGKey(1), h, lw)[0]
         gather_j = jax.jit(
             lambda pp, par: tuple(pl[:, par] for pl in pp))
+        packed_j = jax.jit(
+            lambda pp, dd, par: (ensemble._gather_plane_columns(pp, par),
+                                 ensemble._gather_plane_columns(dd, par)))
 
         t_hash = timed(lambda: hash_j(cols))
         t_stats = timed(lambda: stats_j(h, lw))
         t_res = timed(lambda: resample_j(jax.random.PRNGKey(1), h, lw))
         t_gath = timed(lambda: (gather_j(pp, parent),
                                 gather_j(dd, parent)))
-        total = t_hash + t_res + t_gath
+        t_pack = timed(lambda: packed_j(pp, dd, parent))
+        total = t_hash + t_res + t_pack
         print(f"K={K:.0e}: hash {t_hash*1e3:7.1f} ms | "
               f"stats(within resample) {t_stats*1e3:7.1f} ms | "
               f"resample(full) {t_res*1e3:7.1f} ms | "
-              f"gather {t_gath*1e3:7.1f} ms | "
-              f"sum(hash+resample+gather) {total*1e3:7.1f} ms",
+              f"gather(old) {t_gath*1e3:7.1f} ms | "
+              f"gather(packed) {t_pack*1e3:7.1f} ms | "
+              f"sum(hash+resample+packed) {total*1e3:7.1f} ms",
               flush=True)
 
 
