@@ -1733,6 +1733,81 @@ def _merge_resample(key, h, lw):
     return parent, new_lw, n_groups
 
 
+def _merge_resample_sorted(key, h, lw):
+    """Sort-based twin of :func:`_merge_resample` — same contract
+    (parent [K], new_lw [K], n_groups), different internal order.
+
+    Round-5 re-measurement overturned the round-2 sort exclusion: at
+    K=1e7 `jax.lax.sort` of (u64, i32) runs in 70 ms on this backend
+    (the 36 s figure was COMPILE time at an unrepresentative 1e5 shape;
+    compiles cache per shape), while the hash-table election inside
+    `_merge_stats` costs ~1.4 s fused (`probes/scatter_floor_1e7.py`,
+    `probes/merge_microops.py`). This formulation sorts members by
+    content hash, finds group boundaries by neighbor compare, group-
+    logsumexps via one cumsum + boundary differences, and performs the
+    same systematic slot resampling in GROUP-sorted order. All scatters
+    are unique-index (one end/start per group, measured at the
+    dispatch floor); no salt is needed because sorting groups equal
+    hashes exactly — there are no bucket collisions to defer.
+
+    Statistically equivalent to `_merge_resample` (identical merged
+    weights; the systematic resample visits groups in hash order
+    instead of member order, so slot assignments differ stream-wise).
+    Invariants gated by
+    `tests/test_ensemble.py::test_merge_resample_sorted_invariants`.
+    """
+    K = h.shape[0]
+    _, k_u = jax.random.split(key)
+    idx = jnp.arange(K, dtype=jnp.int32)
+    hs, perm = jax.lax.sort((h, idx), num_keys=1)
+    ws = lw[perm]
+    neq = hs[1:] != hs[:-1]
+    start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    gid = jnp.cumsum(start.astype(jnp.int32)) - 1  # [K] sorted-pos -> g
+    n_groups = gid[-1] + 1
+    # Group logsumexp under the same GLOBAL max shift as _merge_stats.
+    finite = jnp.isfinite(ws)
+    m = jnp.max(jnp.where(finite, ws, -jnp.inf))
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    ce = jnp.cumsum(jnp.where(finite, jnp.exp(ws - m), 0.0))
+    drop = jnp.int32(K)  # masked scatters: unique per-group slots
+    end_ce = jnp.zeros((K,), ce.dtype).at[
+        jnp.where(is_end, gid, drop)].set(ce, mode="drop",
+                                          unique_indices=True)
+    # Pad mask: entries past n_groups hold 0 - end_ce[n_groups-1] after
+    # the difference; zero them so the resampling cumsum stays monotone.
+    gsum = jnp.where(
+        idx < n_groups,
+        end_ce - jnp.concatenate(
+            [jnp.zeros((1,), ce.dtype), end_ce[:-1]]),
+        0.0)  # [K] per-group mass
+    # First sorted member of each group -> an original member index
+    # whose content represents the group.
+    pos_start = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(start, gid, drop)].set(idx, mode="drop",
+                                         unique_indices=True)
+    orig_first = perm[pos_start]
+    # Systematic slot resampling over groups (gsum is zero past
+    # n_groups, so the trailing pad draws no slots).
+    cum = jnp.cumsum(gsum)
+    cum = cum / cum[-1]
+    u = jnp.clip(jax.random.uniform(k_u, (), jnp.float64),
+                 1e-12, 1.0 - 1e-12)
+    f = jnp.floor(K * cum - u)
+    mult = (f - jnp.concatenate([jnp.full((1,), -1.0), f[:-1]])
+            ).astype(jnp.int32)  # [K] slots per group, sum == K
+    bounds = jnp.cumsum(mult)[:-1]
+    slot_gid = jnp.cumsum(
+        jnp.zeros((K,), jnp.int32).at[bounds].add(1, mode="drop"))
+    slot_gid = jnp.minimum(slot_gid, K - 1)
+    parent = orig_first[slot_gid]
+    new_lw = (m + jnp.log(jnp.maximum(gsum[slot_gid], 1e-300))
+              - jnp.log(jnp.maximum(mult[slot_gid], 1)))
+    new_lw = jnp.where(gsum[slot_gid] > 0.0, new_lw, -jnp.inf)
+    return parent, new_lw, n_groups
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def run_weighted_frontier(key, tapes, logw, dtable: DeviceTable,
                           num_steps: int, top_k: int,
@@ -2056,8 +2131,55 @@ def _gather_plane_columns(planes, parent):
 @jax.jit
 def _gather_planes_pair(pp, dd, parent):
     """Jitted program+data packed parent-gather (host-loop callers)."""
-    return (_gather_plane_columns(pp, parent),
-            _gather_plane_columns(dd, parent))
+    return _gather_planes_pair_packed(pp, dd, parent)
+
+
+def _pack_planes_words(planes):
+    """[stride x [E, K] int8] -> [K, n/4] int32 packed member-major
+    words (the `_gather_plane_columns` packing, factored out so the
+    program and data tapes can ride ONE row gather)."""
+    stride = len(planes)
+    E, K = planes[0].shape
+    st = jnp.stack(planes)
+    n = stride * E
+    pad = (-n) % 4
+    t = st.reshape(n, K).T
+    if pad:
+        t = jnp.concatenate([t, jnp.zeros((K, pad), t.dtype)], axis=1)
+    t4 = t.reshape(K, (n + pad) // 4, 4).astype(jnp.int32) & 0xFF
+    return (t4[..., 0] | (t4[..., 1] << 8)
+            | (t4[..., 2] << 16) | (t4[..., 3] << 24))
+
+
+def _unpack_planes_words(g, stride, E, dtype):
+    """Inverse of :func:`_pack_planes_words` (drops the pad)."""
+    K = g.shape[0]
+    n = stride * E
+    cells = jnp.stack([(g >> (8 * i)) & 0xFF for i in range(4)],
+                      axis=-1).reshape(K, g.shape[1] * 4)
+    back = cells[:, :n].T.reshape(stride, E, K).astype(dtype)
+    return tuple(back[c] for c in range(stride))
+
+
+def _gather_planes_pair_packed(pp, dd, parent):
+    """Parent-gather of BOTH tapes' planes as ONE [K, 2n/4] row gather.
+
+    `_gather_plane_columns` made the merge gather a packed row gather
+    (round 4, 3.0 s -> 0.68 s at K=1e7); gather cost on this backend is
+    per-ROW (flat 1e7-element gathers run at the ~26 ms dispatch floor
+    while [K, 8] row gathers cost ~0.68 s — `probes/merge_microops.py`),
+    so concatenating the program and data words halves the row count
+    versus two separate gathers. Bit-exact with the per-tape path.
+    """
+    stride = len(pp)
+    E, K = pp[0].shape
+    wp = _pack_planes_words(pp)
+    wd = _pack_planes_words(dd)
+    both = jnp.concatenate([wp, wd], axis=1)
+    g = jnp.take(both, parent, axis=0)
+    W = wp.shape[1]
+    return (_unpack_planes_words(g[:, :W], stride, E, pp[0].dtype),
+            _unpack_planes_words(g[:, W:], stride, E, dd[0].dtype))
 
 
 @jax.jit
