@@ -1,4 +1,12 @@
-"""Fusion-pathology probe: the merge's ops each run at the ~26 ms
+"""INVALIDATED (round-5): most rows here jit zero-arg
+lambdas over CAPTURED arrays - XLA constant-folds those at
+compile time (HloEvaluator, the absurd first-call times), so
+the runtimes are just the ~26 ms dispatch + output-copy floor,
+NOT op costs. Only rows whose functions take real arguments
+(sort_u64 here) are valid. See probes/merge_microops.py for
+the corrected argument-passing measurements.
+
+Fusion-pathology probe: the merge's ops each run at the ~26 ms
 dispatch floor when dispatched separately, but the SAME pipeline fused
 into one jit costs 2.6-2.9 s at K=1e7 (`probes/merge_variants.py`,
 `probes/merge_microops.py`) — XLA is fusing the random-access chain

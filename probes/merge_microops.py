@@ -1,8 +1,16 @@
 """Micro-op timings for redesigning `_merge_stats`/`_merge_resample`
-at K=1e7 (round-5: the two 'colliding scatters' turn out to be at the
-dispatch floor — `scatter_floor_1e7.py` measured add_f64 24 ms ~ noop
-26 ms, sort_u64 70 ms — so the 1.4 s stats cost must live in the
-random GATHERS / u64 compares / cumsums this probe isolates).
+at K=1e7.
+
+CLOSURE-CAPTURE CAVEAT (round-5 lesson): a first version of this probe
+jitted zero-arg lambdas over captured arrays — XLA treats captured
+arrays as CONSTANTS and constant-folds the op at compile time (the
+observed 100-700 s "compiles" were the HloEvaluator folding 1e7-element
+ops on the host), so every "measurement" was just the ~26 ms dispatch +
+output-copy floor. All functions below take their operands as REAL
+ARGUMENTS; only these numbers are trustworthy. (The same caveat
+invalidated `scatter_floor*.py`'s closure rows and all of
+`merge_barriers.py`; `merge_variants.py`/`merge_staged.py` always
+passed arguments and stand.)
 
 Run ON THE ACCELERATOR:  python probes/merge_microops.py
 """

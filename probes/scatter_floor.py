@@ -1,4 +1,12 @@
-"""Is the frontier merge's scatter floor real? (round-4 verdict weak
+"""INVALIDATED (round-5): most rows here jit zero-arg
+lambdas over CAPTURED arrays - XLA constant-folds those at
+compile time (HloEvaluator, the absurd first-call times), so
+the runtimes are just the ~26 ms dispatch + output-copy floor,
+NOT op costs. Only rows whose functions take real arguments
+(sort_u64 here) are valid. See probes/merge_microops.py for
+the corrected argument-passing measurements.
+
+Is the frontier merge's scatter floor real? (round-4 verdict weak
 #2: the two colliding-index scatters in `_merge_stats` are ~76% of a
 blocked-frontier block at K=1e7, and "the sort route was excluded by
 measurement, the scatter route wasn't").

@@ -1,4 +1,12 @@
-"""K=1e7 companion to `scatter_floor.py` — each variant printed as it
+"""INVALIDATED (round-5): most rows here jit zero-arg
+lambdas over CAPTURED arrays - XLA constant-folds those at
+compile time (HloEvaluator, the absurd first-call times), so
+the runtimes are just the ~26 ms dispatch + output-copy floor,
+NOT op costs. Only rows whose functions take real arguments
+(sort_u64 here) are valid. See probes/merge_microops.py for
+the corrected argument-passing measurements.
+
+K=1e7 companion to `scatter_floor.py` — each variant printed as it
 completes (the combined probe's 1e7 row hung inside one compile), plus
 a no-op dispatch-floor baseline and the fused real-merge reference.
 
