@@ -1733,6 +1733,93 @@ def _merge_resample(key, h, lw):
     return parent, new_lw, n_groups
 
 
+# --- Position-space merge/resample (round-5) -------------------------------
+#
+# Small single-op jits: the blocked merge runs them as a HOST-STAGED
+# sequence. Two measured facts force this shape (probes/merge_prefixes,
+# merge_microops, /tmp stage decomposition, K=1e7, 2026-08-21):
+# (a) XLA:TPU fuses random-access ops (scatter/gather) with their
+#     producer chains into programs that run 5-50x slower than the
+#     same ops on materialized inputs (two fused ops: 208 ms vs
+#     67 + 33; five: 1.5 s) — so ops must be COMPILED separately;
+# (b) dispatches are async and queue on device, so an 11-op staged
+#     chain pays ONE sync round-trip, not 11 dispatch floors.
+
+_j_sort_pairs = jax.jit(lambda h, i: jax.lax.sort((h, i), num_keys=1))
+_j_take = jax.jit(lambda x, p: x[p])
+_j_lse = jax.jit(jax.scipy.special.logsumexp)
+_j_norm_exp = jax.jit(lambda ws, lse: jnp.where(
+    jnp.isfinite(ws), jnp.exp(ws - lse), 0.0))
+_j_cumsum = jax.jit(jnp.cumsum)
+_j_cum_norm = jax.jit(lambda cum: cum / cum[-1])
+_j_n_unique = jax.jit(lambda hs: 1 + (hs[1:] != hs[:-1]).sum(
+    dtype=jnp.int32))
+# One jit per op — a round-5 consolidation attempt (lse + exp + cumsum
+# + multiplicities in one jit) recompiled for 210 s and SIGSEGV'd the
+# AOT helper at K=1e7: even elementwise+scan chains are unsafe to fuse
+# on this backend. Keep the ops separate.
+_j_mult_pos = jax.jit(
+    lambda cumn, u, K: (
+        jnp.floor(K * cumn - u)
+        - jnp.concatenate([jnp.full((1,), -1.0),
+                           jnp.floor(K * cumn - u)[:-1]])
+    ).astype(jnp.int32),
+    static_argnums=(2,))
+_j_slot_pos = jax.jit(
+    lambda mult, K: jnp.minimum(
+        jnp.cumsum(jnp.zeros((K,), jnp.int32).at[
+            jnp.cumsum(mult)[:-1]].add(1, mode="drop")), K - 1),
+    static_argnums=(1,))
+_j_full_lw = jax.jit(
+    lambda lse, K: jnp.full((K,), lse - np.log(K)),
+    static_argnums=(1,))
+
+
+def _merge_resample_positions(key, h, lw):
+    """Position-space systematic resample with EQUAL slot weights —
+    the round-5 blocked-merge engine. Returns ``(parent [K],
+    new_lw [K], n_unique)`` like `_merge_resample`.
+
+    Sorting members by content hash makes every duplicate group a
+    CONTIGUOUS run, so member-level systematic resampling over the
+    sorted cumulative weights allocates each group exactly the slots
+    group-level systematic would (the group owns a contiguous
+    cum-interval; slots land in it in proportion to the group's TOTAL
+    mass — merging becomes implicit adjacency, no group-id arrays, no
+    per-group scatters). Slot weights are EQUAL (total/K, the textbook
+    SMC convention): totals are preserved exactly; a group's realized
+    total differs from its merged weight by < total/K (systematic
+    guarantees |m_g - K·ŵ_g| < 1). At tau=1 — uniform weights, the
+    benched configuration — this coincides with the old w/m scheme
+    exactly up to slot identity within a duplicate group.
+
+    Why not the hash-table or group-sorted formulations: the staged
+    decomposition measured the group machinery itself as the cost —
+    the per-group f64 unique-scatter alone was 1.25 s at K=1e7, the
+    bucket election + fused group-sum 1.4-1.8 s — while every op this
+    formulation keeps (sort 70 ms, gathers 99-177 ms, cumsums ~76 ms)
+    is cheap. Measured end-to-end in `probes/merge_positions.py`.
+
+    ``n_unique`` is EXACT (distinct sorted hashes) — the hash-table
+    variant overcounts by deferred bucket collisions.
+    """
+    K = h.shape[0]
+    _, k_u = jax.random.split(key)
+    idx = jnp.arange(K, dtype=jnp.int32)
+    hs, perm = _j_sort_pairs(h, idx)
+    ws = _j_take(lw, perm)
+    lse = _j_lse(lw)
+    e = _j_norm_exp(ws, lse)
+    cumn = _j_cum_norm(_j_cumsum(e))
+    u = jnp.clip(jax.random.uniform(k_u, (), jnp.float64),
+                 1e-12, 1.0 - 1e-12)
+    mult = _j_mult_pos(cumn, u, K)
+    slot_pos = _j_slot_pos(mult, K)
+    parent = _j_take(perm, slot_pos)
+    new_lw = _j_full_lw(lse, K)
+    return parent, new_lw, _j_n_unique(hs)
+
+
 def _merge_resample_sorted(key, h, lw):
     """Sort-based twin of :func:`_merge_resample` — same contract
     (parent [K], new_lw [K], n_groups), different internal order.
@@ -2182,9 +2269,29 @@ def _gather_planes_pair_packed(pp, dd, parent):
             _unpack_planes_words(g[:, W:], stride, E, dd[0].dtype))
 
 
+# Above this member count the blocked merge switches from the fused
+# hash-table program to the host-staged position-space pipeline.
+# Measured at bench geometry (probes/merge_positions.py, 2026-08-21):
+# K=1e6 fused 264 ms vs staged 310 ms (per-jit host overhead x11 ops
+# dominates at this size); K=1e7 fused 2849 ms vs staged 1080 ms (the
+# fused program's scatter/gather+producer fusions serialise -
+# probes/merge_prefixes.py). At tau=1 (uniform weights - the benched
+# configuration) the two schemes allocate identically, so the
+# threshold changes implementation, not statistics; at tau<1 the
+# staged path is the textbook equal-weight SMC resample while the
+# fused path keeps the w/m split (see _merge_resample_positions).
+_MERGE_STAGED_MIN_K = 4_000_000
+
+_hash4_j = jax.jit(lambda cols: _content_hash(cols, bits=4))
+_gather_pair_j = jax.jit(lambda pp, dd, par: (
+    _gather_plane_columns(pp, par), _gather_plane_columns(dd, par)))
+_sub_max_j = jax.jit(lambda lw: lw - jnp.max(lw))
+
+
 @jax.jit
-def _blocked_merge(key, pp, dd, lw):
-    """Merge-by-key + systematic slot resampling on transposed planes."""
+def _blocked_merge_fused(key, pp, dd, lw):
+    """Merge-by-key + systematic slot resampling on transposed planes
+    (fused hash-table program — the K < `_MERGE_STAGED_MIN_K` path)."""
     E = pp[0].shape[0]
     cols = [pl[e] for pl in pp for e in range(E)] + \
            [pl[e] for pl in dd for e in range(E)]
@@ -2193,6 +2300,31 @@ def _blocked_merge(key, pp, dd, lw):
     pp = _gather_plane_columns(pp, parent)
     dd = _gather_plane_columns(dd, parent)
     return pp, dd, new_lw - jnp.max(new_lw), n_unique
+
+
+def _blocked_merge_staged(key, pp, dd, lw):
+    """Host-staged position-space merge (K ≥ `_MERGE_STAGED_MIN_K`).
+
+    Each op is its own cached jit; dispatches queue asynchronously so
+    the chain pays one sync, and — the load-bearing property — XLA
+    never fuses the random-access ops with their producers (measured
+    2.6x the fused program's speed at K=1e7, 2848 → 1080 ms;
+    `probes/merge_positions.py`)."""
+    E = pp[0].shape[0]
+    cols = [pl[e] for pl in pp for e in range(E)] + \
+           [pl[e] for pl in dd for e in range(E)]
+    h = _hash4_j(cols)
+    parent, new_lw, n_unique = _merge_resample_positions(key, h, lw)
+    pp, dd = _gather_pair_j(pp, dd, parent)
+    return pp, dd, _sub_max_j(new_lw), n_unique
+
+
+def _blocked_merge(key, pp, dd, lw):
+    """Merge-by-key + systematic slot resampling on transposed planes;
+    implementation picked by member count (see `_MERGE_STAGED_MIN_K`)."""
+    if lw.shape[0] >= _MERGE_STAGED_MIN_K:
+        return _blocked_merge_staged(key, pp, dd, lw)
+    return _blocked_merge_fused(key, pp, dd, lw)
 
 
 @partial(jax.jit, static_argnames=("stride",))

@@ -1440,3 +1440,49 @@ def test_gather_planes_pair_packed_bit_exact():
     pb, db = ensemble._gather_planes_pair_packed(pp, dd, parent)
     for a, b in zip(pa + da, pb + db):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_resample_positions_invariants():
+    """Position-space equal-weight resample (round-5 blocked-merge
+    engine): exact n_unique, valid parents, total weight preserved
+    exactly, and group slot counts within 1 of K * group-share (the
+    systematic guarantee, group-level allocation via sorted
+    adjacency)."""
+    rng = np.random.RandomState(2)
+    K = 4096
+    pool = rng.randint(0, 2**63, size=257).astype(np.uint64)
+    h = jnp.asarray(pool[rng.randint(0, len(pool), K)])
+    lw = jnp.asarray(rng.normal(size=K) * 2.0)
+    lw = lw.at[:5].set(-np.inf)
+
+    parent, new_lw, n_unique = ensemble._merge_resample_positions(
+        jax.random.PRNGKey(3), h, lw)
+    parent, new_lw = np.asarray(parent), np.asarray(new_lw)
+    h_np, lw_np = np.asarray(h), np.asarray(lw)
+
+    assert int(n_unique) == len(np.unique(h_np))
+    assert np.all((parent >= 0) & (parent < K))
+
+    # equal slot weights, total preserved exactly (log-space check)
+    lse = float(jax.scipy.special.logsumexp(lw))
+    np.testing.assert_allclose(new_lw, lse - np.log(K), rtol=1e-12)
+
+    # group allocation: slots per hash within 1 of K * group share
+    w = np.exp(lw_np - lw_np[np.isfinite(lw_np)].max())
+    w[~np.isfinite(lw_np)] = 0.0
+    total = w.sum()
+    for hh in np.unique(h_np[np.isfinite(lw_np)]):
+        share = w[h_np == hh].sum() / total
+        got = (h_np[parent] == hh).sum()
+        assert abs(got - K * share) < 1.0 + 1e-9, (hh, got, K * share)
+
+    # members with zero weight (absorbed) never become parents
+    assert np.isfinite(lw_np[parent]).all()
+
+    # tau=1 coincidence: uniform weights -> every unique config keeps
+    # ~K/n_unique slots and slot weights equal the old w/m scheme's
+    lw_u = jnp.zeros((K,)) - np.log(K)
+    p2, nlw2, nu2 = ensemble._merge_resample_positions(
+        jax.random.PRNGKey(4), h, lw_u)
+    np.testing.assert_allclose(np.asarray(nlw2), -np.log(K),
+                               rtol=1e-12)
