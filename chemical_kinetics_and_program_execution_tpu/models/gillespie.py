@@ -149,14 +149,32 @@ def ssa_trajectories(key, n0, network_static, num_events):
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def ssa_batch(key, n0, network_static, num_events, batch,
-              dtype=jnp.float32):
-    """Batch-native SSA: the whole ensemble advances one reaction event
-    per scan step, laid out species/reaction-major (``[S, B]``/``[R, B]``)
-    so the batch rides the TPU lane dimension (a ``vmap`` over the
+def ssa_batch_tm(key, n0, network_static, num_events, batch,
+                 dtype=jnp.float32):
+    """Batch-native SSA core, TIME-MAJOR outputs (the scan's natural
+    layout): the whole ensemble advances one reaction event per scan
+    step, laid out species/reaction-major (``[S, B]``/``[R, B]``) so
+    the batch rides the TPU lane dimension (a ``vmap`` over the
     per-trajectory stepper leaves the tiny R/S axes innermost, padding
     every vector 10 -> 128). The state update is a one-hot
     stoichiometry matmul — gather-free.
+
+    Round-5 speed-of-light rework (`probes/ssa_decompose.py` measured
+    the old step at 137 ms/call: propensity broadcast 45 ms, threefry
+    32 ms, recording+transposes 55 ms at B=65536, E=1000):
+
+    * propensities are PER-REACTION UNROLLED over the static sparsity
+      (each reaction reads its ≤2 reactant species as [B]-vector
+      falling factorials) instead of materialising the [R, S, B]
+      masked broadcast tensor max_order times;
+    * both uniforms come from ONE threefry draw ``uniform(k, (2, B))``
+      (no per-step key split, half the RNG calls); dt uses the exact
+      inverse-CDF ``-log(1-u)/total``;
+    * outputs stay TIME-MAJOR — ``(times [E, B] f64, states
+      [E, S, B] int32)`` — because the batch-major convention cost two
+      full-array device transposes (~2.6 GB of pure layout traffic per
+      bench call). :func:`ssa_batch` wraps this core with the
+      batch-major transposes for API compatibility.
 
     ``dtype`` sets the propensity/sampling precision. float32 (default)
     is the benched throughput path; its falling-factorial products lose
@@ -164,11 +182,9 @@ def ssa_batch(key, n0, network_static, num_events, batch,
     statistical parity test (`tests/test_models.py`) bounds the bias at
     the shipped workloads' count scales, and ``dtype=jnp.float64`` gives
     the exact formulation at batch layout.
-
-    Returns (times [B, E] float64, states [B, E, S] int32).
     """
     reactants_np = np.asarray(network_static[0])
-    max_order = int(reactants_np.max()) if reactants_np.size else 0
+    rates_np = np.asarray(network_static[2])
     reactants, products, rates = (
         jnp.asarray(np.asarray(x)) for x in network_static
     )
@@ -178,26 +194,28 @@ def ssa_batch(key, n0, network_static, num_events, batch,
     def step(carry, k):
         t, n = carry  # t [B] f64, n [S, B] int32
         nf = n.astype(dtype)
-        prop = jnp.broadcast_to(
-            rates.astype(dtype)[:, None], (n_r, nf.shape[1])
-        )
-        for j in range(max_order):
-            factor = jnp.where(
-                reactants[:, :, None] > j,
-                jnp.maximum(nf[None, :, :] - j, 0.0),
-                1.0,
-            )
-            prop = prop * jnp.prod(factor, axis=1)
+        # Per-reaction mass-action products over the STATIC sparsity:
+        # reaction r touches only its nonzero-reactant species, so each
+        # propensity is a short [B]-vector product (the old [R, S, B]
+        # broadcast built a 30x larger masked tensor max_order times).
+        props = []
+        for r in range(n_r):
+            p_r = jnp.full((nf.shape[1],), dtype(rates_np[r]))
+            for s in range(n_s):
+                m = int(reactants_np[r, s])
+                for j in range(m):
+                    p_r = p_r * jnp.maximum(nf[s] - j, 0.0)
+            props.append(p_r)
+        prop = jnp.stack(props)  # [R, B]
         total = prop.sum(axis=0)  # [B]
         alive = total > 0
-        k1, k2 = jax.random.split(k)
+        u2 = jax.random.uniform(k, (2,) + total.shape, dtype)
         dt = jnp.where(
             alive,
-            jax.random.exponential(k1, total.shape, dtype)
-            / jnp.maximum(total, 1e-30),
+            -jnp.log1p(-u2[0]) / jnp.maximum(total, 1e-30),
             jnp.inf,
         ).astype(jnp.float64)
-        u = jax.random.uniform(k2, total.shape, dtype) * total
+        u = u2[1] * total
         cum = jnp.cumsum(prop, axis=0)
         r = jnp.minimum((u[None, :] >= cum).sum(axis=0), n_r - 1)  # [B]
         onehot = (jnp.arange(n_r)[:, None] == r[None, :]).astype(
@@ -214,6 +232,18 @@ def ssa_batch(key, n0, network_static, num_events, batch,
     _, (ts, ns) = jax.lax.scan(
         step, (jnp.zeros(batch, jnp.float64), n0_b), keys
     )
+    return ts, ns
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def ssa_batch(key, n0, network_static, num_events, batch,
+              dtype=jnp.float32):
+    """Batch-major wrapper of :func:`ssa_batch_tm`.
+
+    Returns (times [B, E] float64, states [B, E, S] int32).
+    """
+    ts, ns = ssa_batch_tm(key, n0, network_static, num_events, batch,
+                          dtype)
     return ts.T, jnp.transpose(ns, (2, 0, 1))
 
 
